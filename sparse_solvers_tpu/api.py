@@ -1,0 +1,193 @@
+"""Public solver API — construct-once / solve-many, matching the reference's
+Python binding surface (reference: bindings/python/sparsesolvers/binding.cpp:
+114-148): ``Homotopy(A)``, ``Irls(A)``, ``solver.solve(b, tolerance,
+max_iterations) -> (x, report)``, plus ``reconstruct_signal`` and ``norm_l1``
+(reference: include/ss/ss.h:79-93).
+
+TPU-native semantics:
+  * the sensing matrix is placed on device once at construction; the IRLS QR
+    is computed once at construction and cached on device (the reference's
+    amortized solver state, src/lib.cpp:51-57);
+  * ``solve`` compiles per (max_iterations, k_max) and caches the executable;
+    tolerance is a traced argument (no recompile);
+  * ``solve_batch`` vmaps one compiled program over thousands of signals
+    sharing A — the throughput path (face-recognition workload,
+    BASELINE.json config 4);
+  * dtype (float32/float64) follows the input matrix, as in the binding
+    (binding.cpp:69-86). float64 requires jax x64 mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .reports import HomotopyReport, IrlsReport
+from .solvers import homotopy as _homotopy
+from .solvers import irls as _irls
+from .utils import ndview
+from .linalg import norms as _norms
+from .ops import blas as _blas
+
+
+def _default_tolerance(dtype) -> float:
+    # reference binding default: 10 × machine epsilon (binding.cpp:108-110)
+    return float(np.finfo(dtype).eps) * 10
+
+
+class Homotopy:
+    """Homotopy path-following solver over a fixed sensing matrix A (m×n).
+
+    Parameters
+    ----------
+    A : (m, n) array-like, float32 or float64.
+    k_max : optional active-set capacity. Defaults per solve to
+        min(n, max_iterations + 1), which is always sufficient (each
+        iteration toggles at most one support index). Set it lower to trade
+        exactness of the padded inverse buffer for speed/memory on very
+        large problems.
+    """
+
+    def __init__(self, A, k_max: int | None = None):
+        self._A = ndview.as_matrix(A)
+        self._m, self._n = self._A.shape
+        self._k_max = k_max
+        self._cache: dict = {}
+
+    @property
+    def shape(self):
+        return (self._m, self._n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    def _fn(self, max_iterations: int, batched: bool):
+        k_max = self._k_max or min(self._n, max_iterations + 1)
+        key = (max_iterations, k_max, batched)
+        fn = self._cache.get(key)
+        if fn is None:
+            core = partial(_homotopy.solve_homotopy,
+                           max_iterations=max_iterations, k_max=k_max)
+            if batched:
+                core = jax.vmap(core, in_axes=(None, 0, None))
+            fn = jax.jit(core)
+            self._cache[key] = fn
+        return fn
+
+    def solve(self, b, tolerance: float | None = None,
+              max_iterations: int = 100):
+        """Solve min‖x‖₁ s.t. Ax = b; returns (x, HomotopyReport)."""
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
+        report = HomotopyReport(iter=int(rep.iter),
+                                solution_error=float(rep.solution_error))
+        return np.asarray(x), report
+
+    def solve_batch(self, B, tolerance: float | None = None,
+                    max_iterations: int = 100):
+        """Batched solve over signals B of shape (batch, m).
+
+        Returns (X of shape (batch, n), HomotopyReportArrays pytree with
+        per-lane iter/solution_error arrays).
+        """
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        return self._fn(max_iterations, batched=True)(self._A, Y, tol)
+
+    def solve_on_device(self, y: jnp.ndarray, tolerance,
+                        max_iterations: int = 100):
+        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        return self._fn(max_iterations, batched=False)(self._A, y, tolerance)
+
+    def _tol(self, tolerance):
+        return (_default_tolerance(self.dtype)
+                if tolerance is None else float(tolerance))
+
+
+class Irls:
+    """IRLS solver over a fixed sensing matrix A (m×n, m ≥ n).
+
+    The economy QR of A is computed once here and reused across every solve
+    (the reference computes it in the solver constructor, src/lib.cpp:51-57).
+    """
+
+    def __init__(self, A):
+        self._A = ndview.as_matrix(A)
+        self._m, self._n = self._A.shape
+        if self._m < self._n:
+            raise ValueError(
+                "Irls requires m >= n (underdetermined systems not "
+                f"supported); got {self._m}x{self._n}"
+            )
+        # XLA's blocked QR is the fast path; see linalg/qr.py for the
+        # explicit Householder component. The IRLS iteration is invariant to
+        # the column-sign convention of the factorization.
+        self._Q, self._R = jnp.linalg.qr(self._A, mode="reduced")
+        self._cache: dict = {}
+
+    @property
+    def shape(self):
+        return (self._m, self._n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    def _fn(self, max_iterations: int, batched: bool):
+        key = (max_iterations, batched)
+        fn = self._cache.get(key)
+        if fn is None:
+            core = partial(_irls.solve_irls, max_iterations=max_iterations)
+            if batched:
+                core = jax.vmap(core, in_axes=(None, None, 0, None))
+            fn = jax.jit(core)
+            self._cache[key] = fn
+        return fn
+
+    def solve(self, b, tolerance: float | None = None,
+              max_iterations: int = 100):
+        """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        x, rep = self._fn(max_iterations, batched=False)(
+            self._Q, self._R, y, tol)
+        report = IrlsReport(iter=int(rep.iter),
+                            solution_error=float(rep.solution_error),
+                            spd_failure=bool(rep.spd_failure))
+        return np.asarray(x), report
+
+    def solve_batch(self, B, tolerance: float | None = None,
+                    max_iterations: int = 100):
+        """Batched solve over signals B of shape (batch, m)."""
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        return self._fn(max_iterations, batched=True)(
+            self._Q, self._R, Y, tol)
+
+    def solve_on_device(self, y: jnp.ndarray, tolerance,
+                        max_iterations: int = 100):
+        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        return self._fn(max_iterations, batched=False)(
+            self._Q, self._R, y, tolerance)
+
+    def _tol(self, tolerance):
+        return (_default_tolerance(self.dtype)
+                if tolerance is None else float(tolerance))
+
+
+def reconstruct_signal(A, x):
+    """y = A @ x (reference: ss.h:79-84, lib.cpp reconstruct_signal)."""
+    A = ndview.as_matrix(A)
+    xv = ndview.as_vector(x, dtype=A.dtype, size=A.shape[1])
+    return np.asarray(_blas.xgemv(A, xv))
+
+
+def norm_l1(A):
+    """L1-normalize the columns of A (reference: ss.h:88-93, norms.h)."""
+    A = ndview.as_matrix(A)
+    return np.asarray(_norms.l1_columns(A))

@@ -1,0 +1,150 @@
+"""Masked online column inverse — (A_ΓᵀA_Γ)⁻¹ maintained on a padded buffer.
+
+The reference maintains the inverse of the active-set Gram matrix as columns
+enter/leave Γ by growing/shrinking a heap buffer with row/column rotations
+(reference: src/linalg/online_inverse.h:35-301, math in
+docs/algorithms/online-matrix-inverse/src.tex). On TPU the buffer is a fixed
+``(capacity, capacity)`` array: the live k×k inverse occupies the top-left
+block in *rank order* (ranks = positions in the ascending active-index
+vector), everything outside is zero, and the reference's ``square_permute``
+/ ``insert_last_rowcol`` / ``erase_last_rowcol`` buffer surgery becomes a
+single permutation-gather — compiler-friendly, fully static shapes, safe
+under jit/vmap/while_loop.
+
+Update math (identical to the reference):
+  insert (online_inverse.h:184-251): Sherman–Morrison block bordering —
+    u1 = A_Γᵀv, u2 = B·u1, d = 1/(vᵀv − u1ᵀu2), B += d·u2u2ᵀ,
+    new row/col = −d·u2, corner = d, then permute rank k → r.
+  remove (online_inverse.h:253-293): permute rank r → k−1, then Schur
+    downdate B := B − u uᵀ/d with u the last column, d the corner.
+
+Both paths are written so the k==0 / k==1 special cases of the reference
+fall out of the general masked formulas (no lax.cond needed).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import blas
+
+
+class InverseState(NamedTuple):
+    """Padded inverse + active-set bookkeeping carried through while_loop."""
+    inv: jnp.ndarray      # (capacity, capacity), live k×k block in rank order
+    indices: jnp.ndarray  # (capacity,) int32 ascending, padded with n
+    mask: jnp.ndarray     # (n,) bool membership
+    k: jnp.ndarray        # scalar int32, live size
+
+
+def init(capacity: int, n: int, dtype) -> InverseState:
+    return InverseState(
+        inv=jnp.zeros((capacity, capacity), dtype=dtype),
+        indices=jnp.full((capacity,), n, dtype=jnp.int32),
+        mask=jnp.zeros((n,), dtype=bool),
+        k=jnp.int32(0),
+    )
+
+
+def _move_perm(capacity: int, src, dest):
+    """Permutation vector moving row/col ``src`` to ``dest`` with intermediate
+    entries shifted — the reference's ``square_permute``
+    (online_inverse.h:76-117) expressed as a gather index vector."""
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    fwd = jnp.where(i < src, i, jnp.where(i < dest, i + 1, jnp.where(i == dest, src, i)))
+    bwd = jnp.where(i < dest, i, jnp.where(i == dest, src, jnp.where(i <= src, i - 1, i)))
+    return jnp.where(src <= dest, fwd, bwd)
+
+
+def square_permute(A: jnp.ndarray, src, dest) -> jnp.ndarray:
+    """Apply the src→dest row+column rotation to a square matrix."""
+    perm = _move_perm(A.shape[0], src, dest)
+    return A[perm][:, perm]
+
+
+def insert(state: InverseState, col: jnp.ndarray, u1_full: jnp.ndarray,
+           vtv: jnp.ndarray) -> InverseState:
+    """Insert column index ``col`` whose Gram row is supplied.
+
+    ``u1_full`` must be (AᵀA)[:, col] over all n columns (i.e. Aᵀ·A[:,col]);
+    the live entries A_Γᵀv are gathered here. ``vtv`` = vᵀv.
+    Reference: online_inverse.h:184-251.
+    """
+    inv, indices, mask, k = state
+    capacity = inv.shape[0]
+    n = mask.shape[0]
+    dtype = inv.dtype
+
+    r = jnp.sum(indices < col).astype(jnp.int32)  # insertion rank
+
+    # u1 = A_Γᵀ v in rank order; padding slots (sentinel n) gather 0.
+    u1 = jnp.take(u1_full, indices, mode="fill", fill_value=0)
+    u2 = blas.xgemv(inv, u1)
+    d = jnp.array(1, dtype) / (vtv - blas.xdot(u1, u2))
+
+    # rank-1 update of the existing k×k block (zero-padded ⇒ no-op outside)
+    new_inv = blas.xger(d, u2, u2, inv)
+
+    # border: row/col k = −d·u2, corner = d (insert_last_rowcol analog).
+    # Row/col k of the padded buffer are zero before this (outside the live
+    # block, and u2[k] = 0), so a direct set is exact.
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    u3 = jnp.where(i < k, -d * u2, jnp.array(0, dtype))
+    row_k = u3.at[k].set(d)
+    new_inv = new_inv.at[k, :].set(row_k)
+    new_inv = new_inv.at[:, k].set(row_k)
+
+    # permute the bordered row/col from rank k to rank r
+    new_inv = square_permute(new_inv, k, r)
+
+    # active-set bookkeeping: shift right from r, insert col
+    shifted = jnp.where(i == 0, col, jnp.take(indices, jnp.maximum(i - 1, 0)))
+    new_indices = jnp.where(i < r, indices, jnp.where(i == r, col, shifted))
+
+    return InverseState(
+        inv=new_inv,
+        indices=new_indices.astype(jnp.int32),
+        mask=mask.at[col].set(True),
+        k=k + 1,
+    )
+
+
+def remove(state: InverseState, col: jnp.ndarray) -> InverseState:
+    """Remove column index ``col`` from the inverse.
+
+    Reference: online_inverse.h:253-293 (permute-to-last + Schur downdate).
+    """
+    inv, indices, mask, k = state
+    capacity = inv.shape[0]
+    n = mask.shape[0]
+    dtype = inv.dtype
+
+    r = jnp.sum(indices < col).astype(jnp.int32)  # rank of col
+    last = k - 1
+
+    # bring row/col r to the end of the live block
+    p = square_permute(inv, r, last)
+
+    d = p[last, last]
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    u = jnp.where(i < last, p[:, last], jnp.array(0, dtype))
+    new_inv = p - jnp.outer(u, u) / d
+
+    # erase the last live row/col (erase_last_rowcol analog)
+    keep = i < last
+    new_inv = jnp.where(keep[:, None] & keep[None, :], new_inv, 0)
+
+    # active-set bookkeeping: shift left from r, pad the tail
+    nxt = jnp.take(indices, jnp.minimum(i + 1, capacity - 1))
+    new_indices = jnp.where(i < r, indices, nxt)
+    new_indices = new_indices.at[capacity - 1].set(jnp.int32(n))
+    new_indices = jnp.where(i < last, new_indices, jnp.int32(n))
+
+    return InverseState(
+        inv=new_inv,
+        indices=new_indices.astype(jnp.int32),
+        mask=mask.at[col].set(False),
+        k=last,
+    )

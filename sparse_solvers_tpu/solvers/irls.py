@@ -1,0 +1,129 @@
+"""IRLS ℓ₁-minimization solver — Chartrand–Yin reweighting on a cached QR.
+
+Solves  min ‖x‖₁  s.t.  A x = y  by iteratively reweighted least squares
+with p = 0.9 reweighting, over a QR factorization computed *once* per
+sensing matrix and reused across solves (the reference computes the QR in
+the solver constructor — src/lib.cpp:51-57 — and this module preserves that
+construct-once/solve-many shape with device-resident Q and R).
+
+Algorithmic parity target: reference src/solvers/irls-cpu.cpp:39-124 —
+  * inner Newton step (irls_newton, :39-60): Cholesky of Qᵀ(Q∘w), graceful
+    ``spd_failure`` instead of an error (:50-51, :95-97),
+  * relative threshold abstol = max(x)·tol (:100-103),
+  * eps update from the second-largest (raw, post-threshold) value (:107-110),
+  * weights w = (x² + eps)^(p/2−1), sum-normalized (:113-114),
+  * do-while loop `iter < max_iter && x₂ > abstol` (:118),
+  * final x /= sum(x) (:121),
+  * report = {iter, solution_error = eps, spd_failure} (:123) — note the
+    reported error is eps, not a residual norm.
+
+TPU-native notes: the loop is one ``lax.while_loop``; the Newton step is two
+MXU gemms (Qᵀ(Q∘w) dominates at O(MN²)) + XLA's blocked Cholesky and
+triangular solves; vmap over signals shares Q/R across lanes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..linalg.cholesky import cholesky_spd, cholesky_solve
+from ..ops import blas
+
+
+class IrlsReportArrays(NamedTuple):
+    """Traced report fields (pytree) — mirrors ss::irls_report
+    (reference: include/ss/policies.h:58-71)."""
+    iter: jnp.ndarray            # uint32
+    solution_error: jnp.ndarray  # final eps (irls-cpu.cpp:123)
+    spd_failure: jnp.ndarray     # bool
+
+
+class _LoopState(NamedTuple):
+    it: jnp.ndarray
+    started: jnp.ndarray
+    x: jnp.ndarray
+    w: jnp.ndarray
+    eps: jnp.ndarray
+    abstol: jnp.ndarray
+    x2: jnp.ndarray
+    spd: jnp.ndarray
+    broke: jnp.ndarray
+
+
+def _newton(Q, R, y, w, dtype):
+    """One weighted least-squares Newton step (irls-cpu.cpp:39-60).
+
+    qw = Q∘w (column scaling), G = Qᵀqw, s = G⁻¹Qᵀy via Cholesky,
+    then x = R⁻¹ Qᵀ(Q s). Returns (x, isspd).
+    """
+    qw = Q * w  # broadcast over columns
+    G = blas.xgemm(Q, qw, trans_a=True)
+    L, isspd = cholesky_spd(G)
+    qtb = blas.xgemv(Q, y, trans=True)
+    s = cholesky_solve(L, qtb)
+    t = blas.xgemv(Q, s)
+    xn = blas.xgemv(Q, t, trans=True)
+    xn = blas.xtrsm(R, xn, lower=False)
+    return xn, isspd
+
+
+def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
+               max_iterations: int):
+    """Run IRLS given the economy QR of A; returns (x, IrlsReportArrays).
+
+    Pure function of device arrays — jit/vmap-safe (Q, R broadcast across
+    vmapped signals). ``max_iterations`` is static.
+    """
+    m, n = Q.shape
+    dtype = Q.dtype
+    tol = jnp.asarray(tolerance, dtype)
+    p = 0.9  # reweighting exponent (irls-cpu.cpp:70)
+
+    init = _LoopState(
+        it=jnp.uint32(0),
+        started=jnp.bool_(False),
+        x=jnp.zeros((n,), dtype),
+        w=jnp.ones((n,), dtype),
+        eps=jnp.array(1, dtype),
+        abstol=jnp.array(1, dtype),
+        x2=jnp.array(1, dtype),
+        spd=jnp.bool_(False),
+        broke=jnp.bool_(False),
+    )
+
+    def cond(s: _LoopState):
+        # do-while (irls-cpu.cpp:92-118)
+        return (~s.started) | (
+            (~s.broke) & (s.it < jnp.uint32(max_iterations)) & (s.x2 > s.abstol)
+        )
+
+    def body(s: _LoopState) -> _LoopState:
+        xn, isspd = _newton(Q, R, y, s.w, dtype)
+
+        def on_spd_failure(_):
+            # break before committing x (irls-cpu.cpp:94-97); iter unchanged
+            return s._replace(started=jnp.bool_(True), spd=jnp.bool_(True),
+                              broke=jnp.bool_(True))
+
+        def on_ok(_):
+            abstol = jnp.max(xn) * tol                       # :100
+            xt = jnp.where(xn < abstol, jnp.array(0, dtype), xn)  # :103
+            x2 = lax.top_k(xt, 2)[0][1]                      # :107 (raw values)
+            eps = jnp.minimum(s.eps, x2 / jnp.array(n, dtype))    # :110
+            w = jnp.power(xt * xt + eps, jnp.array(p / 2.0 - 1.0, dtype))  # :113
+            w = w / jnp.sum(w)                               # :114
+            return _LoopState(it=s.it + 1, started=jnp.bool_(True), x=xt,
+                              w=w, eps=eps, abstol=abstol, x2=x2,
+                              spd=jnp.bool_(False), broke=jnp.bool_(False))
+
+        return lax.cond(isspd, on_ok, on_spd_failure, None)
+
+    final = lax.while_loop(cond, body, init)
+
+    x = final.x / jnp.sum(final.x)  # irls-cpu.cpp:121
+    report = IrlsReportArrays(iter=final.it, solution_error=final.eps,
+                              spd_failure=final.spd)
+    return x, report
