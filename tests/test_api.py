@@ -1,0 +1,99 @@
+"""Public-API tests — port of the reference Python binding suite
+(reference: bindings/python/tests/test_binding.py): per-dtype identity smoke
+(`solution_error == 0`, `iter == 1`), NumPy view semantics (row/column
+subsets, transpose), plus default-argument and error-path behavior of the
+binding (binding.cpp:89-111).
+"""
+
+import numpy as np
+import pytest
+
+import sparse_solvers_tpu as ss
+
+
+def _test_smoke(Solver, N, dtype):
+    # test_binding.py:9-20
+    A = np.identity(N, dtype=dtype)
+    solver = Solver(A)
+    for n in range(N - 1):
+        signal = np.zeros(N, dtype=dtype)
+        signal[n] = 1
+        x, info = solver.solve(signal)
+        assert np.array_equal(signal, x)
+        assert info.solution_error == 0
+        assert info.iter == 1
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_homotopy_smoke(dtype):
+    _test_smoke(ss.Homotopy, 5, dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_irls_smoke(dtype):
+    _test_smoke(ss.Irls, 5, dtype)
+
+
+def test_homotopy_row_subset():
+    # test_binding.py:31-42
+    rng = np.random.RandomState(0)
+    A = rng.rand(10, 5) * 0.1
+    A_sub = A[:5, :]
+    A_sub[:, 0] = 1
+
+    signal = np.ones(5)
+    x, info = ss.Homotopy(A_sub).solve(signal)
+    assert len(x) == 5
+    assert np.count_nonzero(x) == 1
+
+
+def test_homotopy_col_subset():
+    # test_binding.py:44-56
+    rng = np.random.RandomState(0)
+    A = rng.rand(10, 5) * 0.1
+    A[:, 0] = 1
+    A[:, 3] = 1
+
+    A_sub = A[:, 2:]
+    signal = np.ones(10)
+    x, info = ss.Homotopy(A_sub).solve(signal)
+    assert len(x) == 3
+    assert np.argmax(x) == 1
+
+
+def test_homotopy_transpose():
+    # test_binding.py:58-68
+    rng = np.random.RandomState(0)
+    A = rng.rand(5, 10) * 0.1
+    A[3, :] = 1
+
+    signal = np.ones(10)
+    x, info = ss.Homotopy(A.T).solve(signal)
+    assert len(x) == 5
+    assert np.argmax(x) == 3
+
+
+def test_version():
+    v = ss.version()
+    assert len(v) == 3
+
+
+def test_irls_underdetermined_rejected():
+    # irls_test.cpp: "underdetermined systems not supported"
+    with pytest.raises(ValueError, match="m >= n"):
+        ss.Irls(np.zeros((3, 5), np.float32))
+
+
+def test_signal_length_mismatch():
+    solver = ss.Homotopy(np.identity(5, np.float32))
+    with pytest.raises(ValueError):
+        solver.solve(np.ones(4, np.float32))
+
+
+def test_reports_repr_fields():
+    # report field names are part of the API (README.md:30-33)
+    A = np.identity(4, np.float32)
+    x, hrep = ss.Homotopy(A).solve(np.eye(4, dtype=np.float32)[0])
+    assert hasattr(hrep, "iter") and hasattr(hrep, "solution_error")
+    x, irep = ss.Irls(A).solve(np.eye(4, dtype=np.float32)[0])
+    assert hasattr(irep, "spd_failure")

@@ -1,0 +1,113 @@
+"""Online-inverse tests — analog of the reference suite
+(reference: src/linalg/online_inverse_test.cpp): square_permute with
+hand-written expected matrices and involution (:13-120), and the
+identity insert-then-remove sweep (:186-218). Plus a stronger random
+consistency test: the padded inverse matches np.linalg.inv of the active
+Gram block through arbitrary insert/remove sequences.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sparse_solvers_tpu.linalg import online_inverse as oinv
+
+
+def _sp(A, src, dest):
+    return np.asarray(oinv.square_permute(jnp.asarray(A, jnp.float32),
+                                          src, dest))
+
+
+def test_square_permute_2():
+    A = np.array([[1, 2], [3, 4]], np.float32)
+    out = _sp(A, 0, 1)
+    np.testing.assert_array_equal(out, [[4, 3], [2, 1]])
+    np.testing.assert_array_equal(_sp(out, 1, 0), A)
+
+
+def test_square_permute_3():
+    A = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32)
+    out = _sp(A, 1, 2)
+    np.testing.assert_array_equal(out, [[1, 3, 2], [7, 9, 8], [4, 6, 5]])
+    np.testing.assert_array_equal(_sp(out, 2, 1), A)
+
+    out = _sp(A, 0, 2)
+    np.testing.assert_array_equal(out, [[5, 6, 4], [8, 9, 7], [2, 3, 1]])
+    np.testing.assert_array_equal(_sp(out, 2, 0), A)
+
+
+def test_square_permute_4():
+    A = np.arange(1, 17, dtype=np.float32).reshape(4, 4)
+    out = _sp(A, 1, 3)
+    np.testing.assert_array_equal(out, [[1, 3, 4, 2], [9, 11, 12, 10],
+                                        [13, 15, 16, 14], [5, 7, 8, 6]])
+    np.testing.assert_array_equal(_sp(out, 3, 1), A)
+
+    out = _sp(A, 1, 2)
+    np.testing.assert_array_equal(out, [[1, 3, 2, 4], [9, 11, 10, 12],
+                                        [5, 7, 6, 8], [13, 15, 14, 16]])
+    np.testing.assert_array_equal(_sp(out, 2, 1), A)
+
+
+def _insert(A, state, col):
+    v = A[:, col]
+    return oinv.insert(state, jnp.int32(col),
+                       jnp.asarray(A.T @ v), jnp.asarray(v @ v))
+
+
+def test_identity_sweep():
+    """Insert then remove every column of I_K; inverse stays identity
+    (reference: online_inverse_test.cpp:186-218)."""
+    K = 10
+    A = np.eye(K, dtype=np.float32)
+    state = oinv.init(K, K, jnp.float32)
+
+    for k in range(K):
+        state = _insert(A, state, k)
+        got = np.asarray(state.inv)[: k + 1, : k + 1]
+        np.testing.assert_allclose(got, np.eye(k + 1), atol=1e-4)
+        # padding stays zero
+        assert np.all(np.asarray(state.inv)[k + 1:, :] == 0)
+
+    for k in range(K - 1, 0, -1):
+        state = oinv.remove(state, jnp.int32(k))
+        got = np.asarray(state.inv)[:k, :k]
+        np.testing.assert_allclose(got, np.eye(k), atol=1e-4)
+
+    state = oinv.remove(state, jnp.int32(0))
+    assert int(state.k) == 0
+    assert np.all(np.asarray(state.inv) == 0)
+
+
+def test_random_gram_consistency():
+    """Arbitrary insert/remove sequence: padded buffer always equals
+    inv((A_ΓᵀA_Γ)) in rank order (float64)."""
+    rng = np.random.RandomState(3)
+    M, N, CAP = 30, 12, 12
+    A = rng.randn(M, N)
+    state = oinv.init(CAP, N, jnp.float64)
+    members = []
+
+    for _ in range(60):
+        col = int(rng.randint(N))
+        if col in members:
+            state = oinv.remove(state, jnp.int32(col))
+            members.remove(col)
+        else:
+            state = _insert(A, state, col)
+            members.append(col)
+        members_sorted = sorted(members)
+        k = len(members)
+        assert int(state.k) == k
+        np.testing.assert_array_equal(
+            np.asarray(state.indices[:k]), members_sorted)
+        assert np.all(np.asarray(state.indices[k:]) == N)
+        np.testing.assert_array_equal(
+            np.asarray(state.mask), np.isin(np.arange(N), members_sorted))
+        if k:
+            Ag = A[:, members_sorted]
+            expect = np.linalg.inv(Ag.T @ Ag)
+            np.testing.assert_allclose(
+                np.asarray(state.inv)[:k, :k], expect, atol=1e-8)
+        # padding must stay exactly zero
+        buf = np.asarray(state.inv)
+        assert np.all(buf[k:, :] == 0) and np.all(buf[:, k:] == 0)

@@ -1,0 +1,73 @@
+"""Cross-validation of the jitted solvers against the independent NumPy
+oracles (sparse_solvers_tpu/oracle/) — the analog of the reference's
+oracle cross-check workflow (reference: bindings/python/reference/main.py).
+Run in float64 where both sides should agree to near machine precision,
+including iteration counts.
+"""
+
+import numpy as np
+import pytest
+
+import sparse_solvers_tpu as ss
+from sparse_solvers_tpu.oracle import homotopy as oracle_homotopy
+from sparse_solvers_tpu.oracle import irls as oracle_irls
+
+
+def _problem(rng, m, n, k):
+    A = rng.randn(m, n)
+    A = A / np.abs(A).sum(axis=0)
+    x_true = np.zeros(n)
+    support = rng.choice(n, k, replace=False)
+    x_true[support] = rng.uniform(0.2, 1.0, k)
+    x_true /= x_true.sum()
+    y = A @ x_true
+    return A, y, x_true
+
+
+@pytest.mark.parametrize("shape,k", [((40, 25), 3), ((60, 30), 5),
+                                     ((30, 60), 4)])
+def test_homotopy_matches_oracle(shape, k):
+    rng = np.random.RandomState(7)
+    m, n = shape
+    A, y, _ = _problem(rng, m, n, k)
+
+    xo, it_o, err_o = oracle_homotopy.solve(A, y, 0.01, 100)
+    xj, report = ss.Homotopy(A).solve(y, tolerance=0.01, max_iterations=100)
+
+    assert report.iter == it_o
+    np.testing.assert_allclose(xj, xo, atol=1e-10)
+    np.testing.assert_allclose(report.solution_error, err_o, atol=1e-10)
+
+
+@pytest.mark.parametrize("shape,k", [((40, 25), 3), ((60, 30), 5)])
+def test_irls_matches_oracle(shape, k):
+    rng = np.random.RandomState(11)
+    m, n = shape
+    A, y, _ = _problem(rng, m, n, k)
+
+    xo, it_o, eps_o, spd_o = oracle_irls.solve(A, y, 0.001, 100)
+    xj, report = ss.Irls(A).solve(y, tolerance=0.001, max_iterations=100)
+
+    assert report.iter == it_o
+    assert report.spd_failure == spd_o
+    np.testing.assert_allclose(report.solution_error, eps_o, atol=1e-9)
+    # x tolerance follows the reference test regime (1e-4 absolute): the
+    # weighted normal equations near an spd_failure amplify benign
+    # Cholesky-implementation differences between XLA and LAPACK.
+    np.testing.assert_allclose(xj, xo, atol=1e-4)
+
+
+def test_homotopy_toy_readme():
+    """The README toy problem shape (reference: README.md:14-33): 10×10
+    gaussian + identity, 1-sparse signal, tol=0.1 → argmax 2, sparsity 0.9."""
+    rng = np.random.RandomState(42)
+    N = 10
+    A = rng.normal(loc=0.025, scale=0.025, size=(N, N)) + np.identity(N)
+    signal = np.zeros(N)
+    signal[2] = 1
+
+    x, info = ss.Homotopy(A.astype(np.float32)).solve(
+        signal.astype(np.float32), tolerance=0.1)
+    assert np.argmax(x) == 2
+    assert 1 - np.count_nonzero(x) / N == pytest.approx(0.9)
+    assert info.solution_error <= 0.1
