@@ -1,0 +1,117 @@
+"""Headline benchmark — batched homotopy sparse recovery on TPU.
+
+Workload (BASELINE.json): 4096×8192 float32 sensing matrix, k=64-sparse
+signals, batched recovery. Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+value        = solves/sec on the default device (TPU under the driver)
+vs_baseline  = value / CPU-baseline solves/sec, where the CPU baseline is a
+               faithful NumPy/BLAS implementation of the reference C++
+               algorithm (sparse_solvers_tpu/oracle/cpu_baseline.py; the
+               reference publishes no numbers and its C++ tree can't be
+               built here — see BASELINE.md).
+
+Extra diagnostics (iterations, per-kernel bandwidth) go to stderr.
+Env knobs: SS_BENCH_M / SS_BENCH_N / SS_BENCH_K / SS_BENCH_BATCH /
+SS_BENCH_CPU_SOLVES / SS_BENCH_SMALL=1 (tiny smoke configuration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def make_problem(m, n, k, batch, seed=0, dtype=np.float32):
+    """Gaussian sensing matrix with unit-L2 columns (the standard
+    compressive-sensing ensemble), k-sparse positive signals. Unit-norm
+    columns keep max|Aᵀy| ~ O(1) so a 1e-2 tolerance demands a genuine
+    ~k-segment homotopy path."""
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n).astype(np.float64)
+    A = A / np.linalg.norm(A, axis=0)
+    X = np.zeros((batch, n))
+    for b in range(batch):
+        sup = rng.choice(n, k, replace=False)
+        X[b, sup] = rng.uniform(0.5, 1.0, k)
+    Y = X @ A.T
+    return A.astype(dtype), Y.astype(dtype)
+
+
+def main():
+    small = os.environ.get("SS_BENCH_SMALL") == "1"
+    M = int(os.environ.get("SS_BENCH_M", 256 if small else 4096))
+    N = int(os.environ.get("SS_BENCH_N", 512 if small else 8192))
+    K = int(os.environ.get("SS_BENCH_K", 8 if small else 64))
+    BATCH = int(os.environ.get("SS_BENCH_BATCH", 8 if small else 256))
+    CPU_SOLVES = int(os.environ.get("SS_BENCH_CPU_SOLVES", 1 if small else 2))
+    TOL = 1e-2
+    MAX_ITER = 2 * K  # headroom over the k ideal path segments
+
+    import jax
+    import sparse_solvers_tpu as ss
+    from sparse_solvers_tpu.oracle import cpu_baseline
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}, problem {M}x{N} k={K} batch={BATCH} "
+         f"max_iter={MAX_ITER}")
+
+    A, Y = make_problem(M, N, K, BATCH)
+
+    solver = ss.Homotopy(A)
+    t0 = time.time()
+    Xw, repw = solver.solve_batch(Y, tolerance=TOL, max_iterations=MAX_ITER)
+    Xw.block_until_ready()
+    _log(f"warmup (compile + run): {time.time() - t0:.2f}s; "
+         f"iters mean={np.mean(np.asarray(repw.iter)):.1f} "
+         f"max={np.max(np.asarray(repw.iter))}")
+
+    # timed runs
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        X, rep = solver.solve_batch(Y, tolerance=TOL,
+                                    max_iterations=MAX_ITER)
+        X.block_until_ready()
+    dt = (time.time() - t0) / runs
+    solves_per_sec = BATCH / dt
+
+    iters = float(np.max(np.asarray(rep.iter)))
+    # per iteration the loop reads A ~5x (2 gemm passes x2 + gram column)
+    bytes_per_iter = 5 * M * N * A.itemsize
+    atr_gbps = iters * bytes_per_iter / dt / 1e9
+    _log(f"tpu: {dt*1e3:.1f} ms/batch -> {solves_per_sec:.2f} solves/s; "
+         f"effective A-stream {atr_gbps:.0f} GB/s")
+
+    # recovery sanity: solutions reconstruct their signals
+    recon = np.asarray(X) @ A.T
+    err = np.max(np.abs(recon - Y))
+    _log(f"recovery max |Ax - y| = {err:.2e}")
+
+    # CPU baseline (reference algorithm, NumPy BLAS)
+    t0 = time.time()
+    for b in range(CPU_SOLVES):
+        cpu_baseline.solve(A, Y[b], TOL, MAX_ITER)
+    cpu_dt = (time.time() - t0) / CPU_SOLVES
+    cpu_solves_per_sec = 1.0 / cpu_dt
+    _log(f"cpu baseline: {cpu_dt:.2f} s/solve -> "
+         f"{cpu_solves_per_sec:.3f} solves/s")
+
+    print(json.dumps({
+        "metric": f"homotopy_solves_per_sec_{M}x{N}_k{K}_b{BATCH}",
+        "value": round(solves_per_sec, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / cpu_solves_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

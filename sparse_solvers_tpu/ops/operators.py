@@ -52,6 +52,10 @@ class DenseOperator(NamedTuple):
         v = self.column(j)
         return self.rmatvec(v), blas.xdot(v, v)
 
+    def gram_weighted(self, w):
+        """Aᵀ(A ∘ w) — the IRLS Newton Gram matrix (irls-cpu.cpp:47-48)."""
+        return blas.xgemm(self.A, self.A * w, trans_a=True)
+
 
 class RowShardedOperator(NamedTuple):
     """A row-shard of A inside shard_map: A_local is (m_local, n); every
@@ -90,3 +94,8 @@ class RowShardedOperator(NamedTuple):
         g = lax.psum(blas.xgemv(self.A_local, v, trans=True), self.axis)
         vtv = lax.psum(blas.xdot(v, v), self.axis)
         return g, vtv
+
+    def gram_weighted(self, w):
+        return lax.psum(
+            blas.xgemm(self.A_local, self.A_local * w, trans_a=True),
+            self.axis)

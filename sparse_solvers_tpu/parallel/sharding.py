@@ -1,0 +1,131 @@
+"""Multi-device sharded solves — row-partitioned sensing matrix over a mesh.
+
+The reference is single-process/single-thread (SURVEY.md §2.4); the scaling
+design it maps to on TPU is: shard A's rows (the m axis) across devices, so
+each device computes partial correlations Aᵀ_shard·r_shard, combined with a
+single ``psum`` over ICI per product; the small active-set state (the γ scan,
+the K_max² Gram inverse) is replicated. Batches of signals shard over a
+second ``data`` mesh axis. Everything is expressed with ``shard_map`` over a
+``jax.sharding.Mesh`` + the RowShardedOperator (ops/operators.py), letting
+XLA schedule the collectives (scaling-book recipe: pick a mesh, annotate,
+let XLA insert collectives).
+
+Mesh axes:
+  * "row"  — partitions A's rows / the signal's m dimension (tensor axis)
+  * "data" — partitions the signal batch (data-parallel axis)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.operators import RowShardedOperator
+from ..solvers.homotopy import solve_homotopy_core
+from ..solvers.irls import solve_irls_core
+
+ROW_AXIS = "row"
+DATA_AXIS = "data"
+
+
+def make_mesh(n_row: int | None = None, n_data: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, row) mesh. Defaults to all rows on all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_row is None:
+        n_row = len(devices) // n_data
+    dev = np.asarray(devices[: n_data * n_row]).reshape(n_data, n_row)
+    return Mesh(dev, (DATA_AXIS, ROW_AXIS))
+
+
+def _pad_rows(A, mesh):
+    """Pad A/y rows to a multiple of the row-axis size. Zero rows change
+    neither Aᵀ(y−Ax) nor AᵀA, so solver results are unaffected."""
+    n_row = mesh.shape[ROW_AXIS]
+    m = A.shape[0]
+    pad = (-m) % n_row
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0)))
+    return A, pad
+
+
+def _pad_vec(y, pad):
+    return jnp.pad(y, ((0, pad),)) if pad else y
+
+
+def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
+                     max_iterations: int, k_max: int | None = None):
+    """Row-sharded, batch-sharded homotopy solve.
+
+    A: (m, n) — rows sharded over the "row" axis, replicated over "data".
+    Y: (batch, m) — batch over "data", m over "row".
+    Returns (X: (batch, n) sharded over "data", reports pytree).
+    """
+    n = A.shape[1]
+    k_max = k_max or min(n, max_iterations + 1)
+    A, pad = _pad_rows(A, mesh)
+    Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS)),
+             out_specs=(P(DATA_AXIS, None),
+                        (P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(A_local, Y_local):
+        op = RowShardedOperator(A_local, ROW_AXIS)
+        solve = lambda y_local: solve_homotopy_core(
+            op, n, y_local, tolerance, max_iterations, k_max)
+        X, rep = jax.vmap(solve)(Y_local)
+        return X, (rep.iter, rep.solution_error)
+
+    X, (iters, errs) = run(A, Y)
+    from ..solvers.homotopy import HomotopyReportArrays
+    return X, HomotopyReportArrays(iter=iters, solution_error=errs)
+
+
+def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
+                 tolerance, max_iterations: int):
+    """Row-sharded, batch-sharded IRLS solve given the economy QR of A.
+
+    Q: (m, n) row-sharded; R: (n, n) replicated; Y: (batch, m).
+    """
+    Q, pad = _pad_rows(Q, mesh)
+    Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None), P(None, None),
+                       P(DATA_AXIS, ROW_AXIS)),
+             out_specs=(P(DATA_AXIS, None),
+                        (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(Q_local, R_rep, Y_local):
+        qop = RowShardedOperator(Q_local, ROW_AXIS)
+        solve = lambda y_local: solve_irls_core(
+            qop, R_rep, y_local, tolerance, max_iterations)
+        X, rep = jax.vmap(solve)(Y_local)
+        return X, (rep.iter, rep.solution_error, rep.spd_failure)
+
+    X, (iters, errs, spd) = run(Q, R, Y)
+    from ..solvers.irls import IrlsReportArrays
+    return X, IrlsReportArrays(iter=iters, solution_error=errs,
+                               spd_failure=spd)
+
+
+def shard_inputs(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray):
+    """Pad rows to the row-axis multiple, then place A row-sharded and
+    Y (batch, m) batch+row sharded on the mesh. Zero row padding does not
+    change Aᵀ(y−Ax), AᵀA, or QᵀQ products, so solver results are
+    unaffected."""
+    A = jnp.asarray(A)
+    Y = jnp.asarray(Y)
+    A, pad = _pad_rows(A, mesh)
+    if pad:
+        Y = jnp.pad(Y, ((0, 0), (0, pad)))
+    A = jax.device_put(A, NamedSharding(mesh, P(ROW_AXIS, None)))
+    Y = jax.device_put(Y, NamedSharding(mesh, P(DATA_AXIS, ROW_AXIS)))
+    return A, Y

@@ -37,6 +37,7 @@ from jax import lax
 
 from ..linalg import online_inverse as oinv
 from ..ops import blas
+from ..ops.operators import DenseOperator
 
 
 class HomotopyReportArrays(NamedTuple):
@@ -62,9 +63,9 @@ def _sign_deadzone(v: jnp.ndarray, tol) -> jnp.ndarray:
     return jnp.where(v > tol, one, jnp.where(v < -tol, -one, 0))
 
 
-def _residual_correlation(A, y, x):
+def _residual_correlation(op, y, x):
     """c = Aᵀ(y − Ax) (reference: homotopy-cpu.cpp:87-98, two gemvs)."""
-    return blas.xgemv(A, y - blas.xgemv(A, x), trans=True)
+    return op.rmatvec(y - op.matvec(x))
 
 
 def _find_max_gamma(q, c, x, direction, c_inf, mask, dtype):
@@ -96,7 +97,7 @@ def _find_max_gamma(q, c, x, direction, c_inf, mask, dtype):
     return cand[idx], idx
 
 
-def _toggle_support(A, state: oinv.InverseState, col) -> oinv.InverseState:
+def _toggle_support(op, state: oinv.InverseState, col) -> oinv.InverseState:
     """Insert or remove column ``col`` of A from the active set + inverse.
 
     Reference: homotopy-cpu.cpp:166-183 (inverse_add_or_remove). The insert
@@ -107,9 +108,7 @@ def _toggle_support(A, state: oinv.InverseState, col) -> oinv.InverseState:
         return oinv.remove(s, col)
 
     def do_insert(s):
-        v = A[:, col]
-        u1_full = blas.xgemv(A, v, trans=True)
-        vtv = blas.xdot(v, v)
+        u1_full, vtv = op.gram_column(col)
         return oinv.insert(s, col, u1_full, vtv)
 
     present = state.mask[col]
@@ -129,23 +128,32 @@ def _update_direction(inv_state: oinv.InverseState, c, tol, n, dtype):
 
 def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
                    max_iterations: int, k_max: int):
-    """Run the homotopy solver; returns (x, HomotopyReportArrays).
+    """Run the homotopy solver on a dense on-device A;
+    returns (x, HomotopyReportArrays). jit/vmap-safe; ``max_iterations`` and
+    ``k_max`` (active-set capacity) are static."""
+    return solve_homotopy_core(DenseOperator(A), A.shape[1], y, tolerance,
+                               max_iterations, k_max)
 
-    Pure function of device arrays — jit/vmap-safe. ``max_iterations`` and
-    ``k_max`` (active-set capacity) are static.
+
+def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
+                        max_iterations: int, k_max: int):
+    """Homotopy path loop over an abstract sensing operator.
+
+    ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
+    one device, or a row-shard with psum reductions inside shard_map. ``n``
+    is the global column count (static).
     """
-    m, n = A.shape
-    dtype = A.dtype
+    dtype = op.dtype
     tol = jnp.asarray(tolerance, dtype)
 
     x0 = jnp.zeros((n,), dtype)
 
     # --- init (reference: homotopy-cpu.cpp:215-229) ---
-    c0 = _residual_correlation(A, y, x0)
+    c0 = _residual_correlation(op, y, x0)
     idx0 = jnp.argmax(jnp.abs(c0))
     c_inf0 = jnp.abs(c0[idx0])
 
-    inv0 = _toggle_support(A, oinv.init(k_max, n, dtype), idx0)
+    inv0 = _toggle_support(op, oinv.init(k_max, n, dtype), idx0)
 
     # initial direction: sign(c_inf) * inv[0,0] scattered to idx0 —
     # note sign of the *norm*, not of c[idx0] (homotopy-cpu.cpp:223-227)
@@ -167,11 +175,11 @@ def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
         it = s.it + 1
 
         # γ scan: q = Aᵀ(A d) (homotopy-cpu.cpp:111-120)
-        q = blas.xgemv(A, blas.xgemv(A, s.direction), trans=True)
+        q = op.rmatvec(op.matvec(s.direction))
         gamma, idx = _find_max_gamma(q, s.c, s.x, s.direction, s.c_inf,
                                      s.inv.mask, dtype)
 
-        inv1 = _toggle_support(A, s.inv, idx)
+        inv1 = _toggle_support(op, s.inv, idx)
 
         def on_empty(_):
             # K == 0 → break before touching x/c (homotopy-cpu.cpp:248-249)
@@ -181,7 +189,7 @@ def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 
         def on_live(_):
             x1 = s.x + gamma * s.direction
-            c1 = _residual_correlation(A, y, x1)
+            c1 = _residual_correlation(op, y, x1)
             d1 = _update_direction(inv1, c1, tol, n, dtype)
             c_inf1 = jnp.max(jnp.abs(c1))
             return _LoopState(it=it, x=x1, c=c1, c_inf=c_inf1, direction=d1,

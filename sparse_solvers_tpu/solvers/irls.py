@@ -53,19 +53,19 @@ class _LoopState(NamedTuple):
     broke: jnp.ndarray
 
 
-def _newton(Q, R, y, w, dtype):
+def _newton(qop, R, y, w, dtype):
     """One weighted least-squares Newton step (irls-cpu.cpp:39-60).
 
     qw = Q∘w (column scaling), G = Qᵀqw, s = G⁻¹Qᵀy via Cholesky,
-    then x = R⁻¹ Qᵀ(Q s). Returns (x, isspd).
+    then x = R⁻¹ Qᵀ(Q s). Returns (x, isspd). ``qop`` abstracts Q products
+    (dense or row-sharded with psum — ops/operators.py).
     """
-    qw = Q * w  # broadcast over columns
-    G = blas.xgemm(Q, qw, trans_a=True)
+    G = qop.gram_weighted(w)
     L, isspd = cholesky_spd(G)
-    qtb = blas.xgemv(Q, y, trans=True)
+    qtb = qop.rmatvec(y)
     s = cholesky_solve(L, qtb)
-    t = blas.xgemv(Q, s)
-    xn = blas.xgemv(Q, t, trans=True)
+    t = qop.matvec(s)
+    xn = qop.rmatvec(t)
     xn = blas.xtrsm(R, xn, lower=False)
     return xn, isspd
 
@@ -77,8 +77,15 @@ def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
     Pure function of device arrays — jit/vmap-safe (Q, R broadcast across
     vmapped signals). ``max_iterations`` is static.
     """
-    m, n = Q.shape
-    dtype = Q.dtype
+    from ..ops.operators import DenseOperator
+    return solve_irls_core(DenseOperator(Q), R, y, tolerance, max_iterations)
+
+
+def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
+                    max_iterations: int):
+    """IRLS loop over an abstract Q operator (dense or row-sharded)."""
+    n = R.shape[0]
+    dtype = qop.dtype
     tol = jnp.asarray(tolerance, dtype)
     p = 0.9  # reweighting exponent (irls-cpu.cpp:70)
 
@@ -101,7 +108,7 @@ def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
         )
 
     def body(s: _LoopState) -> _LoopState:
-        xn, isspd = _newton(Q, R, y, s.w, dtype)
+        xn, isspd = _newton(qop, R, y, s.w, dtype)
 
         def on_spd_failure(_):
             # break before committing x (irls-cpu.cpp:94-97); iter unchanged
