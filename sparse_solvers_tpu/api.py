@@ -31,11 +31,17 @@ from .solvers import irls as _irls
 from .utils import ndview
 from .linalg import norms as _norms
 from .ops import blas as _blas
+from .ops import operators as _operators
 
 
 def _default_tolerance(dtype) -> float:
     # reference binding default: 10 × machine epsilon (binding.cpp:108-110)
     return float(np.finfo(dtype).eps) * 10
+
+
+# Gram matrices above this byte size are not precomputed automatically
+# (n² entries; 1 GiB ⇒ n ≈ 16384 in float32).
+_GRAM_AUTO_BYTES = 1 << 30
 
 
 class Homotopy:
@@ -49,12 +55,30 @@ class Homotopy:
         iteration toggles at most one support index). Set it lower to trade
         exactness of the padded inverse buffer for speed/memory on very
         large problems.
+    mode : "fast" (default) or "exact". Fast mode uses algebraically
+        identical updates that avoid redundant passes over A (correlation
+        recurrence, sparse-direction matvecs, precomputed Gram columns);
+        exact mode reproduces the reference's per-iteration recomputation
+        operation-for-operation (homotopy-cpu.cpp:236-272).
+    gram : precompute AᵀA at construction (fast-mode acceleration).
+        Default None = auto (on when n² fits in 1 GiB). Ignored in exact
+        mode.
     """
 
-    def __init__(self, A, k_max: int | None = None):
+    def __init__(self, A, k_max: int | None = None, mode: str = "fast",
+                 gram: bool | None = None):
+        if mode not in ("fast", "exact"):
+            raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         self._k_max = k_max
+        self._mode = mode
+        if gram is None:
+            gram = (self._n * self._n * self._A.dtype.itemsize
+                    <= _GRAM_AUTO_BYTES)
+        self._G = (jax.jit(_blas.xgemm, static_argnames="trans_a")(
+            self._A, self._A, trans_a=True) if (gram and mode == "fast")
+            else None)
         self._cache: dict = {}
 
     @property
@@ -65,16 +89,26 @@ class Homotopy:
     def dtype(self):
         return self._A.dtype
 
-    def _fn(self, max_iterations: int, batched: bool):
+    def _fn(self, max_iterations: int, batch: int | None):
         k_max = self._k_max or min(self._n, max_iterations + 1)
-        key = (max_iterations, k_max, batched)
+        # Sparse (gather-based) A·d only wins while the gathered column
+        # traffic (batch·k_max columns) is below a couple of full passes
+        # over A (2m columns' worth per product it replaces).
+        sparse = (self._mode == "fast"
+                  and (batch or 1) * k_max < 2 * self._m
+                  and k_max < self._n)
+        key = (max_iterations, k_max, batch is not None, sparse)
         fn = self._cache.get(key)
         if fn is None:
-            core = partial(_homotopy.solve_homotopy,
-                           max_iterations=max_iterations, k_max=k_max)
-            if batched:
-                core = jax.vmap(core, in_axes=(None, 0, None))
-            fn = jax.jit(core)
+            def core(A, G, y, tol):
+                op = _operators.DenseOperator(A, G)
+                return _homotopy.solve_homotopy_core(
+                    op, self._n, y, tol, max_iterations, k_max,
+                    mode=self._mode, sparse_matvec=sparse)
+            run = core
+            if batch is not None:
+                run = jax.vmap(core, in_axes=(None, None, 0, None))
+            fn = jax.jit(run)
             self._cache[key] = fn
         return fn
 
@@ -83,7 +117,8 @@ class Homotopy:
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, HomotopyReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
-        x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
+        x, rep = self._fn(max_iterations, batch=None)(
+            self._A, self._G, y, tol)
         report = HomotopyReport(iter=int(rep.iter),
                                 solution_error=float(rep.solution_error))
         return np.asarray(x), report
@@ -97,12 +132,14 @@ class Homotopy:
         """
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
-        return self._fn(max_iterations, batched=True)(self._A, Y, tol)
+        return self._fn(max_iterations, batch=Y.shape[0])(
+            self._A, self._G, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
         """Jit-composable solve: device arrays in, (x, report pytree) out."""
-        return self._fn(max_iterations, batched=False)(self._A, y, tolerance)
+        return self._fn(max_iterations, batch=None)(
+            self._A, self._G, y, tolerance)
 
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)

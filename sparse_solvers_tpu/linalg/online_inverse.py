@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import blas
 
@@ -108,6 +109,89 @@ def insert(state: InverseState, col: jnp.ndarray, u1_full: jnp.ndarray,
         indices=new_indices.astype(jnp.int32),
         mask=mask.at[col].set(True),
         k=k + 1,
+    )
+
+
+def _swap_rowcol(M: jnp.ndarray, i, j) -> jnp.ndarray:
+    """Exchange rows i,j and columns i,j of a square matrix using dynamic
+    slices + broadcast selects — no gather. On TPU a (k×k) double-gather
+    permutation costs ~an order of magnitude more than these selects, which
+    is why the unordered fast path swaps instead of rotating."""
+    cap = M.shape[0]
+    idx = jnp.arange(cap)
+    is_i = (idx == i)[:, None]
+    is_j = (idx == j)[:, None]
+    ri = lax.dynamic_slice_in_dim(M, i, 1, axis=0)
+    rj = lax.dynamic_slice_in_dim(M, j, 1, axis=0)
+    M = jnp.where(is_i, rj, jnp.where(is_j, ri, M))
+    ci = lax.dynamic_slice_in_dim(M, i, 1, axis=1)
+    cj = lax.dynamic_slice_in_dim(M, j, 1, axis=1)
+    return jnp.where(is_i.T, cj, jnp.where(is_j.T, ci, M))
+
+
+def insert_unordered(state: InverseState, col: jnp.ndarray,
+                     u1: jnp.ndarray, vtv: jnp.ndarray) -> InverseState:
+    """Insert ``col`` by *appending* its bordered row/col at slot k.
+
+    Same Sherman–Morrison bordering as :func:`insert`
+    (reference: online_inverse.h:184-251) but without the reference's
+    rank-order ``square_permute`` — the active set is kept in insertion
+    order, which every consumer (direction update, candidate scan) is
+    invariant to. ``u1`` is already gathered to the live slots:
+    u1[i] = (AᵀA)[indices[i], col], zero in padding slots.
+    """
+    inv, indices, mask, k = state
+    capacity = inv.shape[0]
+    dtype = inv.dtype
+
+    u2 = blas.xgemv(inv, u1)
+    d = jnp.array(1, dtype) / (vtv - blas.xdot(u1, u2))
+
+    new_inv = blas.xger(d, u2, u2, inv)
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    u3 = jnp.where(i < k, -d * u2, jnp.array(0, dtype))
+    row_k = u3.at[k].set(d)
+    new_inv = new_inv.at[k, :].set(row_k)
+    new_inv = new_inv.at[:, k].set(row_k)
+
+    return InverseState(
+        inv=new_inv,
+        indices=indices.at[k].set(col.astype(jnp.int32)),
+        mask=mask.at[col].set(True),
+        k=k + 1,
+    )
+
+
+def remove_unordered(state: InverseState, col: jnp.ndarray) -> InverseState:
+    """Remove ``col`` from an insertion-ordered inverse: swap its slot with
+    the last live slot (select-based, no gather), then Schur-downdate —
+    the same math as :func:`remove` (reference: online_inverse.h:253-293)
+    with the rotation replaced by a swap."""
+    inv, indices, mask, k = state
+    capacity = inv.shape[0]
+    n = mask.shape[0]
+    dtype = inv.dtype
+
+    pos = jnp.argmax(indices == col).astype(jnp.int32)
+    last = k - 1
+
+    p = _swap_rowcol(inv, pos, last)
+    d = p[last, last]
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    u = jnp.where(i < last, p[:, last], jnp.array(0, dtype))
+    new_inv = p - jnp.outer(u, u) / d
+
+    keep = i < last
+    new_inv = jnp.where(keep[:, None] & keep[None, :], new_inv, 0)
+
+    new_indices = indices.at[pos].set(indices[last]).at[last].set(
+        jnp.int32(n))
+
+    return InverseState(
+        inv=new_inv,
+        indices=new_indices,
+        mask=mask.at[col].set(False),
+        k=last,
     )
 
 

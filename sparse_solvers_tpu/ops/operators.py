@@ -27,8 +27,18 @@ from . import blas
 
 
 class DenseOperator(NamedTuple):
-    """Plain on-device dense sensing matrix."""
+    """Plain on-device dense sensing matrix.
+
+    ``G`` optionally carries the precomputed Gram matrix AᵀA (n×n). The
+    reference recomputes Gram *columns* with gemvs every active-set insert
+    (homotopy-cpu.cpp:180-181 → online_inverse insert) because memory was
+    the constraint on CPU; on TPU, HBM is large and bandwidth is the
+    constraint, so paying 2mn² FLOPs once at construction turns every
+    insert (and, in the sparse-q fast path, the whole γ-scan product
+    q = AᵀA d) into an O(n·k) gather instead of an O(mn) pass over A.
+    """
     A: jnp.ndarray
+    G: jnp.ndarray | None = None
 
     @property
     def shape(self):
@@ -38,8 +48,19 @@ class DenseOperator(NamedTuple):
     def dtype(self):
         return self.A.dtype
 
+    @property
+    def has_gram(self):
+        return self.G is not None
+
     def matvec(self, x):
         return blas.xgemv(self.A, x)
+
+    def matvec_sparse(self, x, indices):
+        """A x for x supported on ``indices`` (sentinel-n slots gather 0) —
+        an (m, k_max) column gather + small matmul instead of a full pass."""
+        cols = jnp.take(self.A, indices, axis=1, mode="fill", fill_value=0)
+        vals = jnp.take(x, indices, mode="fill", fill_value=0)
+        return blas.xgemv(cols, vals)
 
     def rmatvec(self, u):
         return blas.xgemv(self.A, u, trans=True)
@@ -49,8 +70,31 @@ class DenseOperator(NamedTuple):
 
     def gram_column(self, j):
         """((AᵀA)[:, j], ‖A e_j‖²)."""
+        if self.G is not None:
+            return self.G[:, j], self.G[j, j]
         v = self.column(j)
         return self.rmatvec(v), blas.xdot(v, v)
+
+    def gram_matvec_sparse(self, d, indices):
+        """q = AᵀA d for d supported on ``indices`` via Gram-column gather —
+        O(n·k) bytes, no pass over A. Requires a precomputed ``G``."""
+        cols = jnp.take(self.G, indices, axis=1, mode="fill", fill_value=0)
+        vals = jnp.take(d, indices, mode="fill", fill_value=0)
+        return blas.xgemv(cols, vals)
+
+    def gram_gathered(self, col, slots):
+        """(u1, vtv) with u1[i] = (AᵀA)[slots[i], col] (sentinel slots → 0)
+        and vtv = (AᵀA)[col, col]. With a precomputed Gram this is one
+        point-pair gather of k_max scalars; without it, one Gram-column
+        product followed by the same gather."""
+        if self.G is not None:
+            n = self.G.shape[0]
+            safe = jnp.minimum(slots, n - 1)
+            u1 = jnp.where(slots < n, self.G[safe, col],
+                           jnp.array(0, self.dtype))
+            return u1, self.G[col, col]
+        g, vtv = self.gram_column(col)
+        return jnp.take(g, slots, mode="fill", fill_value=0), vtv
 
     def gram_weighted(self, w):
         """Aᵀ(A ∘ w) — the IRLS Newton Gram matrix (irls-cpu.cpp:47-48)."""
@@ -68,6 +112,7 @@ class RowShardedOperator(NamedTuple):
     """
     A_local: jnp.ndarray
     axis: str
+    G: jnp.ndarray | None = None  # replicated AᵀA (psum'd at construction)
 
     @property
     def shape(self):
@@ -79,8 +124,38 @@ class RowShardedOperator(NamedTuple):
     def dtype(self):
         return self.A_local.dtype
 
+    @property
+    def has_gram(self):
+        return self.G is not None
+
     def matvec(self, x):
         return blas.xgemv(self.A_local, x)  # stays row-sharded
+
+    def matvec_sparse(self, x, indices):
+        """Local-shard rows of A x for k-sparse x — column gather over the
+        local shard; the result stays row-sharded like ``matvec``."""
+        cols = jnp.take(self.A_local, indices, axis=1, mode="fill",
+                        fill_value=0)
+        vals = jnp.take(x, indices, mode="fill", fill_value=0)
+        return blas.xgemv(cols, vals)
+
+    def gram_matvec_sparse(self, d, indices):
+        """q = AᵀA d via replicated-Gram gather — zero collectives."""
+        cols = jnp.take(self.G, indices, axis=1, mode="fill", fill_value=0)
+        vals = jnp.take(d, indices, mode="fill", fill_value=0)
+        return blas.xgemv(cols, vals)
+
+    def gram_gathered(self, col, slots):
+        """(u1, vtv) as in DenseOperator.gram_gathered; one psum'd Gram
+        column when no replicated G is held."""
+        if self.G is not None:
+            n = self.G.shape[0]
+            safe = jnp.minimum(slots, n - 1)
+            u1 = jnp.where(slots < n, self.G[safe, col],
+                           jnp.array(0, self.dtype))
+            return u1, self.G[col, col]
+        g, vtv = self.gram_column(col)
+        return jnp.take(g, slots, mode="fill", fill_value=0), vtv
 
     def rmatvec(self, u_local):
         return lax.psum(blas.xgemv(self.A_local, u_local, trans=True),
@@ -90,6 +165,8 @@ class RowShardedOperator(NamedTuple):
         return self.A_local[:, j]  # local shard of the column
 
     def gram_column(self, j):
+        if self.G is not None:
+            return self.G[:, j], self.G[j, j]
         v = self.column(j)
         g = lax.psum(blas.xgemv(self.A_local, v, trans=True), self.axis)
         vtv = lax.psum(blas.xdot(v, v), self.axis)

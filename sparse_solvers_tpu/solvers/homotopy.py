@@ -1,6 +1,6 @@
 """Homotopy ℓ₁-minimization solver — TPU-native path-following.
 
-Solves  min ‖x‖₁  s.t.  A x = y  by following the homotopy path of
+Solves  min ‖x‖₁  s.t.  Ax = y  by following the homotopy path of
   min_x ‖y − Ax‖₂² + λ‖x‖₁  as λ ↓ tolerance,
 maintaining the active-set Gram inverse (A_ΓᵀA_Γ)⁻¹ incrementally.
 
@@ -23,8 +23,29 @@ TPU-native design (vs. the reference's dynamically-sized C++ loop):
     computation + first-occurrence argmin reduction;
   * the per-iteration matvecs run on the MXU at HIGHEST precision; batching
     over many signals is ``vmap`` (each lane carries its own support state);
-  * insert/remove of a support column is a ``lax.cond`` over the two masked
-    rank-1 update paths.
+  * no ``lax.cond`` branch ever closes over the sensing matrix — under vmap
+    a cond becomes a batched select over its *operands*, and capturing A
+    would broadcast a per-lane copy of the full matrix (batch·m·n) and turn
+    every shared-A gemm into a batched one. All conds here operate on the
+    small per-lane state only.
+
+Two execution modes (static):
+  * ``mode="exact"`` — the reference's per-iteration recomputation:
+    c = Aᵀ(y − Ax) and q = Aᵀ(A d) as full dense products. Bit-faithful to
+    the reference's operation order; 4 full passes over A per iteration.
+  * ``mode="fast"`` (default) — same path, algebraically identical updates
+    that exploit structure the reference ignores:
+      - correlation recurrence  c ← c − γ·q  (exact in real arithmetic:
+        Aᵀ(y − A(x+γd)) = c − γ·AᵀAd), eliminating both residual gemvs
+        (homotopy-cpu.cpp:255);
+      - ``sparse_matvec``: d is k-sparse by construction, so A d gathers
+        k_max columns instead of streaming all of A;
+      - with a precomputed Gram matrix (operators.DenseOperator.G),
+        q = AᵀA d and the insert's Gram column become O(n·k) gathers — the
+        hot loop never touches A at all.
+    Drift bound: the recurrence accumulates one rounding per iteration
+    (~iters·eps·‖c‖), far below the reference's own test tolerances for
+    ≤ a few hundred iterations.
 """
 
 from __future__ import annotations
@@ -63,11 +84,6 @@ def _sign_deadzone(v: jnp.ndarray, tol) -> jnp.ndarray:
     return jnp.where(v > tol, one, jnp.where(v < -tol, -one, 0))
 
 
-def _residual_correlation(op, y, x):
-    """c = Aᵀ(y − Ax) (reference: homotopy-cpu.cpp:87-98, two gemvs)."""
-    return op.rmatvec(y - op.matvec(x))
-
-
 def _find_max_gamma(q, c, x, direction, c_inf, mask, dtype):
     """Vectorized γ-candidate scan with leftmost-min tie-break.
 
@@ -97,22 +113,31 @@ def _find_max_gamma(q, c, x, direction, c_inf, mask, dtype):
     return cand[idx], idx
 
 
-def _toggle_support(op, state: oinv.InverseState, col) -> oinv.InverseState:
-    """Insert or remove column ``col`` of A from the active set + inverse.
+def _toggle_support(state: oinv.InverseState, col, u1_full, vtv):
+    """Insert or remove column ``col`` from the rank-ordered active set.
 
-    Reference: homotopy-cpu.cpp:166-183 (inverse_add_or_remove). The insert
-    branch needs the Gram row (AᵀA)[:, col] = Aᵀ(A e_col) — one extra gemv —
-    which lax.cond skips on removals.
+    Reference: homotopy-cpu.cpp:166-183 (inverse_add_or_remove). The Gram
+    column (u1_full, vtv) is computed by the *caller* so neither branch
+    closes over the sensing matrix (see module docstring on vmap+cond).
     """
-    def do_remove(s):
-        return oinv.remove(s, col)
+    return lax.cond(
+        state.mask[col],
+        lambda s, _u, _v: oinv.remove(s, col),
+        lambda s, u, v: oinv.insert(s, col, u, v),
+        state, u1_full, vtv,
+    )
 
-    def do_insert(s):
-        u1_full, vtv = op.gram_column(col)
-        return oinv.insert(s, col, u1_full, vtv)
 
-    present = state.mask[col]
-    return lax.cond(present, do_remove, do_insert, state)
+def _toggle_support_unordered(state: oinv.InverseState, col, u1, vtv):
+    """Fast-path toggle over an insertion-ordered active set: append-style
+    insert (no permutation) / swap-style remove. ``u1`` is the Gram column
+    already gathered to the live slots."""
+    return lax.cond(
+        state.mask[col],
+        lambda s, _u, _v: oinv.remove_unordered(s, col),
+        lambda s, u, v: oinv.insert_unordered(s, col, u, v),
+        state, u1, vtv,
+    )
 
 
 def _update_direction(inv_state: oinv.InverseState, c, tol, n, dtype):
@@ -127,33 +152,47 @@ def _update_direction(inv_state: oinv.InverseState, c, tol, n, dtype):
 
 
 def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
-                   max_iterations: int, k_max: int):
+                   max_iterations: int, k_max: int, *,
+                   mode: str = "fast", sparse_matvec: bool = False):
     """Run the homotopy solver on a dense on-device A;
-    returns (x, HomotopyReportArrays). jit/vmap-safe; ``max_iterations`` and
-    ``k_max`` (active-set capacity) are static."""
+    returns (x, HomotopyReportArrays). jit/vmap-safe; ``max_iterations``,
+    ``k_max`` (active-set capacity), ``mode`` and ``sparse_matvec`` are
+    static."""
     return solve_homotopy_core(DenseOperator(A), A.shape[1], y, tolerance,
-                               max_iterations, k_max)
+                               max_iterations, k_max, mode=mode,
+                               sparse_matvec=sparse_matvec)
 
 
 def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
-                        max_iterations: int, k_max: int):
+                        max_iterations: int, k_max: int, *,
+                        mode: str = "fast", sparse_matvec: bool = False):
     """Homotopy path loop over an abstract sensing operator.
 
     ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
     one device, or a row-shard with psum reductions inside shard_map. ``n``
     is the global column count (static).
     """
+    if mode not in ("fast", "exact"):
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    fast = mode == "fast"
     dtype = op.dtype
     tol = jnp.asarray(tolerance, dtype)
 
     x0 = jnp.zeros((n,), dtype)
 
-    # --- init (reference: homotopy-cpu.cpp:215-229) ---
-    c0 = _residual_correlation(op, y, x0)
+    # --- init (reference: homotopy-cpu.cpp:215-229); x0 = 0 so the
+    # residual correlation reduces to c0 = Aᵀy exactly ---
+    c0 = op.rmatvec(y)
     idx0 = jnp.argmax(jnp.abs(c0))
     c_inf0 = jnp.abs(c0[idx0])
 
-    inv0 = _toggle_support(op, oinv.init(k_max, n, dtype), idx0)
+    empty_set = oinv.init(k_max, n, dtype)
+    if fast:
+        u1_0, vtv_0 = op.gram_gathered(idx0, empty_set.indices)
+        inv0 = oinv.insert_unordered(empty_set, idx0, u1_0, vtv_0)
+    else:
+        u1_0, vtv_0 = op.gram_column(idx0)
+        inv0 = oinv.insert(empty_set, idx0, u1_0, vtv_0)
 
     # initial direction: sign(c_inf) * inv[0,0] scattered to idx0 —
     # note sign of the *norm*, not of c[idx0] (homotopy-cpu.cpp:223-227)
@@ -165,37 +204,58 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
         inv=inv0, broke=jnp.bool_(False),
     )
 
+    def compute_q(s: _LoopState):
+        """q = AᵀA d (homotopy-cpu.cpp:111-120)."""
+        if fast and sparse_matvec and op.has_gram:
+            return op.gram_matvec_sparse(s.direction, s.inv.indices)
+        if fast and sparse_matvec:
+            return op.rmatvec(op.matvec_sparse(s.direction, s.inv.indices))
+        return op.rmatvec(op.matvec(s.direction))
+
+    def body(s: _LoopState) -> _LoopState:
+        it = s.it + 1
+
+        q = compute_q(s)
+        gamma, idx = _find_max_gamma(q, s.c, s.x, s.direction, s.c_inf,
+                                     s.inv.mask, dtype)
+
+        if fast:
+            u1, vtv = op.gram_gathered(idx, s.inv.indices)
+            inv1 = _toggle_support_unordered(s.inv, idx, u1, vtv)
+        else:
+            u1, vtv = op.gram_column(idx)
+            inv1 = _toggle_support(s.inv, idx, u1, vtv)
+
+        x1 = s.x + gamma * s.direction
+        if fast:
+            # c(x + γd) = c(x) − γ·AᵀAd — recurrence instead of the two
+            # residual gemvs at homotopy-cpu.cpp:255
+            c1 = s.c - gamma * q
+        else:
+            c1 = op.rmatvec(y - op.matvec(x1))
+        d1 = _update_direction(inv1, c1, tol, n, dtype)
+        c_inf1 = jnp.max(jnp.abs(c1))
+
+        # K == 0 → break, leaving x/c untouched (homotopy-cpu.cpp:248-249).
+        # Expressed as selects over the small per-lane state (a lax.cond
+        # here would batch to the same selects under vmap anyway).
+        empty = inv1.k == 0
+        keep = lambda new, old: jnp.where(empty, old, new)
+        return _LoopState(
+            it=it,
+            x=keep(x1, s.x),
+            c=keep(c1, s.c),
+            c_inf=keep(c_inf1, s.c_inf),
+            direction=keep(d1, s.direction),
+            inv=inv1,
+            broke=empty,
+        )
+
     def cond(s: _LoopState):
         # do-while: the body always runs at least once (homotopy-cpu.cpp:236)
         return (s.it == 0) | (
             (~s.broke) & (s.it < jnp.uint32(max_iterations)) & (s.c_inf > tol)
         )
-
-    def body(s: _LoopState) -> _LoopState:
-        it = s.it + 1
-
-        # γ scan: q = Aᵀ(A d) (homotopy-cpu.cpp:111-120)
-        q = op.rmatvec(op.matvec(s.direction))
-        gamma, idx = _find_max_gamma(q, s.c, s.x, s.direction, s.c_inf,
-                                     s.inv.mask, dtype)
-
-        inv1 = _toggle_support(op, s.inv, idx)
-
-        def on_empty(_):
-            # K == 0 → break before touching x/c (homotopy-cpu.cpp:248-249)
-            return _LoopState(it=it, x=s.x, c=s.c, c_inf=s.c_inf,
-                              direction=s.direction, inv=inv1,
-                              broke=jnp.bool_(True))
-
-        def on_live(_):
-            x1 = s.x + gamma * s.direction
-            c1 = _residual_correlation(op, y, x1)
-            d1 = _update_direction(inv1, c1, tol, n, dtype)
-            c_inf1 = jnp.max(jnp.abs(c1))
-            return _LoopState(it=it, x=x1, c=c1, c_inf=c_inf1, direction=d1,
-                              inv=inv1, broke=jnp.bool_(False))
-
-        return lax.cond(inv1.k == 0, on_empty, on_live, None)
 
     final = lax.while_loop(cond, body, init)
     report = HomotopyReportArrays(iter=final.it, solution_error=final.c_inf)
