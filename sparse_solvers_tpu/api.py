@@ -63,16 +63,22 @@ class Homotopy:
     gram : precompute AᵀA at construction (fast-mode acceleration).
         Default None = auto (on when n² fits in 1 GiB). Ignored in exact
         mode.
+    precision : MXU contraction precision for the solve loop — "highest"
+        (bit-faithful f32, 6 bf16 passes), "high" (3 passes, ~1e-7
+        relative) or "default" (1 bf16 pass). Default None = "high" in
+        fast mode, "highest" in exact mode.
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
-                 gram: bool | None = None):
+                 gram: bool | None = None, precision: str | None = None):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         self._k_max = k_max
         self._mode = mode
+        self._precision = precision or ("high" if mode == "fast"
+                                        else "highest")
         if gram is None:
             gram = (self._n * self._n * self._A.dtype.itemsize
                     <= _GRAM_AUTO_BYTES)
@@ -102,9 +108,10 @@ class Homotopy:
         if fn is None:
             def core(A, G, y, tol):
                 op = _operators.DenseOperator(A, G)
-                return _homotopy.solve_homotopy_core(
-                    op, self._n, y, tol, max_iterations, k_max,
-                    mode=self._mode, sparse_matvec=sparse)
+                with _blas.precision_scope(self._precision):
+                    return _homotopy.solve_homotopy_core(
+                        op, self._n, y, tol, max_iterations, k_max,
+                        mode=self._mode, sparse_matvec=sparse)
             run = core
             if batch is not None:
                 run = jax.vmap(core, in_axes=(None, None, 0, None))

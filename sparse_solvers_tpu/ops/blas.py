@@ -14,17 +14,53 @@ ixamax/xtrsv/xtrsm) so the parity mapping is one-to-one.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-_PREC = lax.Precision.HIGHEST
+# Active contraction precision for every blas-layer matmul. f32 matmuls on
+# the TPU MXU decompose into bf16 passes: HIGHEST = 6 passes (bit-faithful
+# f32), HIGH = 3 passes (~1e-7 relative), DEFAULT = 1 pass (bf16 inputs).
+# The default here is HIGHEST — reference-parity numerics; solvers lower it
+# per-trace through precision_scope.
+_PREC_STACK = [lax.Precision.HIGHEST]
+
+_PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}
+
+
+def current_precision() -> lax.Precision:
+    return _PREC_STACK[-1]
+
+
+@contextlib.contextmanager
+def precision_scope(precision):
+    """Set the matmul precision for ops traced within the scope.
+
+    ``precision`` is "highest" | "high" | "default" or a lax.Precision.
+    Trace-time scoped (use *inside* the jitted function so retraces pick it
+    up) — the TPU analog of the reference's runtime BLAS selection
+    (blas_wrapper.cpp:39-49), except the choice is precision, not µarch.
+    """
+    if isinstance(precision, str):
+        precision = _PRECISIONS[precision.lower()]
+    _PREC_STACK.append(precision)
+    try:
+        yield
+    finally:
+        _PREC_STACK.pop()
 
 
 def xgemv(A: jnp.ndarray, x: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
     """y = A @ x (or Aᵀ @ x). Reference: blas_wrapper.h xgemv overloads."""
     M = A.T if trans else A
-    return jnp.matmul(M, x, precision=_PREC, preferred_element_type=A.dtype)
+    return jnp.matmul(M, x, precision=current_precision(),
+                      preferred_element_type=A.dtype)
 
 
 def xgemm(A: jnp.ndarray, B: jnp.ndarray, *, trans_a: bool = False,
@@ -32,7 +68,8 @@ def xgemm(A: jnp.ndarray, B: jnp.ndarray, *, trans_a: bool = False,
     """C = op(A) @ op(B). Reference: blas_wrapper.h xgemm."""
     Ma = A.T if trans_a else A
     Mb = B.T if trans_b else B
-    return jnp.matmul(Ma, Mb, precision=_PREC, preferred_element_type=A.dtype)
+    return jnp.matmul(Ma, Mb, precision=current_precision(),
+                      preferred_element_type=A.dtype)
 
 
 def xger(alpha, x: jnp.ndarray, y: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +79,7 @@ def xger(alpha, x: jnp.ndarray, y: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
 
 def xdot(x: jnp.ndarray, y: jnp.ndarray):
     """xᵀy. Reference: blas_wrapper.h xdot."""
-    return jnp.vdot(x, y, precision=_PREC)
+    return jnp.vdot(x, y, precision=current_precision())
 
 
 def xnrm2(x: jnp.ndarray):

@@ -85,14 +85,14 @@ class DenseOperator(NamedTuple):
     def gram_gathered(self, col, slots):
         """(u1, vtv) with u1[i] = (AᵀA)[slots[i], col] (sentinel slots → 0)
         and vtv = (AᵀA)[col, col]. With a precomputed Gram this is one
-        point-pair gather of k_max scalars; without it, one Gram-column
-        product followed by the same gather."""
+        contiguous row lookup (G is symmetric: G[:, col] = G[col, :]) plus
+        a k_max-element gather from that row — on TPU far cheaper than a
+        2-d point gather into the full n×n table. Without G: one
+        Gram-column product followed by the same gather."""
         if self.G is not None:
-            n = self.G.shape[0]
-            safe = jnp.minimum(slots, n - 1)
-            u1 = jnp.where(slots < n, self.G[safe, col],
-                           jnp.array(0, self.dtype))
-            return u1, self.G[col, col]
+            row = jnp.take(self.G, col, axis=0)
+            u1 = jnp.take(row, slots, mode="fill", fill_value=0)
+            return u1, row[col]
         g, vtv = self.gram_column(col)
         return jnp.take(g, slots, mode="fill", fill_value=0), vtv
 
@@ -149,11 +149,9 @@ class RowShardedOperator(NamedTuple):
         """(u1, vtv) as in DenseOperator.gram_gathered; one psum'd Gram
         column when no replicated G is held."""
         if self.G is not None:
-            n = self.G.shape[0]
-            safe = jnp.minimum(slots, n - 1)
-            u1 = jnp.where(slots < n, self.G[safe, col],
-                           jnp.array(0, self.dtype))
-            return u1, self.G[col, col]
+            row = jnp.take(self.G, col, axis=0)
+            u1 = jnp.take(row, slots, mode="fill", fill_value=0)
+            return u1, row[col]
         g, vtv = self.gram_column(col)
         return jnp.take(g, slots, mode="fill", fill_value=0), vtv
 
