@@ -67,12 +67,25 @@ class Homotopy:
         (bit-faithful f32, 6 bf16 passes), "high" (3 passes, ~1e-7
         relative) or "default" (1 bf16 pass). Default None = "high" in
         fast mode, "highest" in exact mode.
+    engine : "jax" (accelerator/XLA), "native" (C++ host backend, csrc/),
+        or "auto" (default) — native for problems small enough that a
+        device dispatch dominates the solve itself, jax otherwise. The
+        native engine implements the identical fast-path algorithm.
     """
 
+    # Below this m·n the device round trip (~200 µs) exceeds the host
+    # solve time, so "auto" routes to the native backend.
+    _NATIVE_AUTO_ELEMS = 1 << 16
+
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
-                 gram: bool | None = None, precision: str | None = None):
+                 gram: bool | None = None, precision: str | None = None,
+                 engine: str = "auto"):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+        if engine not in ("auto", "jax", "native"):
+            raise ValueError(
+                f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
+        self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         self._k_max = k_max
@@ -119,11 +132,31 @@ class Homotopy:
             self._cache[key] = fn
         return fn
 
+    def _use_native(self) -> bool:
+        if self._engine == "jax" or self._mode == "exact":
+            return False
+        from .backend import native as _native  # local: optional build
+        if not _native.available():
+            if self._engine == "native":
+                raise RuntimeError(
+                    "native engine requested but the host backend is "
+                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
+            return False
+        return (self._engine == "native"
+                or self._m * self._n <= self._NATIVE_AUTO_ELEMS)
+
     def solve(self, b, tolerance: float | None = None,
               max_iterations: int = 100):
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, HomotopyReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._use_native():
+            from .backend import native as _native
+            k_max = self._k_max or min(self._n, max_iterations + 1)
+            xn, it, err = _native.homotopy_solve(
+                np.asarray(self._A), np.asarray(y), tol, max_iterations,
+                k_max)
+            return xn, HomotopyReport(iter=it, solution_error=err)
         x, rep = self._fn(max_iterations, batch=None)(
             self._A, self._G, y, tol)
         report = HomotopyReport(iter=int(rep.iter),
@@ -139,6 +172,14 @@ class Homotopy:
         """
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self.dtype == np.float32 and self._use_native():
+            from .backend import native as _native
+            k_max = self._k_max or min(self._n, max_iterations + 1)
+            X, iters, errs = _native.homotopy_solve_batch(
+                np.asarray(self._A), np.asarray(Y), tol, max_iterations,
+                k_max)
+            return X, _homotopy.HomotopyReportArrays(
+                iter=iters.astype(np.uint32), solution_error=errs)
         return self._fn(max_iterations, batch=Y.shape[0])(
             self._A, self._G, Y, tol)
 
@@ -160,7 +201,12 @@ class Irls:
     (the reference computes it in the solver constructor, src/lib.cpp:51-57).
     """
 
-    def __init__(self, A):
+    def __init__(self, A, engine: str = "auto"):
+        if engine not in ("auto", "jax", "native"):
+            raise ValueError(
+                f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
+        self._engine = engine
+        self._native = None
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         if self._m < self._n:
@@ -193,11 +239,32 @@ class Irls:
             self._cache[key] = fn
         return fn
 
+    def _use_native(self) -> bool:
+        if self._engine == "jax" or self.dtype != np.float32:
+            return False
+        from .backend import native as _native
+        if not _native.available():
+            if self._engine == "native":
+                raise RuntimeError(
+                    "native engine requested but the host backend is "
+                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
+            return False
+        return (self._engine == "native"
+                or self._m * self._n <= Homotopy._NATIVE_AUTO_ELEMS)
+
     def solve(self, b, tolerance: float | None = None,
               max_iterations: int = 100):
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._use_native():
+            from .backend import native as _native
+            if self._native is None:
+                self._native = _native.IrlsNative(np.asarray(self._A))
+            xn, it, err, spd = self._native.solve(np.asarray(y), tol,
+                                                  max_iterations)
+            return xn, IrlsReport(iter=it, solution_error=err,
+                                  spd_failure=spd)
         x, rep = self._fn(max_iterations, batched=False)(
             self._Q, self._R, y, tol)
         report = IrlsReport(iter=int(rep.iter),

@@ -1,0 +1,198 @@
+"""ctypes binding to the native C++ host backend (csrc/).
+
+The reference ships its solvers as a C++ library with a Python binding
+(reference: bindings/python/sparsesolvers/binding.cpp); here the roles are
+inverted — JAX/XLA is the primary engine and the C++ library is the *host*
+backend, used for
+
+  * sub-dispatch-latency solves of small problems (an accelerator round
+    trip costs ~200 µs; a 100×100 homotopy solve runs in a few µs on the
+    host),
+  * machines with no accelerator,
+  * the benchmark harness's measured CPU baseline.
+
+The shared library is built lazily with ``make`` on first use (g++ is part
+of the supported toolchain); set ``SS_NATIVE_DISABLE=1`` to forbid the
+native path entirely — everything degrades gracefully to the JAX engine.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_LIBNAME = "libsparsesolvers_cpu.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    path = os.path.join(_CSRC, _LIBNAME)
+    src = os.path.join(_CSRC, "sparsesolvers_cpu.cpp")
+    if os.path.exists(path) and (not os.path.exists(src) or
+                                 os.path.getmtime(path) >= os.path.getmtime(src)):
+        return path
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=300)
+        return path if os.path.exists(path) else None
+    except Exception:
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int)
+
+    lib.ss_homotopy_solve_f32.restype = ctypes.c_int
+    lib.ss_homotopy_solve_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, f32p, f32p]
+    lib.ss_homotopy_solve_f64.restype = ctypes.c_int
+    lib.ss_homotopy_solve_f64.argtypes = [
+        f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, f64p, f64p]
+    lib.ss_homotopy_solve_batch_f32.restype = None
+    lib.ss_homotopy_solve_batch_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, i32p, f32p]
+    lib.ss_irls_create_f32.restype = ctypes.c_void_p
+    lib.ss_irls_create_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
+    lib.ss_irls_solve_f32.restype = ctypes.c_int
+    lib.ss_irls_solve_f32.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_float, ctypes.c_int, f32p, f32p,
+        i32p]
+    lib.ss_irls_destroy_f32.restype = None
+    lib.ss_irls_destroy_f32.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if os.environ.get("SS_NATIVE_DISABLE") == "1":
+        return None
+    with _lock:
+        if _lib is None and not _tried:
+            _tried = True
+            path = _build()
+            if path:
+                try:
+                    _lib = _bind(ctypes.CDLL(path))
+                except OSError:
+                    _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _f32(a):
+    return np.ascontiguousarray(a, dtype=np.float32)
+
+
+def homotopy_solve(A: np.ndarray, y: np.ndarray, tol: float,
+                   max_iterations: int, k_max: int):
+    """Single homotopy solve on the host. Returns (x, iter, solution_error).
+
+    Same algorithm and semantics as the TPU fast path (insertion-ordered
+    active set, correlation recurrence); float32 or float64 by A's dtype.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    if A.dtype == np.float64:
+        A64 = np.ascontiguousarray(A, np.float64)
+        y64 = np.ascontiguousarray(y, np.float64)
+        x = np.zeros(n, np.float64)
+        err = ctypes.c_double()
+        it = lib.ss_homotopy_solve_f64(
+            A64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), m, n,
+            y64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            float(tol), int(max_iterations), int(k_max),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(err))
+        return x, it, err.value
+    A32, y32 = _f32(A), _f32(y)
+    x = np.zeros(n, np.float32)
+    err = ctypes.c_float()
+    it = lib.ss_homotopy_solve_f32(
+        A32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m, n,
+        y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        float(tol), int(max_iterations), int(k_max),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ctypes.byref(err))
+    return x, it, err.value
+
+
+def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
+                         max_iterations: int, k_max: int,
+                         nthreads: int = 0):
+    """Threaded batched homotopy on the host (float32).
+
+    Returns (X (batch, n), iters (batch,), errs (batch,))."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    A32, Y32 = _f32(A), _f32(Y)
+    batch = Y32.shape[0]
+    X = np.zeros((batch, n), np.float32)
+    iters = np.zeros(batch, np.int32)
+    errs = np.zeros(batch, np.float32)
+    lib.ss_homotopy_solve_batch_f32(
+        A32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m, n,
+        Y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), batch,
+        float(tol), int(max_iterations), int(k_max), int(nthreads),
+        X.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return X, iters, errs
+
+
+class IrlsNative:
+    """Construct-once IRLS on the host (float32): QR factored at
+    construction, reused across solves — the reference's amortized-state
+    shape (src/lib.cpp:51-57)."""
+
+    def __init__(self, A: np.ndarray):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native backend unavailable")
+        A32 = _f32(A)
+        self._m, self._n = A32.shape
+        self._lib = lib
+        self._h = lib.ss_irls_create_f32(
+            A32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._m, self._n)
+        if not self._h:
+            raise ValueError("Irls requires m >= n")
+
+    def solve(self, y: np.ndarray, tol: float, max_iterations: int):
+        y32 = _f32(y)
+        x = np.zeros(self._n, np.float32)
+        err = ctypes.c_float()
+        spd = ctypes.c_int()
+        it = self._lib.ss_irls_solve_f32(
+            self._h, y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            float(tol), int(max_iterations),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(err), ctypes.byref(spd))
+        return x, it, err.value, bool(spd.value)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.ss_irls_destroy_f32(h)
+            self._h = None

@@ -1,0 +1,189 @@
+"""Pallas TPU kernels — fused single-pass correlation products.
+
+The homotopy loop's two heavy products both stream the sensing matrix
+twice when written as a pair of gemms (reference shape: two cblas gemvs,
+src/solvers/homotopy-cpu.cpp:87-98 and :111-120):
+
+    q = Aᵀ(A d)        (γ-scan product)
+    c = Aᵀ(y − A x)    (residual correlation)
+
+Both have the form  out = Aᵀ f(A · v)  with f elementwise, so a single
+pass over A suffices: for each row-tile T of A,
+
+    t_T  = f(A[T, :] · v)          (contraction over n)
+    out += A[T, :]ᵀ · t_T          (accumulate over T)
+
+A[T, :] is loaded into VMEM once and used by both products — this halves
+HBM traffic versus the two-gemm form, which is the whole ballgame in the
+memory-bound regime (small batch; per-device shards). In the large-batch
+regime the products are MXU-compute-bound and XLA's two-gemm schedule is
+already optimal, so the wrappers fall back to plain XLA there (see
+``_eligible``). Batched forms (v → (b, n)) run the same kernel with the
+batch resident in VMEM.
+
+Kernels are written against the guide in /opt/skills/guides/pallas_guide.md:
+f32 tiles of (8k, 128), grid accumulation into a revisited output block,
+``preferred_element_type`` pinned on every MXU dot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import blas
+
+# VMEM working-set budget for choosing tile sizes / eligibility (bytes).
+# v4/v5 cores have ~16 MiB; leave headroom for double buffering + spills.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tile_m(n: int, budget: int) -> int:
+    """Largest multiple-of-8 row tile with A-tile double buffering in
+    budget."""
+    t = budget // (2 * 4 * n)
+    return max(8, min(512, (t // 8) * 8))
+
+
+def _eligible(b_pad: int, m: int, n: int, dtype) -> bool:
+    """Fused kernel wins while batch buffers fit in VMEM next to the A
+    tile; beyond that XLA's two-gemm form (compute-bound regime) is used."""
+    if dtype != jnp.float32 or n % 128 or b_pad > 512:
+        return False
+    t = _tile_m(n, _VMEM_BUDGET)
+    vm = 2 * (t * n * 4)          # double-buffered A tile
+    vm += 2 * (b_pad * n * 4)     # v and out blocks
+    vm += b_pad * max(t, 128) * 4  # intermediate t_T
+    return vm <= _VMEM_BUDGET + 4 * 1024 * 1024
+
+
+def _fused_normal_kernel(a_ref, d_ref, q_ref, *, precision):
+    """Grid step i: q += A[T_i,:]ᵀ (A[T_i,:] d) — both dots on the MXU."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        q_ref[:] = jnp.zeros_like(q_ref)
+
+    a = a_ref[:]  # (TILE_M, n)
+    t = lax.dot_general(d_ref[:], a, (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)  # (b, TILE_M)
+    q_ref[:] += lax.dot_general(t, a, (((1,), (0,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+
+
+def _fused_residual_kernel(a_ref, x_ref, y_ref, c_ref, *, precision):
+    """Grid step i: c += A[T_i,:]ᵀ (y[T_i] − A[T_i,:] x)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    a = a_ref[:]
+    r = y_ref[:] - lax.dot_general(x_ref[:], a, (((1,), (1,)), ((), ())),
+                                   precision=precision,
+                                   preferred_element_type=jnp.float32)
+    c_ref[:] += lax.dot_general(r, a, (((1,), (0,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def normal_matvec_fused(A: jnp.ndarray, D: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Q = (D Aᵀ) A in one pass over A. A: (m, n); D: (b, n) → (b, n).
+
+    Falls back to the two-gemm XLA form when the shapes are outside the
+    fused kernel's VMEM envelope. Precision follows blas.current_precision
+    at trace time.
+    """
+    b, n = D.shape
+    m = A.shape[0]
+    b_pad = _round_up(b, 8)
+    if not _eligible(b_pad, m, n, A.dtype):
+        return blas.xgemm(blas.xgemm(D, A, trans_b=True), A)
+
+    tile_m = _tile_m(n, _VMEM_BUDGET)
+    m_pad = _round_up(m, tile_m)
+    Ap = jnp.pad(A, ((0, m_pad - m), (0, 0))) if m_pad != m else A
+    Dp = jnp.pad(D, ((0, b_pad - b), (0, 0))) if b_pad != b else D
+
+    kern = functools.partial(_fused_normal_kernel,
+                             precision=blas.current_precision())
+    out = pl.pallas_call(
+        kern,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * m_pad * n,
+            bytes_accessed=m_pad * n * 4 + 2 * b_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(Ap, Dp)
+    return out[:b] if b_pad != b else out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def residual_correlation_fused(A: jnp.ndarray, X: jnp.ndarray,
+                               Y: jnp.ndarray,
+                               interpret: bool = False) -> jnp.ndarray:
+    """C = Aᵀ(Y' − X Aᵀ)' per batch row in one pass over A.
+
+    A: (m, n); X: (b, n); Y: (b, m) → C: (b, n). Zero rows added by
+    padding change nothing (their residual enters with zero A rows).
+    """
+    b, n = X.shape
+    m = A.shape[0]
+    b_pad = _round_up(b, 8)
+    if not _eligible(b_pad, m, n, A.dtype):
+        return blas.xgemm(Y - blas.xgemm(X, A, trans_b=True), A)
+
+    tile_m = _tile_m(n, _VMEM_BUDGET)
+    m_pad = _round_up(m, tile_m)
+    Ap = jnp.pad(A, ((0, m_pad - m), (0, 0))) if m_pad != m else A
+    Xp = jnp.pad(X, ((0, b_pad - b), (0, 0))) if b_pad != b else X
+    Yp = jnp.pad(Y, ((0, b_pad - b), (0, m_pad - m)))
+
+    kern = functools.partial(_fused_residual_kernel,
+                             precision=blas.current_precision())
+    out = pl.pallas_call(
+        kern,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, tile_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * m_pad * n,
+            bytes_accessed=m_pad * n * 4 + 3 * b_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(Ap, Xp, Yp)
+    return out[:b] if b_pad != b else out

@@ -1,0 +1,106 @@
+"""Native C++ host backend (csrc/) parity with the JAX solvers.
+
+The native backend implements the identical fast-path algorithm
+(insertion-ordered active set, correlation recurrence; reference
+algorithms: src/solvers/homotopy-cpu.cpp, irls-cpu.cpp), so its solutions
+must agree with the JAX engine within float32 accumulation noise.
+"""
+
+import numpy as np
+import pytest
+
+import sparse_solvers_tpu as ss
+from sparse_solvers_tpu.backend import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native backend unavailable")
+
+
+def _problem(m, n, k, seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n).astype(dtype)
+    A /= np.linalg.norm(A, axis=0)
+    x = np.zeros(n, dtype)
+    x[rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1.0, k).astype(dtype)
+    return A, x, (A @ x).astype(dtype)
+
+
+@pytest.mark.parametrize("m,n,k", [(32, 64, 4), (64, 128, 8), (128, 64, 6)])
+def test_homotopy_matches_jax(m, n, k):
+    A, x_true, y = _problem(m, n, k, seed=m + n)
+    x_n, it_n, err_n = native.homotopy_solve(A, y, 1e-3, 100, 101)
+    x_j, rep = ss.Homotopy(A, engine="jax").solve(
+        y, tolerance=1e-3, max_iterations=100)
+    assert it_n == rep.iter
+    np.testing.assert_allclose(x_n, x_j, atol=5e-5)
+    assert np.argmax(x_n) == np.argmax(x_true)
+
+
+def test_homotopy_f64():
+    A, x_true, y = _problem(48, 96, 5, seed=7, dtype=np.float64)
+    x, it, err = native.homotopy_solve(A, y, 1e-6, 100, 101)
+    assert err <= 1e-6
+    np.testing.assert_allclose(A @ x, y, atol=1e-5)
+
+
+def test_homotopy_batch_threads():
+    A, _, y = _problem(64, 128, 8, seed=3)
+    Y = np.stack([y] * 7)
+    X, iters, errs = native.homotopy_solve_batch(A, Y, 1e-3, 100, 101)
+    x0, it0, err0 = native.homotopy_solve(A, y, 1e-3, 100, 101)
+    assert (iters == it0).all()
+    np.testing.assert_array_equal(X, np.stack([x0] * 7))
+
+
+def test_irls_matches_jax_one_sparse():
+    # the reference's IRLS fixtures are ~1-sparse detection problems
+    # (test_util.h noisy/permutation fixtures); k≫1 drives the reweighting
+    # into graceful spd_failure — covered by the test below.
+    A, x_true, y = _problem(96, 48, 1, seed=11)
+    handle = native.IrlsNative(A)
+    x_n, it_n, err_n, spd = handle.solve(y, 1e-3, 50)
+    x_j, rep = ss.Irls(A, engine="jax").solve(
+        y, tolerance=1e-3, max_iterations=50)
+    assert not spd
+    assert it_n == rep.iter
+    assert np.argmax(x_n) == np.argmax(x_true) == np.argmax(x_j)
+    np.testing.assert_allclose(x_n, x_j, atol=1e-4)
+
+
+def test_irls_dense_signal_degrades_gracefully():
+    # multi-sparse signals collapse the reweighting in f32: both engines
+    # must flag spd_failure rather than returning NaNs (reference
+    # semantics: irls-cpu.cpp:95-97)
+    A, x_true, y = _problem(96, 48, 4, seed=11)
+    x_n, it_n, err_n, spd_n = native.IrlsNative(A).solve(y, 1e-3, 50)
+    x_j, rep = ss.Irls(A, engine="jax").solve(
+        y, tolerance=1e-3, max_iterations=50)
+    assert spd_n and rep.spd_failure
+    assert np.isfinite(x_n).all() and np.isfinite(x_j).all()
+
+
+def test_irls_rejects_underdetermined():
+    A = np.zeros((4, 8), np.float32)
+    with pytest.raises(ValueError):
+        native.IrlsNative(A)
+
+
+def test_engine_auto_routes_small_to_native_identity():
+    # identity smoke must stay exact through the native route
+    I = np.eye(5, dtype=np.float32)
+    sig = np.zeros(5, np.float32)
+    sig[2] = 1.0
+    x, rep = ss.Homotopy(I).solve(sig)  # auto -> native (tiny problem)
+    assert rep.iter == 1 and rep.solution_error == 0.0
+    np.testing.assert_array_equal(x, sig)
+
+
+def test_engine_native_forced():
+    A, x_true, y = _problem(40, 80, 4, seed=5)
+    x, rep = ss.Homotopy(A, engine="native").solve(
+        y, tolerance=1e-3, max_iterations=100)
+    assert np.argmax(x) == np.argmax(x_true)
+    X, reps = ss.Homotopy(A, engine="native").solve_batch(
+        np.stack([y] * 3), tolerance=1e-3, max_iterations=100)
+    assert X.shape == (3, 80)
+    assert (np.asarray(reps.iter) == rep.iter).all()
