@@ -44,8 +44,12 @@ def solve(A, y, tolerance, max_iterations=100):
         x2 = np.partition(xn, -2)[-2]  # second-largest raw value
         eps = min(eps, x2 / n)
 
-        w = np.power(x * x + eps, (p / 2.0) - 1.0)
-        w = w / np.sum(w)
+        # exactly-sparse x with eps == 0 yields inf weights; the loop exits
+        # before using them (same as the C++, irls-cpu.cpp:113-118), so
+        # silence the benign numpy warnings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.power(x * x + eps, (p / 2.0) - 1.0)
+            w = w / np.sum(w)
         it += 1
 
         if not (it < max_iterations and x2 > abstol):

@@ -58,16 +58,30 @@ def _pad_vec(y, pad):
     return jnp.pad(y, ((0, pad),)) if pad else y
 
 
+# Replicated Gram matrices above this size are not built automatically in
+# the sharded solver (n² bytes *per device*).
+_SHARDED_GRAM_AUTO_BYTES = 1 << 30
+
+
 def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
-                     max_iterations: int, k_max: int | None = None):
+                     max_iterations: int, k_max: int | None = None,
+                     gram: bool | None = None):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
     Y: (batch, m) — batch over "data", m over "row".
     Returns (X: (batch, n) sharded over "data", reports pytree).
+
+    ``gram`` (default auto, on while n² fits in 1 GiB/device) builds the
+    replicated Gram AᵀA once per call — one psum'd gemm — after which
+    every active-set insert is a local row lookup instead of a
+    psum-per-insert Gram-column product (SURVEY.md §2.4: minimize
+    collectives per iteration).
     """
     n = A.shape[1]
     k_max = k_max or min(n, max_iterations + 1)
+    if gram is None:
+        gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
@@ -77,7 +91,10 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                         (P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
     def run(A_local, Y_local):
-        op = RowShardedOperator(A_local, ROW_AXIS)
+        from ..ops import blas
+        G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                          ROW_AXIS) if gram else None)
+        op = RowShardedOperator(A_local, ROW_AXIS, G)
         solve = lambda y_local: solve_homotopy_core(
             op, n, y_local, tolerance, max_iterations, k_max)
         X, rep = jax.vmap(solve)(Y_local)

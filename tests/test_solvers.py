@@ -182,3 +182,32 @@ def test_permutations(name, cases, dtype):
             assert np.argmax(x) == n, (
                 f"{name} {M}x{N} {dtype.__name__}: argmax {np.argmax(x)} != {n}"
             )
+
+
+def test_ill_conditioned_f32_wanders_f64_exact():
+    """A near-degenerate 2-sparse problem where float32 path-following
+    wanders (both here and in a float32 oracle — inherent to the
+    algorithm, reference runs the same risk in its f32 instantiation)
+    while float64 recovers the support in exactly 2 path segments,
+    matching the float64 oracle's iteration count and error."""
+    import sparse_solvers_tpu as ss
+
+    rng = np.random.RandomState(0)
+    m, n = 35, 24
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    x_true = np.zeros(n, np.float32)
+    x_true[[7, 11]] = 1.0
+    y = x_true @ A.T
+
+    x64, rep64 = ss.Homotopy(A.astype(np.float64), engine="jax").solve(
+        y.astype(np.float64), tolerance=0.01, max_iterations=100)
+    assert rep64.iter == 2
+    assert sorted(np.nonzero(np.round(x64, 3))[0]) == [7, 11]
+    np.testing.assert_allclose(x64, x_true, atol=1e-6)
+
+    # f32 must still terminate and satisfy the tolerance, support aside
+    x32, rep32 = ss.Homotopy(A, engine="jax").solve(
+        y, tolerance=0.01, max_iterations=100)
+    assert rep32.solution_error <= 0.01
+    assert np.isfinite(x32).all()
