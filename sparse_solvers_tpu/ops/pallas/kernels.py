@@ -39,19 +39,32 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import blas
 
 # VMEM working-set budget for choosing tile sizes / eligibility (bytes).
-# v4/v5 cores have ~16 MiB; leave headroom for double buffering + spills.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# v4/v5e VMEM is large (~128 MiB) but Mosaic's working set for these
+# kernels runs ~3x the naive estimate (transposed copies of the A tile,
+# sublane-padded accumulators), so the scoped limit is raised explicitly
+# and tiles sized against a conservative budget (measured on v5e: tile
+# 64-256 compile and run; 1024 exceeds the limit).
+_VMEM_BUDGET = 8 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _kernel_precision():
+    """Mosaic supports only DEFAULT/HIGHEST dot precision; map the blas
+    layer's HIGH to HIGHEST (more accurate, modestly slower)."""
+    p = blas.current_precision()
+    return lax.Precision.DEFAULT if p == lax.Precision.DEFAULT \
+        else lax.Precision.HIGHEST
+
+
 def _tile_m(n: int, budget: int) -> int:
     """Largest multiple-of-8 row tile with A-tile double buffering in
     budget."""
     t = budget // (2 * 4 * n)
-    return max(8, min(512, (t // 8) * 8))
+    return max(8, min(256, (t // 8) * 8))
 
 
 def _eligible(b_pad: int, m: int, n: int, dtype) -> bool:
@@ -117,7 +130,7 @@ def normal_matvec_fused(A: jnp.ndarray, D: jnp.ndarray,
     Dp = jnp.pad(D, ((0, b_pad - b), (0, 0))) if b_pad != b else D
 
     kern = functools.partial(_fused_normal_kernel,
-                             precision=blas.current_precision())
+                             precision=_kernel_precision())
     out = pl.pallas_call(
         kern,
         grid=(m_pad // tile_m,),
@@ -131,7 +144,8 @@ def normal_matvec_fused(A: jnp.ndarray, D: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * b_pad * m_pad * n,
             bytes_accessed=m_pad * n * 4 + 2 * b_pad * n * 4,
@@ -163,7 +177,7 @@ def residual_correlation_fused(A: jnp.ndarray, X: jnp.ndarray,
     Yp = jnp.pad(Y, ((0, b_pad - b), (0, m_pad - m)))
 
     kern = functools.partial(_fused_residual_kernel,
-                             precision=blas.current_precision())
+                             precision=_kernel_precision())
     out = pl.pallas_call(
         kern,
         grid=(m_pad // tile_m,),
@@ -179,7 +193,8 @@ def residual_correlation_fused(A: jnp.ndarray, X: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * b_pad * m_pad * n,
             bytes_accessed=m_pad * n * 4 + 3 * b_pad * n * 4,
