@@ -129,6 +129,16 @@ def _swap_rowcol(M: jnp.ndarray, i, j) -> jnp.ndarray:
     return jnp.where(is_i.T, cj, jnp.where(is_j.T, ci, M))
 
 
+def swap_drop_rowcol(M: jnp.ndarray, pos, last) -> jnp.ndarray:
+    """Swap rows/cols pos↔last and zero out row/col ``last`` — the
+    companion-matrix form of an unordered removal (used for the active
+    Gram submatrix kept in lockstep with the inverse)."""
+    p = _swap_rowcol(M, pos, last)
+    i = jnp.arange(M.shape[0])
+    keep = i != last
+    return jnp.where(keep[:, None] & keep[None, :], p, 0)
+
+
 def insert_unordered(state: InverseState, col: jnp.ndarray,
                      u1: jnp.ndarray, vtv: jnp.ndarray) -> InverseState:
     """Insert ``col`` by *appending* its bordered row/col at slot k.

@@ -75,6 +75,9 @@ class _LoopState(NamedTuple):
     c_inf: jnp.ndarray
     direction: jnp.ndarray
     inv: oinv.InverseState
+    gk: jnp.ndarray     # (k_max, k_max) active Gram submatrix (fast mode)
+    c_act: jnp.ndarray  # (k_max,) active correlations in slot order (fast)
+    d_act: jnp.ndarray  # (k_max,) direction over slots (fast mode)
     broke: jnp.ndarray
 
 
@@ -128,16 +131,34 @@ def _toggle_support(state: oinv.InverseState, col, u1_full, vtv):
     )
 
 
-def _toggle_support_unordered(state: oinv.InverseState, col, u1, vtv):
+def _toggle_support_unordered(state: oinv.InverseState, gk, c_act, col,
+                              u1, vtv):
     """Fast-path toggle over an insertion-ordered active set: append-style
-    insert (no permutation) / swap-style remove. ``u1`` is the Gram column
-    already gathered to the live slots."""
-    return lax.cond(
-        state.mask[col],
-        lambda s, _u, _v: oinv.remove_unordered(s, col),
-        lambda s, u, v: oinv.insert_unordered(s, col, u, v),
-        state, u1, vtv,
-    )
+    insert (no permutation) / swap-style remove.
+
+    Alongside the inverse, two slot-space companions are kept in lockstep
+    (see solve_homotopy_core — they make the direction update gather-free):
+      * ``gk``   — the active Gram submatrix (AᵀA)[Γ, Γ] in slot order;
+        the insert's bordering row/col is exactly the already-gathered
+        ``u1`` (+ ``vtv`` on the diagonal), so it costs nothing extra;
+      * ``c_act`` — the active correlations c[Γ]; removals swap-drop it,
+        the inserted slot's value is written by the caller once the
+        updated correlations exist.
+    """
+    def rm(st, g, ca, _u, _v):
+        pos = jnp.argmax(st.indices == col)
+        last = st.k - 1
+        g = oinv.swap_drop_rowcol(g, pos, last)
+        ca = ca.at[pos].set(ca[last]).at[last].set(0)
+        return oinv.remove_unordered(st, col), g, ca
+
+    def ins(st, g, ca, u, v):
+        k = st.k
+        row_k = u.at[k].set(v)
+        g = g.at[k, :].set(row_k).at[:, k].set(row_k)
+        return oinv.insert_unordered(st, col, u, v), g, ca
+
+    return lax.cond(state.mask[col], rm, ins, state, gk, c_act, u1, vtv)
 
 
 def _update_direction(inv_state: oinv.InverseState, c, tol, n, dtype):
@@ -197,11 +218,16 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     # initial direction: sign(c_inf) * inv[0,0] scattered to idx0 —
     # note sign of the *norm*, not of c[idx0] (homotopy-cpu.cpp:223-227)
     cg0 = _sign_deadzone(c_inf0, tol)
-    d0 = jnp.zeros((n,), dtype).at[idx0].set(cg0 * inv0.inv[0, 0])
+    ds0 = cg0 * inv0.inv[0, 0]
+    d0 = jnp.zeros((n,), dtype).at[idx0].set(ds0)
+    gk0 = jnp.zeros((k_max, k_max), dtype).at[0, 0].set(vtv_0)
+    c_act0 = jnp.zeros((k_max,), dtype).at[0].set(c0[idx0])
+    d_act0 = jnp.zeros((k_max,), dtype).at[0].set(ds0)
 
     init = _LoopState(
         it=jnp.uint32(0), x=x0, c=c0, c_inf=c_inf0, direction=d0,
-        inv=inv0, broke=jnp.bool_(False),
+        inv=inv0, gk=gk0, c_act=c_act0, d_act=d_act0,
+        broke=jnp.bool_(False),
     )
 
     def compute_q(s: _LoopState):
@@ -221,19 +247,37 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
 
         if fast:
             u1, vtv = op.gram_gathered(idx, s.inv.indices)
-            inv1 = _toggle_support_unordered(s.inv, idx, u1, vtv)
+            present = s.inv.mask[idx]
+            # active correlations advance by the same recurrence as c,
+            # restricted to the support: q[Γ] = (AᵀA)[Γ,Γ] d[Γ] exactly
+            # (d is supported on Γ), with the small Gram submatrix
+            # maintained incrementally — no gather from the n-vector.
+            q_act = blas.xgemv(s.gk, s.d_act)
+            c_act1 = s.c_act - gamma * q_act
+            inv1, gk1, c_act1 = _toggle_support_unordered(
+                s.inv, s.gk, c_act1, idx, u1, vtv)
         else:
             u1, vtv = op.gram_column(idx)
             inv1 = _toggle_support(s.inv, idx, u1, vtv)
+            gk1, c_act1, d_act1 = s.gk, s.c_act, s.d_act
 
         x1 = s.x + gamma * s.direction
         if fast:
             # c(x + γd) = c(x) − γ·AᵀAd — recurrence instead of the two
             # residual gemvs at homotopy-cpu.cpp:255
             c1 = s.c - gamma * q
+            # newly inserted slot's correlation: one scalar from c1
+            c_act1 = jnp.where(present, c_act1,
+                               c_act1.at[s.inv.k].set(c1[idx]))
+            # direction = B·sign(c_Γ) computed wholly in slot space
+            # (homotopy-cpu.cpp:257-266 without the vec_subset gather)
+            ds = blas.xgemv(inv1.inv, _sign_deadzone(c_act1, tol))
+            d_act1 = ds
+            d1 = jnp.zeros((n,), dtype).at[inv1.indices].set(ds,
+                                                             mode="drop")
         else:
             c1 = op.rmatvec(y - op.matvec(x1))
-        d1 = _update_direction(inv1, c1, tol, n, dtype)
+            d1 = _update_direction(inv1, c1, tol, n, dtype)
         c_inf1 = jnp.max(jnp.abs(c1))
 
         # K == 0 → break, leaving x/c untouched (homotopy-cpu.cpp:248-249).
@@ -248,6 +292,9 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             c_inf=keep(c_inf1, s.c_inf),
             direction=keep(d1, s.direction),
             inv=inv1,
+            gk=gk1,
+            c_act=c_act1,
+            d_act=d_act1,
             broke=empty,
         )
 

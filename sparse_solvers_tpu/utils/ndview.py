@@ -13,9 +13,26 @@ binding's checks (reference: bindings/python/sparsesolvers/binding.cpp:21-37).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _SUPPORTED_DTYPES = (np.float32, np.float64)
+
+
+def _device_fast_path(arr, ndim: int, dtype, dim: int | None,
+                      size: int | None):
+    """Return ``arr`` unchanged when it is already a conforming device
+    array — np.asarray on a jax.Array would round-trip through the host,
+    which matters on every solve call of a serving loop."""
+    if not isinstance(arr, jax.Array) or arr.ndim != ndim:
+        return None
+    if dtype is not None and arr.dtype != np.dtype(dtype):
+        return None
+    if size is not None and arr.shape[dim] != size:
+        raise ValueError(
+            f"Expected axis {dim} of length {size} but got {arr.shape[dim]}"
+        )
+    return arr
 
 
 def _dim_error(expected: int, got: int) -> ValueError:
@@ -32,6 +49,9 @@ def as_matrix(A, *, dtype=None) -> jnp.ndarray:
     the reference binding selects the solver precision from the NumPy dtype
     at construction (binding.cpp:69-86).
     """
+    fast = _device_fast_path(A, 2, dtype, None, None)
+    if fast is not None:
+        return fast
     A = np.asarray(A)
     if A.ndim != 2:
         raise _dim_error(2, A.ndim)
@@ -41,6 +61,9 @@ def as_matrix(A, *, dtype=None) -> jnp.ndarray:
 
 def as_vector(x, *, dtype=None, size: int | None = None) -> jnp.ndarray:
     """Normalize a 1-d array-like to a device array."""
+    fast = _device_fast_path(x, 1, dtype, 0, size)
+    if fast is not None:
+        return fast
     x = np.asarray(x)
     if x.ndim != 1:
         raise _dim_error(1, x.ndim)
@@ -52,6 +75,9 @@ def as_vector(x, *, dtype=None, size: int | None = None) -> jnp.ndarray:
 
 def as_signal_batch(Y, *, dtype=None, size: int | None = None) -> jnp.ndarray:
     """Normalize a (batch, m) array-like of signals to a device array."""
+    fast = _device_fast_path(Y, 2, dtype, 1, size)
+    if fast is not None:
+        return fast
     Y = np.asarray(Y)
     if Y.ndim != 2:
         raise _dim_error(2, Y.ndim)
