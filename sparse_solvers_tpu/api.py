@@ -201,11 +201,14 @@ class Irls:
     (the reference computes it in the solver constructor, src/lib.cpp:51-57).
     """
 
-    def __init__(self, A, engine: str = "auto"):
+    def __init__(self, A, engine: str = "auto", mode: str = "fast"):
         if engine not in ("auto", "jax", "native"):
             raise ValueError(
                 f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
+        if mode not in ("fast", "exact"):
+            raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         self._engine = engine
+        self._mode = mode
         self._native = None
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
@@ -232,7 +235,8 @@ class Irls:
         key = (max_iterations, batched)
         fn = self._cache.get(key)
         if fn is None:
-            core = partial(_irls.solve_irls, max_iterations=max_iterations)
+            core = partial(_irls.solve_irls, max_iterations=max_iterations,
+                           mode=self._mode)
             if batched:
                 core = jax.vmap(core, in_axes=(None, None, 0, None))
             fn = jax.jit(core)

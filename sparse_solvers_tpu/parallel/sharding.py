@@ -106,10 +106,12 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
-                 tolerance, max_iterations: int):
+                 tolerance, max_iterations: int, mode: str = "fast"):
     """Row-sharded, batch-sharded IRLS solve given the economy QR of A.
 
     Q: (m, n) row-sharded; R: (n, n) replicated; Y: (batch, m).
+    In mode="fast" the only collective in the whole solve is the single
+    psum of rhs = Qᵀy — every iteration is replicated O(n²) work.
     """
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
@@ -123,7 +125,7 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     def run(Q_local, R_rep, Y_local):
         qop = RowShardedOperator(Q_local, ROW_AXIS)
         solve = lambda y_local: solve_irls_core(
-            qop, R_rep, y_local, tolerance, max_iterations)
+            qop, R_rep, y_local, tolerance, max_iterations, mode=mode)
         X, rep = jax.vmap(solve)(Y_local)
         return X, (rep.iter, rep.solution_error, rep.spd_failure)
 

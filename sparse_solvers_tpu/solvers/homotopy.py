@@ -245,9 +245,17 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
         gamma, idx = _find_max_gamma(q, s.c, s.x, s.direction, s.c_inf,
                                      s.inv.mask, dtype)
 
+        present = s.inv.mask[idx]
+        # This toggle empties the active set iff it removes the only
+        # member (homotopy-cpu.cpp:248-249). Clamping such a lane's step
+        # to zero freezes its x/c in place — the reference breaks before
+        # touching them — without any per-field keep-selects at the end
+        # of the body.
+        empty = present & (s.inv.k == 1)
+        gamma = jnp.where(empty, jnp.array(0, dtype), gamma)
+
         if fast:
             u1, vtv = op.gram_gathered(idx, s.inv.indices)
-            present = s.inv.mask[idx]
             # active correlations advance by the same recurrence as c,
             # restricted to the support: q[Γ] = (AᵀA)[Γ,Γ] d[Γ] exactly
             # (d is supported on Γ), with the small Gram submatrix
@@ -280,17 +288,12 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             d1 = _update_direction(inv1, c1, tol, n, dtype)
         c_inf1 = jnp.max(jnp.abs(c1))
 
-        # K == 0 → break, leaving x/c untouched (homotopy-cpu.cpp:248-249).
-        # Expressed as selects over the small per-lane state (a lax.cond
-        # here would batch to the same selects under vmap anyway).
-        empty = inv1.k == 0
-        keep = lambda new, old: jnp.where(empty, old, new)
         return _LoopState(
             it=it,
-            x=keep(x1, s.x),
-            c=keep(c1, s.c),
-            c_inf=keep(c_inf1, s.c_inf),
-            direction=keep(d1, s.direction),
+            x=x1,
+            c=c1,
+            c_inf=jnp.where(empty, s.c_inf, c_inf1),
+            direction=d1,
             inv=inv1,
             gk=gk1,
             c_act=c_act1,

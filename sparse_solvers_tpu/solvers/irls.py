@@ -70,24 +70,57 @@ def _newton(qop, R, y, w, dtype):
     return xn, isspd
 
 
+def _newton_fast(R, rhs, w, dtype):
+    """Closed-form Newton step exploiting Q's orthonormality.
+
+    Because QᵀQ = I, the reference's step collapses algebraically:
+    G = Qᵀ(Q∘w) = diag(w), s = G⁻¹Qᵀy = rhs/w, and Qᵀ(Q s) = s, so
+    x = R⁻¹(rhs/w) with rhs = Qᵀy computed once per solve — O(n²) per
+    iteration instead of the reference's O(mn²) gemm + O(n³) Cholesky
+    (irls-cpu.cpp:47-58). In float32 this is also *better* conditioned:
+    the dense Cholesky of diag(w) + O(eps) off-diagonal noise amplifies
+    that noise by 1/min(w) as the weights spread.
+
+    The reference's spd_failure corresponds to a Cholesky pivot
+    √w_j ≤ machine-eps, i.e. min(w) ≤ eps² (cholesky_decomposition.h:
+    80-83 with linalg/cholesky.py's pivot criterion).
+    """
+    eps = jnp.finfo(dtype).eps
+    isspd = jnp.min(w) > eps * eps
+    xn = blas.xtrsm(R, rhs / w, lower=False)
+    return xn, isspd
+
+
 def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-               max_iterations: int):
+               max_iterations: int, *, mode: str = "fast"):
     """Run IRLS given the economy QR of A; returns (x, IrlsReportArrays).
 
     Pure function of device arrays — jit/vmap-safe (Q, R broadcast across
-    vmapped signals). ``max_iterations`` is static.
+    vmapped signals). ``max_iterations`` and ``mode`` are static.
     """
     from ..ops.operators import DenseOperator
-    return solve_irls_core(DenseOperator(Q), R, y, tolerance, max_iterations)
+    return solve_irls_core(DenseOperator(Q), R, y, tolerance, max_iterations,
+                           mode=mode)
 
 
 def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-                    max_iterations: int):
-    """IRLS loop over an abstract Q operator (dense or row-sharded)."""
+                    max_iterations: int, *, mode: str = "fast"):
+    """IRLS loop over an abstract Q operator (dense or row-sharded).
+
+    mode="fast" (default) uses the algebraically collapsed Newton step
+    (see _newton_fast): one rmatvec per *solve* and an O(n²) triangular
+    solve per iteration — and, in the sharded case, zero collectives per
+    iteration. mode="exact" reproduces the reference's dense
+    gemm+Cholesky step per iteration.
+    """
+    if mode not in ("fast", "exact"):
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    fast = mode == "fast"
     n = R.shape[0]
     dtype = qop.dtype
     tol = jnp.asarray(tolerance, dtype)
     p = 0.9  # reweighting exponent (irls-cpu.cpp:70)
+    rhs = qop.rmatvec(y) if fast else None  # Qᵀy, loop-invariant
 
     init = _LoopState(
         it=jnp.uint32(0),
@@ -108,7 +141,10 @@ def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
         )
 
     def body(s: _LoopState) -> _LoopState:
-        xn, isspd = _newton(qop, R, y, s.w, dtype)
+        if fast:
+            xn, isspd = _newton_fast(R, rhs, s.w, dtype)
+        else:
+            xn, isspd = _newton(qop, R, y, s.w, dtype)
 
         def on_spd_failure(_):
             # break before committing x (irls-cpu.cpp:94-97); iter unchanged
