@@ -19,6 +19,8 @@ TPU-native semantics:
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import numpy as np
@@ -27,6 +29,7 @@ import jax.numpy as jnp
 
 from .reports import HomotopyReport, IrlsReport
 from .solvers import homotopy as _homotopy
+from .solvers import homotopy_batch as _homotopy_batch
 from .solvers import irls as _irls
 from .utils import ndview
 from .linalg import norms as _norms
@@ -116,18 +119,36 @@ class Homotopy:
         sparse = (self._mode == "fast"
                   and (batch or 1) * k_max < 2 * self._m
                   and k_max < self._n)
-        key = (max_iterations, k_max, batch is not None, sparse)
+        # Batch-native driver (explicit batch dim + fused Pallas active-set
+        # kernel) for fast-mode dense batches with a Gram matrix. The
+        # kernel currently trips unimplemented Mosaic lowerings for
+        # per-lane scalar reductions on real TPUs (vector.multi_reduction
+        # of (1,K) slices → "Offset change"), so the path is opt-in until
+        # that is reformulated; it is fully exercised in interpret mode by
+        # the test suite. The vmapped per-lane core is the default.
+        batch_native = (os.environ.get("SS_BATCH_NATIVE") == "1"
+                        and batch is not None and self._mode == "fast"
+                        and not sparse and self._G is not None
+                        and self._A.dtype == np.float32)
+        key = (max_iterations, k_max, batch is not None, sparse,
+               batch_native)
         fn = self._cache.get(key)
         if fn is None:
-            def core(A, G, y, tol):
-                op = _operators.DenseOperator(A, G)
-                with _blas.precision_scope(self._precision):
-                    return _homotopy.solve_homotopy_core(
-                        op, self._n, y, tol, max_iterations, k_max,
-                        mode=self._mode, sparse_matvec=sparse)
-            run = core
-            if batch is not None:
-                run = jax.vmap(core, in_axes=(None, None, 0, None))
+            if batch_native:
+                def run(A, G, y, tol):
+                    with _blas.precision_scope(self._precision):
+                        return _homotopy_batch.solve_homotopy_batch(
+                            A, G, y, tol, max_iterations, k_max)
+            else:
+                def core(A, G, y, tol):
+                    op = _operators.DenseOperator(A, G)
+                    with _blas.precision_scope(self._precision):
+                        return _homotopy.solve_homotopy_core(
+                            op, self._n, y, tol, max_iterations, k_max,
+                            mode=self._mode, sparse_matvec=sparse)
+                run = core
+                if batch is not None:
+                    run = jax.vmap(core, in_axes=(None, None, 0, None))
             fn = jax.jit(run)
             self._cache[key] = fn
         return fn
