@@ -4,29 +4,47 @@ small-state transition in one VMEM-resident Pallas kernel.
 Per lane and iteration, the XLA formulation of the fast path performs
 ~15 separate ops over the (k_max, k_max) inverse + Gram companions
 (branch selects from the vmapped lax.cond, swap/border writes, rank-1
-update, two small matvecs, layout copies) — each a full HBM round trip of
-the per-lane state, ~1 ms/iteration at batch 256, k_max 129. This kernel
+update, small matvecs, layout copies) — each a full HBM round trip of the
+per-lane state, ~1 ms/iteration at batch 256, k_max 129. This kernel
 performs the whole transition with the state resident in VMEM, reading
 and writing HBM exactly once:
 
-    inputs:  inv, gk (b,k,k); c_act, d_act, u1 (b,k); indices (b,k);
-             kk, idx, present, live, gamma, vtv, c_new (b,) scalars;
-             tol, sentinel
-    updates: c_act ← c_act − γ·(gk @ d_act)           (slot recurrence)
-             insert (append at slot k) or remove (swap-with-last +
-             Schur downdate) on inv and gk            (linalg/online_inverse)
-             c_act/indices kept in lockstep; inserted slot's correlation
-             set to c_new
-             d_act ← inv @ sign_deadzone(c_act, tol)  (direction)
-    frozen lanes (live=False) pass through untouched.
+    c_act ← c_act − γ·(gk @ d_act)            (slot recurrence)
+    insert (append at slot k) or remove (swap-with-last + Schur
+    downdate) applied to inv and gk           (linalg/online_inverse)
+    c_act/indices kept in lockstep; inserted slot's value = c_new
+    d_act ← inv @ sign_deadzone(c_act, tol)   (direction)
 
-Grid: one program per tile of L lanes; each program loops its lanes with
-the per-lane state block in VMEM and scalar controls in SMEM.
+Frozen lanes (live=False) pass through untouched.
+
+Mosaic-lowering strategy — the product of several failed formulations
+(see CLAUDE.md): the kernel is *fully lane-vectorized* (no per-lane
+fori loop; a serial lane loop loses to XLA's batched ops). Everything is
+elementwise arithmetic over (L,K,K)/(L,K) blocks with single-axis
+broadcasts plus reductions over the minor (lane) axis only:
+  * matvecs become `sum(M * v[:, None, :], axis=2)` — axis-2 reduces;
+  * row extraction uses the SYMMETRY of both matrices (inverse and Gram
+    are symmetric throughout), so rows are columns: axis-2 reduces again;
+  * per-lane scalars are (L,1) rowwise reductions, folded into one vector
+    operand of every outer product ((1,1)→(K,K) broadcasts don't lower);
+  * slot masks are precomputed by the caller as float 0/1 (L,K) arrays;
+  * the insert-vs-remove choice is a jnp.where select (a true select:
+    the inert insert path contains 1/0 = inf for remove lanes — a column
+    already in the span has zero Schur complement).
 
 The update math is identical to linalg/online_inverse.{insert,remove}
 _unordered (reference: src/linalg/online_inverse.h:184-293) — the kernel
 is a scheduling fusion, not a new algorithm. solvers/homotopy_batch.py
-uses it on TPU; everywhere else the XLA formulation runs.
+uses it; off-TPU it runs in interpret mode (tests).
+
+Status: compiles and matches the XLA formulation to ~1e-6 on real TPUs
+(b=256, K=129: 1.5 ms/call), but does not yet beat XLA's fused batched
+ops (~1 ms for the same transition): computing both branches plus the
+mask-blend swaps costs ~50 VMEM passes over the state versus XLA's ~15
+fused HBM passes. Kept opt-in (SS_BATCH_NATIVE=1) as the measured
+baseline for future pass-reduction work (tile-level `pl.when` skip of
+the remove path when no lane in the tile removes; fusing the blend
+chains).
 """
 
 from __future__ import annotations
@@ -39,135 +57,125 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE_TILE = 8  # lanes per grid program
+_LANE_TILE = 32  # lanes per grid program
 
 
-def _matvec(M, v, K):
-    """(K,K) @ (K,) on the MXU at HIGHEST precision."""
-    return jax.lax.dot_general(
-        M, v.reshape(K, 1), (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32).reshape(K)
-
-
-def _kernel(kk_ref, idx_ref, present_ref, live_ref,   # SMEM (b,) full
-            gamma_ref, vtv_ref, cnew_ref,             # SMEM (b,) full
-            tol_ref, sent_ref,                        # SMEM (1,)
-            inv_ref, gk_ref, c_act_ref, d_act_ref,    # VMEM blocks
-            u1_ref, ind_ref,
-            inv_out, gk_out, c_act_out, d_act_out, ind_out):
-    L = inv_ref.shape[0]
-    K = inv_ref.shape[1]
-    base = pl.program_id(0) * L  # global lane offset for the SMEM scalars
+def _kernel(tol_ref, sent_ref,                           # SMEM (1,)
+            inv_ref, gk_ref,                             # VMEM (L,K,K)
+            c_act_ref, d_act_ref, u1_ref, indf_ref,      # VMEM (L,K)
+            ep_ref, el_ref, ek_ref, lt_ref,              # VMEM (L,K) 0/1
+            live_ref, pres_ref, gamma_ref, vtv_ref,      # VMEM (L,1)
+            cnew_ref, idxf_ref,
+            inv_out, gk_out, c_act_out, d_act_out, indf_out):
     tol = tol_ref[0]
-    sentinel = sent_ref[0]
+    sent = sent_ref[0]
 
-    # pass-through defaults (frozen lanes keep their state)
-    inv_out[...] = inv_ref[...]
-    gk_out[...] = gk_ref[...]
-    c_act_out[...] = c_act_ref[...]
-    d_act_out[...] = d_act_ref[...]
-    ind_out[...] = ind_ref[...]
+    inv = inv_ref[...]        # (L,K,K), symmetric per lane
+    gk = gk_ref[...]
+    c_act = c_act_ref[...]    # (L,K)
+    d_act = d_act_ref[...]
+    u1 = u1_ref[...]
+    indf = indf_ref[...]
+    ep = ep_ref[...]
+    el = el_ref[...]
+    ek = ek_ref[...]
+    lt = lt_ref[...]
+    live = live_ref[...]      # (L,1)
+    pres = pres_ref[...]
+    gamma = gamma_ref[...]
+    vtv = vtv_ref[...]
 
-    slots = lax.broadcasted_iota(jnp.int32, (K, 1), 0).reshape(K)
+    def mv(M, v):
+        """Per-lane symmetric matvec: (L,K,K) @ (L,K) -> (L,K), as an
+        axis-2 (minor-axis) reduction — the only reduction direction with
+        a reliable Mosaic lowering here."""
+        return jnp.sum(M * v[:, None, :], axis=2)
 
-    def lane(l, _):
-        g = base + l
+    def dot1(a, b):
+        """Per-lane <a,b> -> (L,1)."""
+        return jnp.sum(a * b, axis=1, keepdims=True)
 
-        @pl.when(live_ref[g] != 0)
-        def _():
-            k = kk_ref[g]
-            idx = idx_ref[g]
-            gamma = gamma_ref[g]
+    # slot-space correlation recurrence (c_act0 kept for frozen lanes)
+    c_act0 = c_act
+    c_act = c_act - gamma * mv(gk, d_act)
 
-            inv = inv_ref[l]          # (K, K)
-            gk = gk_ref[l]
-            c_act = c_act_ref[l]      # (K,)
-            d_act = d_act_ref[l]
-            u1 = u1_ref[l]
-            ind = ind_ref[l]
+    # ---- remove path: swap ep<->el (symmetric congruence) + Schur downdate
+    def swap_mat(M):
+        # rows via symmetry: row_at(mask) == column_at(mask) == mv(M, mask)
+        rp = mv(M, ep)
+        rl = mv(M, el)
+        blend = 1.0 - ep - el
+        Mr = (M * blend[:, :, None] + ep[:, :, None] * rl[:, None, :]
+              + el[:, :, None] * rp[:, None, :])
+        # Mr is row-swapped; its columns come from axis-2 reduces
+        cp = jnp.sum(Mr * ep[:, None, :], axis=2)
+        cl = jnp.sum(Mr * el[:, None, :], axis=2)
+        return (Mr * blend[:, None, :] + ep[:, None, :] * cl[:, :, None]
+                + el[:, None, :] * cp[:, :, None])
 
-            # slot-space correlation recurrence
-            c_act = c_act - gamma * _matvec(gk, d_act, K)
+    def swap_vec(v, fill):
+        vp = dot1(ep, v)
+        vl = dot1(el, v)
+        s = v * (1.0 - ep - el) + ep * vl + el * vp
+        return s * lt + (1.0 - lt) * fill
 
-            def do_remove(_):
-                # idx occurs in exactly one live slot: its position is the
-                # masked slot-id sum (Mosaic has no int argmax). All
-                # dynamic row/col extractions are masked reductions —
-                # dynamic_slice of kernel *values* has no TPU lowering.
-                pos = jnp.sum(jnp.where(ind == idx, slots, 0),
-                              dtype=jnp.int32)
-                last = k - 1
-                is_pos = slots == pos
-                is_last = slots == last
+    p = swap_mat(inv)
+    pe = mv(p, el)                        # (L,K): p's last live column
+    u = pe * lt
+    d0 = dot1(el, pe)                     # (L,1): p[last,last]
+    ud = u / d0
+    keep = lt[:, :, None] * lt[:, None, :]
+    inv_rm = (p - ud[:, :, None] * u[:, None, :]) * keep
+    gk_rm = swap_mat(gk) * keep
+    c_rm = swap_vec(c_act, 0.0)
+    ind_rm = swap_vec(indf, sent)
 
-                def swap_mat(M):
-                    rp = jnp.sum(jnp.where(is_pos[:, None], M, 0.0),
-                                 axis=0)
-                    rl = jnp.sum(jnp.where(is_last[:, None], M, 0.0),
-                                 axis=0)
-                    M = jnp.where(is_pos[:, None], rl[None, :],
-                                  jnp.where(is_last[:, None], rp[None, :],
-                                            M))
-                    cp = jnp.sum(jnp.where(is_pos[None, :], M, 0.0),
-                                 axis=1)
-                    cl = jnp.sum(jnp.where(is_last[None, :], M, 0.0),
-                                 axis=1)
-                    return jnp.where(is_pos[None, :], cl[:, None],
-                                     jnp.where(is_last[None, :],
-                                               cp[:, None], M))
+    # ---- insert path: Sherman-Morrison bordering at slot k
+    u2 = mv(inv, u1)
+    di = 1.0 / (vtv - dot1(u1, u2))       # (L,1)
+    u2di = u2 * di
+    body = inv + u2di[:, :, None] * u2[:, None, :]
+    border = ek * di + (1.0 - ek) * (-u2di)
+    eki = ek * di
+    blend_k = (1.0 - ek[:, :, None]) * (1.0 - ek[:, None, :])
+    inv_in = (body * blend_k + ek[:, :, None] * border[:, None, :]
+              + ek[:, None, :] * border[:, :, None]
+              - eki[:, :, None] * ek[:, None, :])
+    grow = ek * vtv + (1.0 - ek) * u1
+    ekv = ek * vtv
+    gk_in = (gk * blend_k + ek[:, :, None] * grow[:, None, :]
+             + ek[:, None, :] * grow[:, :, None]
+             - ekv[:, :, None] * ek[:, None, :])
+    cnew = cnew_ref[...]
+    idxf = idxf_ref[...]
+    c_in = c_act * (1.0 - ek) + ek * cnew
+    ind_in = indf * (1.0 - ek) + ek * idxf
 
-                def swap_vec(v, fill, zero):
-                    vp = jnp.sum(jnp.where(is_pos, v, zero), dtype=v.dtype)
-                    vl = jnp.sum(jnp.where(is_last, v, zero), dtype=v.dtype)
-                    s = jnp.where(is_pos, vl, jnp.where(is_last, vp, v))
-                    return jnp.where(slots < last, s, fill)
+    # ---- selects: branch (true select — see module docstring), then
+    # live gating against the original state. Predicate masks are built
+    # by broadcasting (L,1) columns against (L,K) mask arrays (single-axis
+    # broadcasts only).
+    pres1 = pres + jnp.zeros_like(c_act)                 # (L,K) f32
+    live1 = live + jnp.zeros_like(c_act)
+    rm1 = pres1 > 0.5
+    lv1 = live1 > 0.5
+    # 3-d predicates: broadcast in f32 first (i1 reshapes don't lower)
+    rm2 = (pres1[:, :, None] + jnp.zeros_like(inv)) > 0.5
+    lv2 = (live1[:, :, None] + jnp.zeros_like(inv)) > 0.5
 
-                p = swap_mat(inv)
-                d0 = jnp.sum(jnp.where(is_last[:, None] & is_last[None, :],
-                                       p, 0.0))
-                u = jnp.where(slots < last,
-                              jnp.sum(jnp.where(is_last[None, :], p, 0.0),
-                                      axis=1), 0.0)
-                inv2 = p - jnp.outer(u, u) / d0
-                keep2 = (slots < last)[:, None] & (slots < last)[None, :]
-                inv2 = jnp.where(keep2, inv2, 0.0)
-                gk2 = jnp.where(keep2, swap_mat(gk), 0.0)
-                c2 = swap_vec(c_act, 0.0, 0.0)
-                ind2 = swap_vec(ind, sentinel, 0)
-                return inv2, gk2, c2, ind2, last
+    inv2 = jnp.where(rm2, inv_rm, inv_in)
+    gk2 = jnp.where(rm2, gk_rm, gk_in)
+    c2 = jnp.where(rm1, c_rm, c_in)
+    ind2 = jnp.where(rm1, ind_rm, ind_in)
 
-            def do_insert(_):
-                u2 = _matvec(inv, u1, K)
-                d0 = 1.0 / (vtv_ref[g] - jnp.sum(u1 * u2))
-                inv2 = inv + d0 * jnp.outer(u2, u2)
-                is_k = slots == k
-                border = jnp.where(is_k, d0, -d0 * u2)
-                inv2 = jnp.where(is_k[:, None], border[None, :],
-                                 jnp.where(is_k[None, :], border[:, None],
-                                           inv2))
-                grow = jnp.where(is_k, vtv_ref[g], u1)
-                gk2 = jnp.where(is_k[:, None], grow[None, :],
-                                jnp.where(is_k[None, :], grow[:, None], gk))
-                c2 = jnp.where(is_k, cnew_ref[g], c_act)
-                ind2 = jnp.where(is_k, idx, ind)
-                return inv2, gk2, c2, ind2, k + 1
+    sgn = jnp.where(c2 > tol, 1.0, jnp.where(c2 < -tol, -1.0, 0.0))
+    ds = mv(inv2, sgn)
 
-            inv2, gk2, c2, ind2, _k2 = lax.cond(
-                present_ref[g] != 0, do_remove, do_insert, 0)
-
-            sgn = jnp.where(c2 > tol, 1.0, jnp.where(c2 < -tol, -1.0, 0.0))
-            ds = _matvec(inv2, sgn, K)
-
-            inv_out[l] = inv2
-            gk_out[l] = gk2
-            c_act_out[l] = c2
-            d_act_out[l] = ds
-            ind_out[l] = ind2
-
-        return 0
-
-    lax.fori_loop(0, L, lane, 0)
+    inv_out[...] = jnp.where(lv2, inv2, inv)
+    gk_out[...] = jnp.where(lv2, gk2, gk)
+    c_act_out[...] = jnp.where(lv1, c2, c_act0)
+    d_act_out[...] = jnp.where(lv1, ds, d_act)
+    indf_out[...] = jnp.where(lv1, ind2, indf)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -193,7 +201,18 @@ def active_set_update(inv, gk, c_act, d_act, u1, indices, kk, idx, present,
         live = jnp.pad(live, (0, pad))  # padded lanes are frozen
     bp = b + pad
 
-    smem_f = pl.BlockSpec(memory_space=pltpu.SMEM)  # full array
+    # slot masks as float 0/1, per-lane scalars as (b,1) columns — the
+    # kernel is pure elementwise/reduction arithmetic over these
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    f32 = jnp.float32
+    ep = (indices == idx[:, None]).astype(f32)
+    el = (slots == (kk - 1)[:, None]).astype(f32)
+    ek = (slots == kk[:, None]).astype(f32)
+    lt = (slots < (kk - 1)[:, None]).astype(f32)
+    col = lambda a: a.astype(f32)[:, None]
+
+    smem_1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem1 = pl.BlockSpec((L, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vmem2 = pl.BlockSpec((L, K), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vmem3 = pl.BlockSpec((L, K, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -201,29 +220,30 @@ def active_set_update(inv, gk, c_act, d_act, u1, indices, kk, idx, present,
     out = pl.pallas_call(
         _kernel,
         grid=(bp // L,),
-        in_specs=[smem_f, smem_f, smem_f, smem_f, smem_f, smem_f, smem_f,
-                  smem_f, smem_f,
-                  vmem3, vmem3, vmem2, vmem2, vmem2, vmem2],
+        in_specs=[smem_1, smem_1, vmem3, vmem3,
+                  vmem2, vmem2, vmem2, vmem2,
+                  vmem2, vmem2, vmem2, vmem2,
+                  vmem1, vmem1, vmem1, vmem1, vmem1, vmem1],
         out_specs=(vmem3, vmem3, vmem2, vmem2, vmem2),
         out_shape=(
             jax.ShapeDtypeStruct((bp, K, K), jnp.float32),
             jax.ShapeDtypeStruct((bp, K, K), jnp.float32),
             jax.ShapeDtypeStruct((bp, K), jnp.float32),
             jax.ShapeDtypeStruct((bp, K), jnp.float32),
-            jax.ShapeDtypeStruct((bp, K), jnp.int32),
+            jax.ShapeDtypeStruct((bp, K), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(kk.astype(jnp.int32), idx.astype(jnp.int32),
-      present.astype(jnp.int32), live.astype(jnp.int32),
-      gamma, vtv, c_new,
-      jnp.full((1,), tol, jnp.float32),
-      jnp.full((1,), sentinel, jnp.int32),
-      inv, gk, c_act, d_act, u1, indices.astype(jnp.int32))
+    )(jnp.full((1,), tol, f32), jnp.full((1,), sentinel, f32),
+      inv, gk, c_act, d_act, u1, indices.astype(f32),
+      ep, el, ek, lt,
+      col(live), col(present), gamma[:, None], vtv[:, None],
+      c_new[:, None], idx.astype(f32)[:, None])
 
-    inv2, gk2, c2, ds2, ind2 = out
+    inv2, gk2, c2, ds2, indf2 = out
+    ind2 = indf2.astype(jnp.int32)
     # kk transition is trivial arithmetic — done here, not in the kernel
     # (scalar VMEM stores are unsupported)
     kk2 = jnp.where(live, jnp.where(present, kk - 1, kk + 1), kk)
