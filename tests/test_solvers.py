@@ -211,3 +211,25 @@ def test_ill_conditioned_f32_wanders_f64_exact():
         y, tolerance=0.01, max_iterations=100)
     assert rep32.solution_error <= 0.01
     assert np.isfinite(x32).all()
+
+
+def test_irls_fast_exact_mode_parity():
+    """The collapsed Newton step (QᵀQ=I) must match the reference-shaped
+    dense step on recoverable problems (solvers/irls.py:_newton_fast)."""
+    import sparse_solvers_tpu as ss
+
+    rng = np.random.RandomState(9)
+    m, n = 80, 40
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    x_true = np.zeros(n, np.float32)
+    x_true[13] = 1.0
+    y = A @ x_true
+
+    xe, re_ = ss.Irls(A, engine="jax", mode="exact").solve(
+        y, tolerance=1e-3, max_iterations=50)
+    xf, rf = ss.Irls(A, engine="jax", mode="fast").solve(
+        y, tolerance=1e-3, max_iterations=50)
+    assert re_.iter == rf.iter
+    assert re_.spd_failure == rf.spd_failure
+    np.testing.assert_allclose(xe, xf, atol=1e-5)
