@@ -180,9 +180,10 @@ class Homotopy:
             return xn, HomotopyReport(iter=it, solution_error=err)
         x, rep = self._fn(max_iterations, batch=None)(
             self._A, self._G, y, tol)
-        report = HomotopyReport(iter=int(rep.iter),
-                                solution_error=float(rep.solution_error))
-        return np.asarray(x), report
+        # one fused device→host transfer (separate int()/float()/asarray
+        # pulls cost a blocking round trip each — dominant on remote TPUs)
+        x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
+        return x, HomotopyReport(iter=int(it), solution_error=float(err))
 
     def solve_batch(self, B, tolerance: float | None = None,
                     max_iterations: int = 100):
@@ -292,10 +293,11 @@ class Irls:
                                   spd_failure=spd)
         x, rep = self._fn(max_iterations, batched=False)(
             self._Q, self._R, y, tol)
-        report = IrlsReport(iter=int(rep.iter),
-                            solution_error=float(rep.solution_error),
-                            spd_failure=bool(rep.spd_failure))
-        return np.asarray(x), report
+        # one fused device→host transfer (see Homotopy.solve)
+        x, it, err, spd = jax.device_get(
+            (x, rep.iter, rep.solution_error, rep.spd_failure))
+        return x, IrlsReport(iter=int(it), solution_error=float(err),
+                             spd_failure=bool(spd))
 
     def solve_batch(self, B, tolerance: float | None = None,
                     max_iterations: int = 100):
