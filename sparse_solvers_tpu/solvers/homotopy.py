@@ -252,6 +252,12 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
         # touching them — without any per-field keep-selects at the end
         # of the body.
         empty = present & (s.inv.k == 1)
+        if k_max <= max_iterations:
+            # a user-shrunk capacity can overflow (the default
+            # max_iterations+1 cannot: ≤1 insert per iteration); treat a
+            # full-capacity insert like the empty-set break instead of
+            # writing out of bounds
+            empty = empty | (~present & (s.inv.k >= k_max))
         gamma = jnp.where(empty, jnp.array(0, dtype), gamma)
 
         if fast:

@@ -126,6 +126,10 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                                            s.mask, dtype)
         present = _take1(s.mask, idx)
         empty = present & (s.kk == 1)
+        if k_max <= max_iterations:
+            # user-shrunk capacity may overflow; break instead (the
+            # kernel's mask-based insert is naturally a no-op at k == K)
+            empty = empty | (~present & (s.kk >= k_max))
         gamma = jnp.where(live & ~empty, gamma, jnp.array(0, dtype))
 
         row = jnp.take(G, idx, axis=0)          # (b, n) contiguous rows

@@ -233,3 +233,24 @@ def test_irls_fast_exact_mode_parity():
     assert re_.iter == rf.iter
     assert re_.spd_failure == rf.spd_failure
     np.testing.assert_allclose(xe, xf, atol=1e-5)
+
+
+def test_k_max_overflow_breaks_cleanly():
+    """A user-shrunk active-set capacity must terminate the path at the
+    capacity (like the reference's K==0 break) rather than writing out of
+    bounds and looping to max_iterations on corrupted state."""
+    import sparse_solvers_tpu as ss
+
+    rng = np.random.RandomState(0)
+    m, n = 30, 60
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    xt = np.zeros(n, np.float32)
+    xt[rng.choice(n, 10, replace=False)] = 1.0
+    y = A @ xt
+
+    x, rep = ss.Homotopy(A, k_max=4, engine="jax").solve(
+        y, tolerance=0.01, max_iterations=50)
+    assert rep.iter <= 5          # breaks at capacity, not max_iterations
+    assert np.isfinite(x).all()
+    assert np.isfinite(rep.solution_error)
