@@ -81,19 +81,21 @@ def main():
     Y = jax.device_put(Y)
     t0 = time.time()
     Xw, repw = solver.solve_batch(Y, tolerance=TOL, max_iterations=MAX_ITER)
-    Xw.block_until_ready()
+    # materialize a small output: on tunneled devices block_until_ready
+    # can return before the remote execution finishes
     _log(f"warmup (compile + run): {time.time() - t0:.2f}s; "
          f"iters mean={np.mean(np.asarray(repw.iter)):.1f} "
          f"max={np.max(np.asarray(repw.iter))}")
 
-    # timed runs — median of 5 to damp device/tunnel noise
+    # timed runs — median of 5 to damp device/tunnel noise; each run is
+    # fenced by materializing the (tiny) per-lane iteration counts
     runs = 5
     times = []
     for _ in range(runs):
         t0 = time.time()
         X, rep = solver.solve_batch(Y, tolerance=TOL,
                                     max_iterations=MAX_ITER)
-        X.block_until_ready()
+        np.asarray(rep.iter)
         times.append(time.time() - t0)
     dt = sorted(times)[len(times) // 2]
     solves_per_sec = BATCH / dt

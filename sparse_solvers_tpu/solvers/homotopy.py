@@ -186,7 +186,8 @@ def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 
 def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
                         max_iterations: int, k_max: int, *,
-                        mode: str = "fast", sparse_matvec: bool = False):
+                        mode: str = "fast", sparse_matvec: bool = False,
+                        use_gk: bool = False):
     """Homotopy path loop over an abstract sensing operator.
 
     ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
@@ -220,9 +221,14 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     cg0 = _sign_deadzone(c_inf0, tol)
     ds0 = cg0 * inv0.inv[0, 0]
     d0 = jnp.zeros((n,), dtype).at[idx0].set(ds0)
-    gk0 = jnp.zeros((k_max, k_max), dtype).at[0, 0].set(vtv_0)
-    c_act0 = jnp.zeros((k_max,), dtype).at[0].set(c0[idx0])
-    d_act0 = jnp.zeros((k_max,), dtype).at[0].set(ds0)
+    if fast and use_gk:
+        gk0 = jnp.zeros((k_max, k_max), dtype).at[0, 0].set(vtv_0)
+        c_act0 = jnp.zeros((k_max,), dtype).at[0].set(c0[idx0])
+        d_act0 = jnp.zeros((k_max,), dtype).at[0].set(ds0)
+    else:  # 1-element dummies: the pytree slot exists, the machinery off
+        gk0 = jnp.zeros((1, 1), dtype)
+        c_act0 = jnp.zeros((1,), dtype)
+        d_act0 = jnp.zeros((1,), dtype)
 
     init = _LoopState(
         it=jnp.uint32(0), x=x0, c=c0, c_inf=c_inf0, direction=d0,
@@ -260,7 +266,7 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             empty = empty | (~present & (s.inv.k >= k_max))
         gamma = jnp.where(empty, jnp.array(0, dtype), gamma)
 
-        if fast:
+        if fast and use_gk:
             u1, vtv = op.gram_gathered(idx, s.inv.indices)
             # active correlations advance by the same recurrence as c,
             # restricted to the support: q[Γ] = (AᵀA)[Γ,Γ] d[Γ] exactly
@@ -270,6 +276,14 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             c_act1 = s.c_act - gamma * q_act
             inv1, gk1, c_act1 = _toggle_support_unordered(
                 s.inv, s.gk, c_act1, idx, u1, vtv)
+        elif fast:
+            u1, vtv = op.gram_gathered(idx, s.inv.indices)
+            inv1 = lax.cond(
+                s.inv.mask[idx],
+                lambda st, _u, _v: oinv.remove_unordered(st, idx),
+                lambda st, u, v: oinv.insert_unordered(st, idx, u, v),
+                s.inv, u1, vtv)
+            gk1, c_act1 = s.gk, s.c_act  # pass-through (unused, aliased)
         else:
             u1, vtv = op.gram_column(idx)
             inv1 = _toggle_support(s.inv, idx, u1, vtv)
@@ -280,13 +294,17 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             # c(x + γd) = c(x) − γ·AᵀAd — recurrence instead of the two
             # residual gemvs at homotopy-cpu.cpp:255
             c1 = s.c - gamma * q
-            # newly inserted slot's correlation: one scalar from c1
-            c_act1 = jnp.where(present, c_act1,
-                               c_act1.at[s.inv.k].set(c1[idx]))
+            if use_gk:
+                # newly inserted slot's correlation: one scalar from c1
+                c_act1 = jnp.where(present, c_act1,
+                                   c_act1.at[s.inv.k].set(c1[idx]))
+                cg = c_act1
+            else:
+                cg = jnp.take(c1, inv1.indices, mode="fill", fill_value=0)
             # direction = B·sign(c_Γ) computed wholly in slot space
             # (homotopy-cpu.cpp:257-266 without the vec_subset gather)
-            ds = blas.xgemv(inv1.inv, _sign_deadzone(c_act1, tol))
-            d_act1 = ds
+            ds = blas.xgemv(inv1.inv, _sign_deadzone(cg, tol))
+            d_act1 = ds if use_gk else s.d_act
             d1 = jnp.zeros((n,), dtype).at[inv1.indices].set(ds,
                                                              mode="drop")
         else:
