@@ -12,9 +12,16 @@ holds for it (homotopy-cpu.cpp:236); frozen lanes take zero-length steps
 and pass through the kernel untouched, so their state is bit-stable until
 every lane finishes.
 
-Used by api.Homotopy.solve_batch for fast-mode dense solves with a
-precomputed Gram matrix; the vmapped per-lane core remains the engine for
-single solves, exact mode, sharding, and CPU.
+Status (measured on one v5e, b=256, 4096×8192, k=64): the vmapped
+per-lane core remains the fastest formulation (~175 ms/batch) and is the
+default. This driver's two alternative bodies are kept as measured
+baselines for future work: the fused Pallas kernel path (~1.5 ms/
+transition — VMEM pass count exceeds XLA's fusion) and the XLA path with
+a batch-level insert-only branch (~45 ms/iteration — the data-dependent
+lax.cond inside the while_loop forces operand copies and defeats XLA's
+fusion, costing far more than the per-lane branch select it avoids).
+Both are exact: they match the vmap core iteration-for-iteration in the
+test suite. Opt-in via SS_BATCH_NATIVE=1.
 """
 
 from __future__ import annotations
@@ -104,9 +111,12 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         d=jnp.zeros((b, n), dtype).at[bidx, idx0].set(ds0),
         mask=jnp.zeros((b, n), bool).at[bidx, idx0].set(True),
         inv=jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(1 / vtv0),
-        gk=jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(vtv0),
-        c_act=zK.at[:, 0].set(_take1(C0, idx0)),
-        d_act=zK.at[:, 0].set(ds0),
+        gk=(jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(vtv0)
+            if use_kernel else jnp.zeros((b, 1, 1), dtype)),
+        c_act=(zK.at[:, 0].set(_take1(C0, idx0)) if use_kernel
+               else jnp.zeros((b, 1), dtype)),
+        d_act=(zK.at[:, 0].set(ds0) if use_kernel
+               else jnp.zeros((b, 1), dtype)),
         indices=jnp.full((b, K), n, jnp.int32).at[:, 0].set(idx0),
         kk=jnp.ones(b, jnp.int32),
         broke=jnp.zeros(b, bool),
@@ -143,13 +153,74 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         x1 = s.x + gamma[:, None] * s.d
         c_new = _take1(c1, idx)
 
-        inv1, gk1, c_act1, d_act1, ind1, kk1 = _ak.active_set_update(
-            s.inv, s.gk, s.c_act, s.d_act, u1, s.indices, s.kk, idx,
-            present, live, gamma, vtv, c_new, tol, n,
-            interpret=interpret)
+        if use_kernel:
+            inv1, gk1, c_act1, d_act1, ind1, kk1 = _ak.active_set_update(
+                s.inv, s.gk, s.c_act, s.d_act, u1, s.indices, s.kk, idx,
+                present, live, gamma, vtv, c_new, tol, n,
+                interpret=interpret)
+            d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
+                d_act1, mode="drop")
+        else:
+            # XLA path with a BATCH-LEVEL branch: when no live lane
+            # removes this iteration (the overwhelmingly common case —
+            # pure-insertion paths never remove), run an insert-only body
+            # with no per-lane cond at all. This is the one thing vmap of
+            # a per-lane solver cannot express: under vmap, lax.cond
+            # always computes both branches and pays a batched select
+            # over the (b,K,K) state.
+            import sparse_solvers_tpu.linalg.online_inverse as oinv
 
-        d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
-            d_act1, mode="drop")
+            def lane_state(inv, ind, kk):
+                return oinv.InverseState(
+                    inv=inv, indices=ind,
+                    mask=jnp.zeros((n,), bool),  # unused by unordered ops
+                    k=kk)
+
+            def do_insert_only(ops):
+                inv, ind, kk, u1_, idx_, vtv_, pr_ = ops
+                def one(inv_l, ind_l, kk_l, u1_l, idx_l, vtv_l):
+                    st = oinv.insert_unordered(
+                        lane_state(inv_l, ind_l, kk_l), idx_l, u1_l, vtv_l)
+                    return st.inv, st.indices, st.k
+                return jax.vmap(one)(inv, ind, kk, u1_, idx_, vtv_)
+
+            def do_full(ops):
+                inv, ind, kk, u1_, idx_, vtv_, pr_ = ops
+                def one(inv_l, ind_l, kk_l, u1_l, idx_l, vtv_l, pr_l):
+                    st0 = lane_state(inv_l, ind_l, kk_l)
+                    st = lax.cond(
+                        pr_l,
+                        lambda a, _u, _v: oinv.remove_unordered(a, idx_l),
+                        lambda a, u, v: oinv.insert_unordered(a, idx_l,
+                                                              u, v),
+                        st0, u1_l, vtv_l)
+                    return st.inv, st.indices, st.k
+                return jax.vmap(one)(inv, ind, kk, u1_, idx_, vtv_, pr_)
+
+            ops = (s.inv, s.indices, s.kk, u1, idx, vtv, present)
+            inv_n, ind_n, kk_n = lax.cond(
+                jnp.any(present & live), do_full, do_insert_only, ops)
+
+            # freeze: lanes not live keep their state untouched
+            lv1 = live[:, None]
+            lv2 = live[:, None, None]
+            inv1 = jnp.where(lv2, inv_n, s.inv)
+            ind1 = jnp.where(lv1, ind_n, s.indices)
+            kk1 = jnp.where(live, kk_n, s.kk)
+            gk1, c_act1, d_act1 = s.gk, s.c_act, s.d_act  # dummies
+
+            # direction: gather c at the (new) support, sign, small
+            # matvec, scatter (homotopy-cpu.cpp:257-266)
+            safe1 = jnp.minimum(ind1, n - 1)
+            cg = jnp.where(ind1 < n,
+                           jnp.take_along_axis(c1, safe1, axis=1),
+                           jnp.array(0, dtype))
+            sg = _sign_deadzone(cg, tol)
+            ds = jnp.einsum("bij,bj->bi", inv1, sg,
+                            precision=lax.Precision.HIGHEST)
+            d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
+                ds, mode="drop")
+            d1 = jnp.where(lv1, d1, s.d)  # frozen lanes keep direction
         mval = jnp.where(live, ~present, present)
         mask1 = s.mask.at[bidx, idx].set(mval)
         c_inf1 = jnp.max(jnp.abs(c1), axis=1)

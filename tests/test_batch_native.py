@@ -64,3 +64,25 @@ def test_lane_freeze_variable_iterations():
     # each lane recovered its own signal
     rec = np.max(np.abs(np.asarray(Xb) @ A.T - Y), axis=1)
     assert (rec < 0.05).all()
+
+
+def test_matches_vmap_core_with_removals():
+    # signed coefficients + noise force remove events, exercising the
+    # batch-level do_full branch
+    rng = np.random.RandomState(3)
+    m, n, k, B = 40, 80, 10, 12
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Xt = np.zeros((B, n), np.float32)
+    for i in range(B):
+        Xt[i, rng.choice(n, k, replace=False)] = rng.randn(k)
+    Y = (Xt @ A.T + 0.01 * rng.randn(B, m)).astype(np.float32)
+
+    s = ss.Homotopy(A, engine="jax")
+    Xv, Rv = s.solve_batch(Y, tolerance=0.05, max_iterations=60)
+    f = jax.jit(partial(HB.solve_homotopy_batch, max_iterations=60,
+                        k_max=61, use_kernel=False))
+    with blas.precision_scope("high"):
+        Xb, Rb = f(jnp.asarray(A), s._G, jnp.asarray(Y), 0.05)
+    np.testing.assert_array_equal(np.asarray(Rv.iter), np.asarray(Rb.iter))
+    np.testing.assert_allclose(np.asarray(Xv), np.asarray(Xb), atol=1e-5)
