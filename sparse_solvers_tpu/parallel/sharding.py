@@ -95,8 +95,15 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
                           ROW_AXIS) if gram else None)
         op = RowShardedOperator(A_local, ROW_AXIS, G)
+        # With a replicated Gram and few lanes per device, the γ-scan
+        # product q = AᵀAd comes from Gram-column gathers — zero
+        # collectives per iteration (SURVEY.md §2.4 north star); the
+        # dense two-step (one psum) wins once the local batch is large.
+        local_batch = Y_local.shape[0]
+        sparse = gram and local_batch * k_max < 2 * A.shape[0]
         solve = lambda y_local: solve_homotopy_core(
-            op, n, y_local, tolerance, max_iterations, k_max)
+            op, n, y_local, tolerance, max_iterations, k_max,
+            sparse_matvec=sparse)
         X, rep = jax.vmap(solve)(Y_local)
         return X, (rep.iter, rep.solution_error)
 
