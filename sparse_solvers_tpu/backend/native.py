@@ -14,6 +14,9 @@ backend, used for
 The shared library is built lazily with ``make`` on first use (g++ is part
 of the supported toolchain); set ``SS_NATIVE_DISABLE=1`` to forbid the
 native path entirely — everything degrades gracefully to the JAX engine.
+Wheel installs without the ``csrc/`` tree simply report the backend as
+unavailable and run on the JAX engine (repo checkouts get it
+automatically).
 """
 
 from __future__ import annotations
