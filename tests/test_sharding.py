@@ -78,3 +78,99 @@ def test_homotopy_sharded_under_jit(mesh):
     X, rep = step(Ad, Yd)
     Xs, _ = ss.Homotopy(A).solve_batch(Y, tolerance=0.01, max_iterations=30)
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-12)
+
+
+def _compiled_text(fn, *args):
+    return jax.jit(fn).lower(*args).compile().as_text()
+
+
+def _collectives_in_loop_bodies(txt):
+    """Count all-reduce ops reachable from while-loop body computations.
+
+    Parses the compiled HLO text into computations, finds each `while`
+    instruction's body=%name, and counts all-reduce instructions in the
+    transitive closure of computations the body references (cond branches
+    etc. live in their own regions).
+    """
+    import re
+
+    comps = {}
+    name = None
+    buf = []
+    for l in txt.splitlines():
+        m = re.match(r"\s*(%[\w.\-]+)\s*\(.*\{\s*$", l)
+        if m and name is None:
+            name = m.group(1)
+            buf = []
+            continue
+        if name is not None:
+            if l.strip() == "}":
+                comps[name] = "\n".join(buf)
+                name = None
+            else:
+                buf.append(l)
+
+    bodies = set(re.findall(r"body=(%[\w.\-]+)", txt))
+    assert bodies, "no while bodies found in compiled HLO"
+
+    seen = set()
+    frontier = list(bodies)
+    while frontier:
+        c = frontier.pop()
+        if c in seen or c not in comps:
+            continue
+        seen.add(c)
+        for ref in re.findall(r"(%[\w.\-]+)", comps[c]):
+            if ref in comps and ref not in seen:
+                frontier.append(ref)
+
+    return sum(
+        len(re.findall(r"= .*all-reduce\(", comps[c])) for c in seen)
+
+
+def test_sharded_fast_irls_collective_count(mesh):
+    """Fast-mode sharded IRLS needs exactly one reduction per *solve*
+    (the psum of Qᵀy) — nothing per iteration (solvers/irls.py
+    _newton_fast + parallel/sharding.py irls_sharded docstring)."""
+    rng = np.random.RandomState(0)
+    m, n, batch = 32, 16, 4
+    A = rng.randn(m, n).astype(np.float32)
+    Q, R = np.linalg.qr(A)
+    Y = rng.randn(batch, m).astype(np.float32)
+    Qd, Yd = sh.shard_inputs(mesh, Q.astype(np.float32), Y)
+
+    txt = _compiled_text(
+        lambda q, r, y: sh.irls_sharded(mesh, q, r, y, 1e-3, 10),
+        Qd, jnp.asarray(R.astype(np.float32)), Yd)
+    assert txt.count("all-reduce(") >= 1  # the Qᵀy psum exists
+    assert _collectives_in_loop_bodies(txt) == 0, \
+        "IRLS fast iterations must be collective-free"
+
+
+def test_sharded_homotopy_gram_sparse_loop_collectives(mesh):
+    """With the replicated Gram + Gram-gather γ-scan, the homotopy while
+    body itself runs without all-reduces (setup: the Gram psum + initial
+    correlation psum happen once per solve)."""
+    rng = np.random.RandomState(0)
+    A, Y = _problem(rng, 24, 16, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+    txt = _compiled_text(
+        lambda a, y: sh.homotopy_sharded(mesh, a, y, 1e-2, 8, gram=True),
+        Ad, Yd)
+    assert "while(" in txt or "while (" in txt
+    assert _collectives_in_loop_bodies(txt) == 0
+
+
+def test_sharded_homotopy_dense_has_loop_collectives(mesh):
+    """Negative control for the HLO analyzer: without the replicated Gram
+    the loop body must contain the per-iteration psums (q and the
+    insert's Gram column)."""
+    rng = np.random.RandomState(0)
+    A, Y = _problem(rng, 24, 16, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+    txt = _compiled_text(
+        lambda a, y: sh.homotopy_sharded(mesh, a, y, 1e-2, 8, gram=False),
+        Ad, Yd)
+    assert _collectives_in_loop_bodies(txt) >= 1
