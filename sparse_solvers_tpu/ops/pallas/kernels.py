@@ -68,9 +68,11 @@ def _tile_m(n: int, budget: int) -> int:
 
 
 def _eligible(b_pad: int, m: int, n: int, dtype) -> bool:
-    """Fused kernel wins while batch buffers fit in VMEM next to the A
-    tile; beyond that XLA's two-gemm form (compute-bound regime) is used."""
-    if dtype != jnp.float32 or n % 128 or b_pad > 512:
+    """Fused kernel wins in the memory-bound small-batch regime; beyond
+    that XLA's two-gemm form (compute-bound) is used. Measured crossover
+    on v5e at 4096×8192 (benchmarks/results/kernels_v5e.jsonl): fused
+    faster at b=8, parity at b=64, XLA faster at b=256."""
+    if dtype != jnp.float32 or n % 128 or b_pad > 64:
         return False
     t = _tile_m(n, _VMEM_BUDGET)
     vm = 2 * (t * n * 4)          # double-buffered A tile
