@@ -111,3 +111,67 @@ def test_random_gram_consistency():
         # padding must stay exactly zero
         buf = np.asarray(state.inv)
         assert np.all(buf[k:, :] == 0) and np.all(buf[:, k:] == 0)
+
+
+class TestUnorderedVariants:
+    """Property tests for the fast path's insertion-ordered inverse
+    (insert_unordered / remove_unordered / swap helpers) against dense
+    ground truth over random toggle sequences."""
+
+    def test_random_toggle_sequence_tracks_dense_inverse(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from sparse_solvers_tpu.linalg import online_inverse as oinv
+
+        rng = np.random.RandomState(0)
+        n, cap, steps = 24, 9, 40
+        A = rng.randn(48, n).astype(np.float32)
+        A /= np.linalg.norm(A, axis=0)
+        G = (A.T @ A).astype(np.float32)
+
+        st = oinv.init(cap, n, jnp.float32)
+        members: list[int] = []
+        for _ in range(steps):
+            if members and (len(members) >= cap - 1 or rng.rand() < 0.3):
+                col = int(members[rng.randint(len(members))])
+                st = oinv.remove_unordered(st, jnp.int32(col))
+                members.remove(col)
+            else:
+                col = int(rng.choice([j for j in range(n)
+                                      if j not in members]))
+                u1 = np.zeros(cap, np.float32)
+                idxs = np.asarray(st.indices)
+                live = idxs < n
+                u1[live] = G[idxs[live], col]
+                st = oinv.insert_unordered(st, jnp.int32(col),
+                                           jnp.asarray(u1),
+                                           jnp.float32(G[col, col]))
+                members.append(col)
+
+            # validate against the dense inverse over the live slots
+            k = int(st.k)
+            assert k == len(members)
+            idxs = np.asarray(st.indices)[:k]
+            assert sorted(idxs.tolist()) == sorted(members)
+            if k:
+                ref = np.linalg.inv(G[np.ix_(idxs, idxs)])
+                np.testing.assert_allclose(np.asarray(st.inv)[:k, :k], ref,
+                                           atol=2e-2, rtol=2e-2)
+            # padding must stay exactly zero
+            pad = np.asarray(st.inv).copy()
+            pad[:k, :k] = 0
+            assert (pad == 0).all()
+
+    def test_swap_drop_rowcol(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from sparse_solvers_tpu.linalg import online_inverse as oinv
+
+        M = np.arange(25, dtype=np.float32).reshape(5, 5)
+        out = np.asarray(oinv.swap_drop_rowcol(jnp.asarray(M), 1, 3))
+        ref = M.copy()
+        ref[[1, 3]] = ref[[3, 1]]
+        ref[:, [1, 3]] = ref[:, [3, 1]]
+        ref[3, :] = 0
+        ref[:, 3] = 0
+        np.testing.assert_array_equal(out, ref)
