@@ -193,6 +193,11 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
     one device, or a row-shard with psum reductions inside shard_map. ``n``
     is the global column count (static).
+
+    ``use_gk`` (static) switches the fast-mode direction update to the
+    slot-space Gram-companion recurrence instead of the correlation
+    gather; measured slower under vmap (docs/design.md §8) and kept for
+    the batch-native Pallas kernel, which holds the companion in VMEM.
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
