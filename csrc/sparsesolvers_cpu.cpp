@@ -182,6 +182,11 @@ struct HomotopyWork {
       if (gidx < 0) break;
       T gamma = gmin;
 
+      // a full-capacity insert breaks the path cleanly, like the JAX
+      // engines (solvers/homotopy.py k_max overflow guard) and the
+      // empty-set case below — continuing with a stale support would
+      // re-select the same column forever
+      if (inv.slot_of(gidx) < 0 && inv.k >= cap) break;
       toggle(gidx);
       if (inv.k == 0) break;
 
@@ -348,10 +353,14 @@ struct IrlsWork {
       abstol = amax * tol;
       for (auto& v : xv)
         if (v < abstol) v = 0;
-      std::vector<T> srt(xv);
-      std::nth_element(srt.begin(), srt.begin() + 1, srt.end(),
-                       std::greater<T>());
-      x2 = srt[1];
+      if (n < 2) {
+        x2 = 0;  // no second-largest; the loop exits below
+      } else {
+        std::vector<T> srt(xv);
+        std::nth_element(srt.begin(), srt.begin() + 1, srt.end(),
+                         std::greater<T>());
+        x2 = srt[1];
+      }
       eps = std::min(eps, x2 / T(n));
       T wsum = 0;
       for (int j = 0; j < n; ++j) {

@@ -5,9 +5,10 @@ max_iterations) -> (x, report)``, plus ``reconstruct_signal`` and ``norm_l1``
 (reference: include/ss/ss.h:79-93).
 
 TPU-native semantics:
-  * the sensing matrix is placed on device once at construction; the IRLS QR
-    is computed once at construction and cached on device (the reference's
-    amortized solver state, src/lib.cpp:51-57);
+  * the sensing matrix is placed on device once at construction; the IRLS
+    QR and the homotopy Gram matrix are computed once on first jax-engine
+    use and cached on device (the reference's amortized solver state,
+    src/lib.cpp:51-57);
   * ``solve`` compiles per (max_iterations, k_max) and caches the executable;
     tolerance is a traced argument (no recompile);
   * ``solve_batch`` vmaps one compiled program over thousands of signals
@@ -63,9 +64,9 @@ class Homotopy:
         recurrence, sparse-direction matvecs, precomputed Gram columns);
         exact mode reproduces the reference's per-iteration recomputation
         operation-for-operation (homotopy-cpu.cpp:236-272).
-    gram : precompute AᵀA at construction (fast-mode acceleration).
-        Default None = auto (on when n² fits in 1 GiB). Ignored in exact
-        mode.
+    gram : precompute AᵀA (fast-mode acceleration; computed lazily on
+        first jax-engine solve). Default None = auto (on when n² fits in
+        1 GiB). Ignored in exact mode.
     precision : MXU contraction precision for the solve loop — "highest"
         (bit-faithful f32, 6 bf16 passes), "high" (3 passes, ~1e-7
         relative) or "default" (1 bf16 pass). Default None = "high" in
@@ -88,6 +89,10 @@ class Homotopy:
         if engine not in ("auto", "jax", "native"):
             raise ValueError(
                 f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
+        if engine == "native" and mode == "exact":
+            raise ValueError(
+                "engine='native' implements the fast-path algorithm; "
+                "mode='exact' requires the jax engine")
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
@@ -98,10 +103,18 @@ class Homotopy:
         if gram is None:
             gram = (self._n * self._n * self._A.dtype.itemsize
                     <= _GRAM_AUTO_BYTES)
-        self._G = (jax.jit(_blas.xgemm, static_argnames="trans_a")(
-            self._A, self._A, trans_a=True) if (gram and mode == "fast")
-            else None)
+        self._gram_enabled = bool(gram and mode == "fast")
+        self._G_cache = None
         self._cache: dict = {}
+
+    @property
+    def _G(self):
+        """AᵀA, computed lazily on first jax-engine use (native-engine
+        solves never touch it, so construction stays device-free)."""
+        if self._gram_enabled and self._G_cache is None:
+            self._G_cache = jax.jit(_blas.xgemm, static_argnames="trans_a")(
+                self._A, self._A, trans_a=True)
+        return self._G_cache
 
     @property
     def shape(self):
@@ -128,7 +141,7 @@ class Homotopy:
         # the test suite. The vmapped per-lane core is the default.
         batch_native = (os.environ.get("SS_BATCH_NATIVE") == "1"
                         and batch is not None and self._mode == "fast"
-                        and not sparse and self._G is not None
+                        and not sparse and self._gram_enabled
                         and self._A.dtype == np.float32)
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native)
@@ -194,14 +207,21 @@ class Homotopy:
         """
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
-        if self.dtype == np.float32 and self._use_native():
-            from .backend import native as _native
-            k_max = self._k_max or min(self._n, max_iterations + 1)
-            X, iters, errs = _native.homotopy_solve_batch(
-                np.asarray(self._A), np.asarray(Y), tol, max_iterations,
-                k_max)
-            return X, _homotopy.HomotopyReportArrays(
-                iter=iters.astype(np.uint32), solution_error=errs)
+        if self._use_native():
+            if self.dtype != np.float32:
+                if self._engine == "native":
+                    raise RuntimeError(
+                        "the native batched solver is float32-only; use "
+                        "engine='jax' (or per-signal solve()) for float64"
+                    )
+            else:
+                from .backend import native as _native
+                k_max = self._k_max or min(self._n, max_iterations + 1)
+                X, iters, errs = _native.homotopy_solve_batch(
+                    np.asarray(self._A), np.asarray(Y), tol,
+                    max_iterations, k_max)
+                return X, _homotopy.HomotopyReportArrays(
+                    iter=iters.astype(np.uint32), solution_error=errs)
         return self._fn(max_iterations, batch=Y.shape[0])(
             self._A, self._G, Y, tol)
 
@@ -239,11 +259,25 @@ class Irls:
                 "Irls requires m >= n (underdetermined systems not "
                 f"supported); got {self._m}x{self._n}"
             )
-        # XLA's blocked QR is the fast path; see linalg/qr.py for the
-        # explicit Householder component. The IRLS iteration is invariant to
-        # the column-sign convention of the factorization.
-        self._Q, self._R = jnp.linalg.qr(self._A, mode="reduced")
+        self._QR_cache = None
         self._cache: dict = {}
+
+    def _qr(self):
+        # XLA's blocked QR is the fast path; see linalg/qr.py for the
+        # explicit Householder component. The IRLS iteration is invariant
+        # to the column-sign convention of the factorization. Computed
+        # lazily so native-engine construction does no device work.
+        if self._QR_cache is None:
+            self._QR_cache = jnp.linalg.qr(self._A, mode="reduced")
+        return self._QR_cache
+
+    @property
+    def _Q(self):
+        return self._qr()[0]
+
+    @property
+    def _R(self):
+        return self._qr()[1]
 
     @property
     def shape(self):
@@ -266,7 +300,13 @@ class Irls:
         return fn
 
     def _use_native(self) -> bool:
-        if self._engine == "jax" or self.dtype != np.float32:
+        if self._engine == "jax":
+            return False
+        if self.dtype != np.float32:
+            if self._engine == "native":
+                raise RuntimeError(
+                    "the native IRLS backend is float32-only; use "
+                    "engine='jax' for float64")
             return False
         from .backend import native as _native
         if not _native.available():

@@ -217,7 +217,7 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                            jnp.array(0, dtype))
             sg = _sign_deadzone(cg, tol)
             ds = jnp.einsum("bij,bj->bi", inv1, sg,
-                            precision=lax.Precision.HIGHEST)
+                            precision=blas.current_precision())
             d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
                 ds, mode="drop")
             d1 = jnp.where(lv1, d1, s.d)  # frozen lanes keep direction

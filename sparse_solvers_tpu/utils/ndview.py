@@ -26,7 +26,12 @@ def _device_fast_path(arr, ndim: int, dtype, dim: int | None,
     which matters on every solve call of a serving loop."""
     if not isinstance(arr, jax.Array) or arr.ndim != ndim:
         return None
-    if dtype is not None and arr.dtype != np.dtype(dtype):
+    if dtype is not None:
+        if arr.dtype != np.dtype(dtype):
+            return None
+    elif arr.dtype not in (np.float32, np.float64):
+        # int/bf16 device arrays take the slow path so they get the same
+        # promotion/validation as any other input (_resolve_dtype)
         return None
     if size is not None and arr.shape[dim] != size:
         raise ValueError(
