@@ -132,17 +132,22 @@ class Homotopy:
         sparse = (self._mode == "fast"
                   and (batch or 1) * k_max < 2 * self._m
                   and k_max < self._n)
-        # Batch-native driver (explicit batch dim + fused Pallas active-set
-        # kernel) for fast-mode dense batches with a Gram matrix. The
-        # kernel currently trips unimplemented Mosaic lowerings for
-        # per-lane scalar reductions on real TPUs (vector.multi_reduction
-        # of (1,K) slices → "Offset change"), so the path is opt-in until
-        # that is reformulated; it is fully exercised in interpret mode by
-        # the test suite. The vmapped per-lane core is the default.
-        batch_native = (os.environ.get("SS_BATCH_NATIVE") == "1"
-                        and batch is not None and self._mode == "fast"
-                        and not sparse and self._gram_enabled
-                        and self._A.dtype == np.float32)
+        # Batch-native driver (slot-space state + fused Pallas scan and
+        # transition kernels, solvers/homotopy_batch.py) — the default
+        # throughput path on TPU for fast-mode dense batches with a Gram
+        # matrix. Off-TPU the kernels would run in interpret mode (orders
+        # of magnitude slower), so other backends keep the vmapped core;
+        # SS_BATCH_NATIVE=1 forces the driver anywhere (tests),
+        # SS_BATCH_NATIVE=0 disables it.
+        native_env = os.environ.get("SS_BATCH_NATIVE")
+        eligible = (batch is not None and self._mode == "fast"
+                    and self._gram_enabled
+                    and self._A.dtype == np.float32
+                    and self._n % 128 == 0 and self._n < (1 << 24))
+        batch_native = eligible and (
+            native_env == "1"
+            or (native_env != "0" and not sparse
+                and jax.default_backend() == "tpu"))
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native)
         fn = self._cache.get(key)

@@ -1,74 +1,79 @@
 """Batch-native homotopy driver — the TPU throughput path.
 
-Semantically identical to ``jax.vmap(solve_homotopy)`` in fast mode (same
-updates, same per-lane do-while/freeze semantics — vmap lowers a
-while_loop to exactly this shape), but with the batch dimension explicit
-so the per-lane small-state transition can run as ONE fused Pallas kernel
-(ops/pallas/active_set.py) instead of ~15 vmapped XLA ops. The heavy
-A-products are plain batched gemms.
+Semantically equivalent to ``jax.vmap(solve_homotopy)`` in fast mode (same
+path decisions, same per-lane do-while/freeze semantics), restructured so
+the per-iteration work maps onto the chip instead of onto XLA's vmapped
+op-soup. Round-1 profiling of the vmapped core at the headline config
+(benchmarks/results/profile_headline.json) showed <30% of the while-body
+in the two gemms and the rest in batched point gathers (~320 µs each),
+candidate-array materialization, layout-transposing copies of the
+(b,K,K) inverse, and HBM↔VMEM churn of (b,n) loop carries. This driver
+eliminates those structurally:
+
+  * **slot-space state**: x, the direction and the active-correlation
+    signs live as (b, k_max) arrays; the only (b, n) carries are the
+    correlation c and an int8 membership mask. x is scattered to (b, n)
+    once, after the loop.
+  * **fused γ scan** (ops/pallas/scan.py): streams q and c once,
+    keeping a running (min, leftmost-position) pair per lane — no
+    candidate materialization, no argmin pass, no take_along_axis.
+  * **fused transition** (ops/pallas/transition.py): insert/remove on
+    the padded inverse + slot bookkeeping + direction matvec in one
+    VMEM-resident kernel; the remove path is skipped at tile level on
+    insert-only steps.
+  * XLA keeps what it does at roofline: the direction scatter, the two
+    MXU gemms of q = Aᵀ(A d), the Gram-row fetch, the c/c_inf update
+    fusion, and one (b, k_max) point gather for the insert's Gram
+    column u1.
+
+Sign semantics: the reference recomputes sign(c_Γ) with a tolerance
+deadzone every iteration (reference: src/solvers/homotopy-cpu.cpp:
+257-266, :59-67) — and must: this variant's γ-candidate list does not
+bound γ by λ, so on noisy paths an active correlation can cross zero
+between support changes (carrying insert-time signs was measured to
+diverge exactly there). The transition kernel therefore maintains the
+active correlation *values* in slot space by the recurrence
+c_act ← c_act − γ·(AᵀA)[Γ,Γ]·d_act — algebraically identical to
+gathering c[Γ], gather-free — and takes deadzone-signs from them. The
+initial direction uses the reference's sign(‖c‖∞)=+1 quirk
+(homotopy-cpu.cpp:223-227). Iteration counts match the vmapped core
+exactly on well-conditioned workloads (tests/test_batch_native.py); on
+near-degenerate thrashy problems the trajectories may fork at an
+ulp-level candidate tie — the same class of divergence the core shows
+between MXU precision levels — and the tests assert oracle-quality
+recovery there instead.
 
 Lane lifecycle: a lane is live while the reference's do-while condition
-holds for it (homotopy-cpu.cpp:236); frozen lanes take zero-length steps
-and pass through the kernel untouched, so their state is bit-stable until
-every lane finishes.
-
-Status (measured on one v5e, b=256, 4096×8192, k=64): the vmapped
-per-lane core remains the fastest formulation (~175 ms/batch) and is the
-default. This driver's two alternative bodies are kept as measured
-baselines for future work: the fused Pallas kernel path (~1.5 ms/
-transition — VMEM pass count exceeds XLA's fusion) and the XLA path with
-a batch-level insert-only branch (~45 ms/iteration — the data-dependent
-lax.cond inside the while_loop forces operand copies and defeats XLA's
-fusion, costing far more than the per-lane branch select it avoids).
-Both are exact: they match the vmap core iteration-for-iteration in the
-test suite. Opt-in via SS_BATCH_NATIVE=1.
+holds for it (homotopy-cpu.cpp:236); frozen lanes keep their state
+through explicit selects (never 0·NaN blends — round-1 advisor finding).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import blas, dispatch
-from ..ops.pallas import active_set as _ak
+from ..ops import blas
+from ..ops.pallas import scan as _scan
+from ..ops.pallas import transition as _trans
 from .homotopy import HomotopyReportArrays, _sign_deadzone
 
 
 class _BState(NamedTuple):
     it: jnp.ndarray        # (b,) uint32 per-lane iteration count
-    x: jnp.ndarray         # (b, n)
-    c: jnp.ndarray         # (b, n)
+    c: jnp.ndarray         # (b, n) correlations
     c_inf: jnp.ndarray     # (b,)
-    d: jnp.ndarray         # (b, n)
-    mask: jnp.ndarray      # (b, n) bool support membership
-    inv: jnp.ndarray       # (b, K, K)
-    gk: jnp.ndarray        # (b, K, K)
-    c_act: jnp.ndarray     # (b, K)
-    d_act: jnp.ndarray     # (b, K)
+    mask: jnp.ndarray      # (b, n) int8 support membership
+    inv: jnp.ndarray       # (b, K, K) padded (A_ΓᵀA_Γ)⁻¹
+    gk: jnp.ndarray        # (b, K, K) active Gram submatrix (AᵀA)[Γ,Γ]
+    x_act: jnp.ndarray     # (b, K) solution over slots
+    d_act: jnp.ndarray     # (b, K) direction over slots
+    c_act: jnp.ndarray     # (b, K) active correlations c[Γ] (recurrence)
     indices: jnp.ndarray   # (b, K) int32, sentinel n
-    kk: jnp.ndarray        # (b,) int32
+    kk: jnp.ndarray        # (b,) int32 live slot count
     broke: jnp.ndarray     # (b,) bool
-
-
-def _find_max_gamma_batch(q, c, x, d, c_inf, mask, dtype):
-    """Batched γ-candidate scan (homotopy.py:_find_max_gamma over axis 1)."""
-    big = jnp.array(jnp.finfo(dtype).max, dtype)
-    t_active = -x / d
-    cand_active = jnp.where((t_active > 0) & (t_active < big), t_active,
-                            big)
-    dl = 1 - q
-    dr = 1 + q
-    tl = (c_inf[:, None] - c) / dl
-    tr = (c_inf[:, None] + c) / dr
-    cl = jnp.where((dl != 0) & (tl > 0) & (tl < big), tl, big)
-    cr = jnp.where((dr != 0) & (tr > 0) & (tr < big), tr, big)
-    cand = jnp.where(mask, cand_active, jnp.minimum(cl, cr))
-    idx = jnp.argmin(cand, axis=1)
-    gamma = jnp.take_along_axis(cand, idx[:, None], axis=1)[:, 0]
-    return gamma, idx.astype(jnp.int32)
 
 
 def _take1(M, idx):
@@ -82,41 +87,56 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     """Fast-mode batched homotopy with a precomputed Gram matrix.
 
     A: (m, n); G = AᵀA (n, n); Y: (b, m). Returns (X (b, n),
-    HomotopyReportArrays with per-lane arrays).
+    HomotopyReportArrays with per-lane arrays). ``use_kernel=False`` runs
+    the Pallas kernels in interpret mode (tests / CPU backends).
     """
+    init, body, lane_live = make_stepper(A, G, Y, tolerance, max_iterations,
+                                         k_max, use_kernel)
+    final = lax.while_loop(lambda s: jnp.any(lane_live(s)), body, init)
+    b, n = final.c.shape
+    bidx = jnp.arange(b)
+    X = jnp.zeros((b, n), A.dtype).at[bidx[:, None], final.indices].set(
+        final.x_act, mode="drop")
+    report = HomotopyReportArrays(iter=final.it,
+                                  solution_error=final.c_inf)
+    return X, report
+
+
+def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
+                 use_kernel: bool | None = None):
+    """Build (initial state, body, lane_live) for the batch driver —
+    exposed so tests can step the iteration eagerly."""
     b, _ = Y.shape
     n = A.shape[1]
     K = k_max
     dtype = A.dtype
     tol = jnp.asarray(tolerance, dtype)
     if use_kernel is None:
-        use_kernel = dispatch.backend() == "pallas"
-    interpret = not use_kernel
+        import jax
+        use_kernel = jax.default_backend() == "tpu"
+    interp = not use_kernel
     bidx = jnp.arange(b)
+    gdiag = jnp.diagonal(G)
 
-    # --- init (solve_homotopy_core init, batched) ---
+    # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
     C0 = blas.xgemm(Y, A)                       # c0 = Aᵀy per lane
     idx0 = jnp.argmax(jnp.abs(C0), axis=1).astype(jnp.int32)
     c_inf0 = jnp.abs(_take1(C0, idx0))
-    gdiag = jnp.diagonal(G)
     vtv0 = jnp.take(gdiag, idx0)
-    cg0 = _sign_deadzone(c_inf0, tol)
-    ds0 = cg0 / vtv0                            # sign · (AᵀA)⁻¹ at k=1
-    zK = jnp.zeros((b, K), dtype)
+    # initial direction: sign of ‖c‖∞ (+1), NOT sign(c[idx0]) — the
+    # reference quirk; the slot's *tracked* sign is sign(c[idx0]), the
+    # value every later direction update uses.
+    ds0 = _sign_deadzone(c_inf0, tol) / vtv0
     init = _BState(
         it=jnp.zeros(b, jnp.uint32),
-        x=jnp.zeros((b, n), dtype),
         c=C0,
         c_inf=c_inf0,
-        d=jnp.zeros((b, n), dtype).at[bidx, idx0].set(ds0),
-        mask=jnp.zeros((b, n), bool).at[bidx, idx0].set(True),
+        mask=jnp.zeros((b, n), jnp.int8).at[bidx, idx0].set(1),
         inv=jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(1 / vtv0),
-        gk=(jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(vtv0)
-            if use_kernel else jnp.zeros((b, 1, 1), dtype)),
-        c_act=(zK.at[:, 0].set(_take1(C0, idx0)) if use_kernel
-               else jnp.zeros((b, 1), dtype)),
-        d_act=(zK.at[:, 0].set(ds0) if use_kernel
-               else jnp.zeros((b, 1), dtype)),
+        gk=jnp.zeros((b, K, K), dtype).at[bidx, 0, 0].set(vtv0),
+        x_act=jnp.zeros((b, K), dtype),
+        d_act=jnp.zeros((b, K), dtype).at[:, 0].set(ds0),
+        c_act=jnp.zeros((b, K), dtype).at[:, 0].set(_take1(C0, idx0)),
         indices=jnp.full((b, K), n, jnp.int32).at[:, 0].set(idx0),
         kk=jnp.ones(b, jnp.int32),
         broke=jnp.zeros(b, bool),
@@ -131,109 +151,57 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     def body(s: _BState) -> _BState:
         live = lane_live(s)
 
-        q = blas.xgemm(blas.xgemm(s.d, A, trans_b=True), A)
-        gamma, idx = _find_max_gamma_batch(q, s.c, s.x, s.d, s.c_inf,
-                                           s.mask, dtype)
-        present = _take1(s.mask, idx)
+        # q = AᵀA d: scatter the slot direction, two MXU gemms
+        D = jnp.zeros((b, n), dtype).at[bidx[:, None], s.indices].set(
+            s.d_act, mode="drop")
+        q = blas.xgemm(blas.xgemm(D, A, trans_b=True), A)
+
+        gamma_raw, idx = _scan.find_max_gamma_fused(
+            q, s.c, s.mask, s.c_inf, s.x_act, s.d_act, s.indices,
+            interpret=interp)
+
+        present = _take1(s.mask, idx) > 0
         empty = present & (s.kk == 1)
         if k_max <= max_iterations:
-            # user-shrunk capacity may overflow; break instead (the
-            # kernel's mask-based insert is naturally a no-op at k == K)
+            # a user-shrunk capacity can overflow; break instead of
+            # writing out of bounds (cannot happen at the default
+            # k_max = max_iterations + 1: ≤1 insert per iteration)
             empty = empty | (~present & (s.kk >= k_max))
-        gamma = jnp.where(live & ~empty, gamma, jnp.array(0, dtype))
+        gamma = jnp.where(live & ~empty, gamma_raw, jnp.array(0, dtype))
 
-        row = jnp.take(G, idx, axis=0)          # (b, n) contiguous rows
+        # insert's Gram column over the live slots (online_inverse.h:
+        # 217-218): one contiguous row of G + one (b,K) point gather
+        row = jnp.take(G, idx, axis=0)
         safe = jnp.minimum(s.indices, n - 1)
         u1 = jnp.where(s.indices < n,
                        jnp.take_along_axis(row, safe, axis=1),
                        jnp.array(0, dtype))
         vtv = jnp.take(gdiag, idx)
+        # c′ at the toggled coordinate — the inserted slot's correlation
+        cnew = _take1(s.c, idx) - gamma * _take1(q, idx)
 
-        c1 = s.c - gamma[:, None] * q
-        x1 = s.x + gamma[:, None] * s.d
-        c_new = _take1(c1, idx)
+        doins = live & ~present & (s.kk < K)
+        dorm = live & present
+        inv1, gk1, x_act1, d_act1, c_act1, ind1 = _trans.transition(
+            s.inv, s.gk, s.x_act, s.d_act, s.c_act, s.indices, u1, idx,
+            s.kk, gamma, vtv, cnew, live, doins, dorm, tol, n,
+            interpret=interp)
 
-        if use_kernel:
-            inv1, gk1, c_act1, d_act1, ind1, kk1 = _ak.active_set_update(
-                s.inv, s.gk, s.c_act, s.d_act, u1, s.indices, s.kk, idx,
-                present, live, gamma, vtv, c_new, tol, n,
-                interpret=interpret)
-            d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
-                d_act1, mode="drop")
-        else:
-            # XLA path with a BATCH-LEVEL branch: when no live lane
-            # removes this iteration (the overwhelmingly common case —
-            # pure-insertion paths never remove), run an insert-only body
-            # with no per-lane cond at all. This is the one thing vmap of
-            # a per-lane solver cannot express: under vmap, lax.cond
-            # always computes both branches and pays a batched select
-            # over the (b,K,K) state.
-            import sparse_solvers_tpu.linalg.online_inverse as oinv
-
-            def lane_state(inv, ind, kk):
-                return oinv.InverseState(
-                    inv=inv, indices=ind,
-                    mask=jnp.zeros((n,), bool),  # unused by unordered ops
-                    k=kk)
-
-            def do_insert_only(ops):
-                inv, ind, kk, u1_, idx_, vtv_, pr_ = ops
-                def one(inv_l, ind_l, kk_l, u1_l, idx_l, vtv_l):
-                    st = oinv.insert_unordered(
-                        lane_state(inv_l, ind_l, kk_l), idx_l, u1_l, vtv_l)
-                    return st.inv, st.indices, st.k
-                return jax.vmap(one)(inv, ind, kk, u1_, idx_, vtv_)
-
-            def do_full(ops):
-                inv, ind, kk, u1_, idx_, vtv_, pr_ = ops
-                def one(inv_l, ind_l, kk_l, u1_l, idx_l, vtv_l, pr_l):
-                    st0 = lane_state(inv_l, ind_l, kk_l)
-                    st = lax.cond(
-                        pr_l,
-                        lambda a, _u, _v: oinv.remove_unordered(a, idx_l),
-                        lambda a, u, v: oinv.insert_unordered(a, idx_l,
-                                                              u, v),
-                        st0, u1_l, vtv_l)
-                    return st.inv, st.indices, st.k
-                return jax.vmap(one)(inv, ind, kk, u1_, idx_, vtv_, pr_)
-
-            ops = (s.inv, s.indices, s.kk, u1, idx, vtv, present)
-            inv_n, ind_n, kk_n = lax.cond(
-                jnp.any(present & live), do_full, do_insert_only, ops)
-
-            # freeze: lanes not live keep their state untouched
-            lv1 = live[:, None]
-            lv2 = live[:, None, None]
-            inv1 = jnp.where(lv2, inv_n, s.inv)
-            ind1 = jnp.where(lv1, ind_n, s.indices)
-            kk1 = jnp.where(live, kk_n, s.kk)
-            gk1, c_act1, d_act1 = s.gk, s.c_act, s.d_act  # dummies
-
-            # direction: gather c at the (new) support, sign, small
-            # matvec, scatter (homotopy-cpu.cpp:257-266)
-            safe1 = jnp.minimum(ind1, n - 1)
-            cg = jnp.where(ind1 < n,
-                           jnp.take_along_axis(c1, safe1, axis=1),
-                           jnp.array(0, dtype))
-            sg = _sign_deadzone(cg, tol)
-            ds = jnp.einsum("bij,bj->bi", inv1, sg,
-                            precision=blas.current_precision())
-            d1 = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
-                ds, mode="drop")
-            d1 = jnp.where(lv1, d1, s.d)  # frozen lanes keep direction
-        mval = jnp.where(live, ~present, present)
+        step = (live & ~empty)[:, None]
+        c1 = jnp.where(step, s.c - gamma[:, None] * q, s.c)
+        c_inf1 = jnp.where(live & ~empty,
+                           jnp.max(jnp.abs(c1), axis=1), s.c_inf)
+        mval = jnp.where(dorm, jnp.int8(0),
+                         jnp.where(doins, jnp.int8(1), _take1(s.mask, idx)))
         mask1 = s.mask.at[bidx, idx].set(mval)
-        c_inf1 = jnp.max(jnp.abs(c1), axis=1)
+        kk1 = jnp.where(dorm, s.kk - 1, jnp.where(doins, s.kk + 1, s.kk))
 
         return _BState(
             it=s.it + live.astype(jnp.uint32),
-            x=x1, c=c1, c_inf=c_inf1, d=d1, mask=mask1,
-            inv=inv1, gk=gk1, c_act=c_act1, d_act=d_act1,
+            c=c1, c_inf=c_inf1, mask=mask1,
+            inv=inv1, gk=gk1, x_act=x_act1, d_act=d_act1, c_act=c_act1,
             indices=ind1, kk=kk1,
             broke=s.broke | (live & empty),
         )
 
-    final = lax.while_loop(lambda s: jnp.any(lane_live(s)), body, init)
-    report = HomotopyReportArrays(iter=final.it,
-                                  solution_error=final.c_inf)
-    return final.x, report
+    return init, body, lane_live
