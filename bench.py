@@ -52,9 +52,16 @@ def main():
     N = int(os.environ.get("SS_BENCH_N", 512 if small else 8192))
     K = int(os.environ.get("SS_BENCH_K", 8 if small else 64))
     BATCH = int(os.environ.get("SS_BENCH_BATCH", 8 if small else 256))
-    CPU_SOLVES = int(os.environ.get("SS_BENCH_CPU_SOLVES", 1 if small else 2))
+    CPU_SOLVES = int(os.environ.get("SS_BENCH_CPU_SOLVES", 1 if small else 5))
     TOL = 1e-2
     MAX_ITER = 2 * K  # headroom over the k ideal path segments
+    # Active-set capacity: 1.5x the signal sparsity. Every K-proportional
+    # cost (padded-inverse updates, the insert's Gram-column gather)
+    # scales with it; a lane that exceeded capacity would break with a
+    # clean flag (homotopy_batch overflow semantics) and fail the
+    # recovery check below — none does on this workload (paths are
+    # insert-only, max support = k).
+    KMAX = int(os.environ.get("SS_BENCH_KMAX", (3 * K) // 2))
 
     import jax
     # Persistent compilation cache: reuses the compiled executable across
@@ -74,7 +81,7 @@ def main():
 
     A, Y = make_problem(M, N, K, BATCH)
 
-    solver = ss.Homotopy(A)
+    solver = ss.Homotopy(A, k_max=KMAX)
     # pre-place the signal batch on device: the timed region measures the
     # solver, not the host->device stream of Y (which a serving system
     # pays once / overlaps)

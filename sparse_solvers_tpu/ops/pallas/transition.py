@@ -234,6 +234,10 @@ def transition(inv, gk, x_act, d_act, c_act, indices, u1, idx, kk, gamma,
         cost_estimate=pl.CostEstimate(
             flops=16 * bp * K * K, bytes_accessed=16 * bp * K * K,
             transcendentals=0),
+        # update the state in place: without aliasing XLA round-trips the
+        # two (b,K,K) buffers HBM<->VMEM every iteration (~0.7 ms/iter at
+        # the headline config, benchmarks/results/profile_headline.json)
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
         interpret=interpret,
     )(jnp.asarray([sentinel, tol], f32),
       inv, gk, x_act, d_act, c_act, indices.astype(f32), u1,

@@ -176,7 +176,10 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         u1 = jnp.where(s.indices < n,
                        jnp.take_along_axis(row, safe, axis=1),
                        jnp.array(0, dtype))
-        vtv = jnp.take(gdiag, idx)
+        # vtv = G[idx, idx] read from the already-fetched row (a separate
+        # gdiag gather kept a loop-invariant carry that XLA copied into
+        # VMEM every iteration)
+        vtv = _take1(row, idx)
         # c′ at the toggled coordinate — the inserted slot's correlation
         cnew = _take1(s.c, idx) - gamma * _take1(q, idx)
 
