@@ -94,8 +94,14 @@ def main():
          f"iters mean={np.mean(np.asarray(repw.iter)):.1f} "
          f"max={np.max(np.asarray(repw.iter))}")
 
-    # timed runs — median of 5 to damp device/tunnel noise; each run is
-    # fenced by materializing the (tiny) per-lane iteration counts
+    # Timed runs. Two numbers:
+    #  * per-call latency — each run fenced by materializing the (tiny)
+    #    per-lane iteration counts (block_until_ready can return early on
+    #    tunneled devices); includes one host->device dispatch round trip.
+    #  * sustained throughput (the headline) — `runs` solves dispatched
+    #    back-to-back, fenced once at the end, so the tunnel round trip
+    #    amortizes as it does in any pipelined serving loop. Total wall
+    #    time over all solved batches; nothing is discarded.
     runs = 5
     times = []
     for _ in range(runs):
@@ -104,8 +110,20 @@ def main():
                                     max_iterations=MAX_ITER)
         np.asarray(rep.iter)
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt_call = sorted(times)[len(times) // 2]
+
+    t0 = time.time()
+    reps = []
+    for _ in range(runs):
+        X, rep = solver.solve_batch(Y, tolerance=TOL,
+                                    max_iterations=MAX_ITER)
+        reps.append(rep)
+    for r in reps:
+        np.asarray(r.iter)  # fence the whole pipeline
+    dt = (time.time() - t0) / runs
     solves_per_sec = BATCH / dt
+    _log(f"per-call latency: {dt_call*1e3:.1f} ms/batch "
+         f"({BATCH/dt_call:.0f} solves/s incl. dispatch)")
 
     iters = float(np.max(np.asarray(rep.iter)))
     # per iteration the loop reads A ~5x (2 gemm passes x2 + gram column)

@@ -160,7 +160,10 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
             q, s.c, s.mask, s.c_inf, s.x_act, s.d_act, s.indices,
             interpret=interp)
 
-        present = _take1(s.mask, idx) > 0
+        # membership from the slot indices, not the mask: a (b,K) compare
+        # keeps the 2 MB mask carry out of XLA's VMEM staging (the mask's
+        # only readers are then the scan kernel and its point update)
+        present = jnp.any(s.indices == idx[:, None], axis=1)
         empty = present & (s.kk == 1)
         if k_max <= max_iterations:
             # a user-shrunk capacity can overflow; break instead of
@@ -195,7 +198,8 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         c_inf1 = jnp.where(live & ~empty,
                            jnp.max(jnp.abs(c1), axis=1), s.c_inf)
         mval = jnp.where(dorm, jnp.int8(0),
-                         jnp.where(doins, jnp.int8(1), _take1(s.mask, idx)))
+                         jnp.where(doins, jnp.int8(1),
+                                   present.astype(jnp.int8)))
         mask1 = s.mask.at[bidx, idx].set(mval)
         kk1 = jnp.where(dorm, s.kk - 1, jnp.where(doins, s.kk + 1, s.kk))
 
