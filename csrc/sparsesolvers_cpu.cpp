@@ -179,7 +179,11 @@ struct HomotopyWork {
         }
         if (cand > 0 && cand < gmin) { gmin = cand; gidx = j; }
       }
-      if (gidx < 0) break;
+      // no valid candidate: proceed with idx=0, gamma=FLT_MAX — the
+      // reference's running-min initialization (homotopy-cpu.cpp:123)
+      // and the JAX engines' argmin-of-all-big behavior; all engines
+      // agree on this degenerate state (round-1 advisor finding 3)
+      if (gidx < 0) gidx = 0;
       T gamma = gmin;
 
       // a full-capacity insert breaks the path cleanly, like the JAX

@@ -21,6 +21,7 @@ TPU-native semantics:
 from __future__ import annotations
 
 import os
+import warnings
 
 from functools import partial
 
@@ -46,6 +47,19 @@ def _default_tolerance(dtype) -> float:
 # Gram matrices above this byte size are not precomputed automatically
 # (n² entries; 1 GiB ⇒ n ≈ 16384 in float32).
 _GRAM_AUTO_BYTES = 1 << 30
+
+
+def _warn_small_problem_jax(engine: str, m: int, n: int) -> None:
+    """Explicitly forcing engine="jax" below the dispatch-latency floor
+    costs ~100 ms of device round trips per solve on remote accelerators
+    (measured ~82 ms flat for any sub-floor shape on a tunneled v5e —
+    BASELINE.md); "auto" routes such problems to the native host engine."""
+    if engine == "jax" and m * n <= Homotopy._NATIVE_AUTO_ELEMS:
+        warnings.warn(
+            f"engine='jax' on a {m}x{n} problem: device dispatch latency "
+            "will dominate the solve; engine='auto' (default) uses the "
+            "native host backend for problems this small",
+            RuntimeWarning, stacklevel=3)
 
 
 class Homotopy:
@@ -96,6 +110,7 @@ class Homotopy:
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
+        _warn_small_problem_jax(engine, self._m, self._n)
         self._k_max = k_max
         self._mode = mode
         self._precision = precision or ("high" if mode == "fast"
@@ -259,6 +274,7 @@ class Irls:
         self._native = None
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
+        _warn_small_problem_jax(engine, self._m, self._n)
         if self._m < self._n:
             raise ValueError(
                 "Irls requires m >= n (underdetermined systems not "

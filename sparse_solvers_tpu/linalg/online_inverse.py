@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import blas
+from . import active_set
 
 
 class InverseState(NamedTuple):
@@ -78,7 +79,9 @@ def insert(state: InverseState, col: jnp.ndarray, u1_full: jnp.ndarray,
     n = mask.shape[0]
     dtype = inv.dtype
 
-    r = jnp.sum(indices < col).astype(jnp.int32)  # insertion rank
+    # sorted-set bookkeeping: rank + shifted index vector (the reference's
+    # rank_index::insert, rank_index.h:40-75)
+    new_indices, r = active_set.insert(indices, col, n)
 
     # u1 = A_Γᵀ v in rank order; padding slots (sentinel n) gather 0.
     u1 = jnp.take(u1_full, indices, mode="fill", fill_value=0)
@@ -100,13 +103,9 @@ def insert(state: InverseState, col: jnp.ndarray, u1_full: jnp.ndarray,
     # permute the bordered row/col from rank k to rank r
     new_inv = square_permute(new_inv, k, r)
 
-    # active-set bookkeeping: shift right from r, insert col
-    shifted = jnp.where(i == 0, col, jnp.take(indices, jnp.maximum(i - 1, 0)))
-    new_indices = jnp.where(i < r, indices, jnp.where(i == r, col, shifted))
-
     return InverseState(
         inv=new_inv,
-        indices=new_indices.astype(jnp.int32),
+        indices=new_indices,
         mask=mask.at[col].set(True),
         k=k + 1,
     )
@@ -215,7 +214,8 @@ def remove(state: InverseState, col: jnp.ndarray) -> InverseState:
     n = mask.shape[0]
     dtype = inv.dtype
 
-    r = jnp.sum(indices < col).astype(jnp.int32)  # rank of col
+    # sorted-set bookkeeping (the reference's rank_index::erase)
+    new_indices, r = active_set.remove(indices, col, n)
     last = k - 1
 
     # bring row/col r to the end of the live block
@@ -230,15 +230,12 @@ def remove(state: InverseState, col: jnp.ndarray) -> InverseState:
     keep = i < last
     new_inv = jnp.where(keep[:, None] & keep[None, :], new_inv, 0)
 
-    # active-set bookkeeping: shift left from r, pad the tail
-    nxt = jnp.take(indices, jnp.minimum(i + 1, capacity - 1))
-    new_indices = jnp.where(i < r, indices, nxt)
-    new_indices = new_indices.at[capacity - 1].set(jnp.int32(n))
+    # pad the vacated tail slot (the set shrank to `last` members)
     new_indices = jnp.where(i < last, new_indices, jnp.int32(n))
 
     return InverseState(
         inv=new_inv,
-        indices=new_indices.astype(jnp.int32),
+        indices=new_indices,
         mask=mask.at[col].set(False),
         k=last,
     )

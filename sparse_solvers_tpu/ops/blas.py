@@ -15,6 +15,7 @@ ixamax/xtrsv/xtrsm) so the parity mapping is one-to-one.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +25,17 @@ from jax import lax
 # the TPU MXU decompose into bf16 passes: HIGHEST = 6 passes (bit-faithful
 # f32), HIGH = 3 passes (~1e-7 relative), DEFAULT = 1 pass (bf16 inputs).
 # The default here is HIGHEST — reference-parity numerics; solvers lower it
-# per-trace through precision_scope.
-_PREC_STACK = [lax.Precision.HIGHEST]
+# per-trace through precision_scope. The stack is thread-local: two solver
+# instances tracing concurrently from different threads must not capture
+# each other's precision (round-1 advisor finding).
+_TLS = threading.local()
+
+
+def _stack():
+    st = getattr(_TLS, "prec_stack", None)
+    if st is None:
+        st = _TLS.prec_stack = [lax.Precision.HIGHEST]
+    return st
 
 _PRECISIONS = {
     "highest": lax.Precision.HIGHEST,
@@ -35,7 +45,7 @@ _PRECISIONS = {
 
 
 def current_precision() -> lax.Precision:
-    return _PREC_STACK[-1]
+    return _stack()[-1]
 
 
 @contextlib.contextmanager
@@ -49,11 +59,12 @@ def precision_scope(precision):
     """
     if isinstance(precision, str):
         precision = _PRECISIONS[precision.lower()]
-    _PREC_STACK.append(precision)
+    st = _stack()
+    st.append(precision)
     try:
         yield
     finally:
-        _PREC_STACK.pop()
+        st.pop()
 
 
 def xgemv(A: jnp.ndarray, x: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:

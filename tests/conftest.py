@@ -31,3 +31,12 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    # tests deliberately force engine="jax" on tiny problems to pin
+    # numerics; the small-problem dispatch-latency warning is by design
+    # (tested explicitly in test_api.py) and would otherwise spam the run
+    config.addinivalue_line(
+        "filterwarnings",
+        "ignore:engine='jax' on a .* problem.*:RuntimeWarning")

@@ -97,3 +97,22 @@ def test_reports_repr_fields():
     assert hasattr(hrep, "iter") and hasattr(hrep, "solution_error")
     x, irep = ss.Irls(A).solve(np.eye(4, dtype=np.float32)[0])
     assert hasattr(irep, "spd_failure")
+
+
+def test_engine_jax_small_problem_warns():
+    """Forcing engine="jax" below the dispatch-latency floor warns
+    (the ~82 ms flat device round trip dwarfs sub-millisecond solves;
+    BASELINE.md small-problem note)."""
+    import warnings
+
+    A = np.eye(16, dtype=np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ss.Homotopy(A, engine="jax")
+        ss.Irls(A, engine="jax")
+    msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+    assert sum("dispatch latency" in m for m in msgs) == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ss.Homotopy(A)  # auto: no warning
+    assert not [x for x in w if x.category is RuntimeWarning]

@@ -254,3 +254,45 @@ def test_k_max_overflow_breaks_cleanly():
     assert rep.iter <= 5          # breaks at capacity, not max_iterations
     assert np.isfinite(x).all()
     assert np.isfinite(rep.solution_error)
+
+
+def test_irls_spd_boundary_parity_fast_vs_exact():
+    """Fast mode's spd criterion (min(w) <= eps^2, the algebraic analog of
+    a Cholesky pivot failure on diag(w)) must trip at the same iteration
+    as exact mode's actual Cholesky breakdown (irls-cpu.cpp:50-51,95-97).
+
+    Geometrically-decaying coefficients with a tiny tolerance ratchet eps
+    down until the weight spread breaks the weighted Gram's positive
+    definiteness; across decay scales both modes flag spd_failure at the
+    same iteration with matching eps. (At still-steeper decays the modes
+    legitimately part ways: exact mode's thresholding can reach the
+    x2 <= abstol exit one step before the collapsed step's weight check —
+    the boundary itself, not a parity bug.)
+    """
+    import jax
+
+    rng = np.random.RandomState(0)
+    m, n = 60, 30
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Q, R = np.linalg.qr(A)
+    Q = Q.astype(np.float32)
+    R = R.astype(np.float32)
+    from sparse_solvers_tpu.solvers import irls as IR
+
+    for decay in [1.0, 0.3, 0.1]:
+        xt = np.zeros(n, np.float32)
+        xt[:8] = decay ** np.arange(8)
+        y = (A @ xt).astype(np.float32)
+        reps = {}
+        for mode in ["fast", "exact"]:
+            _, rep = jax.jit(
+                lambda q, r, yy, mode=mode: IR.solve_irls(
+                    q, r, yy, 1e-7, 100, mode=mode))(Q, R, y)
+            reps[mode] = rep
+        assert bool(reps["fast"].spd_failure), decay
+        assert bool(reps["exact"].spd_failure), decay
+        assert int(reps["fast"].iter) == int(reps["exact"].iter), decay
+        np.testing.assert_allclose(float(reps["fast"].solution_error),
+                                   float(reps["exact"].solution_error),
+                                   rtol=1e-5)
