@@ -392,6 +392,35 @@ void transpose_to_colmajor(const T* A, int m, int n, std::vector<T>& At) {
 
 // ------------------------------------------------------------------ C ABI
 
+// Batched homotopy across a thread pool; Y row-major batch x m, X batch x n,
+// iters/errs length batch. nthreads<=0 = hardware concurrency. Both dtypes,
+// like every reference instantiation pair (homotopy-cpu.cpp:277-297).
+template <typename T>
+static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
+                                int batch, T tol, int max_iter, int k_max,
+                                int nthreads, T* X_out, int* iters_out,
+                                T* errs_out) {
+  std::vector<T> At;
+  transpose_to_colmajor(A, m, n, At);
+  int cap = std::min(k_max, n);
+  int nt = nthreads > 0 ? nthreads
+                        : int(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min(nt, batch));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    HomotopyWork<T> w(At.data(), m, n, cap);
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      iters_out[b] = w.solve(Y + size_t(b) * m, tol, max_iter,
+                             X_out + size_t(b) * n, errs_out + b);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nt; ++i) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
 extern "C" {
 
 // Homotopy, single solve. A row-major m x n. Returns iterations.
@@ -413,31 +442,21 @@ int ss_homotopy_solve_f64(const double* A, int m, int n, const double* y,
   return w.solve(y, tol, max_iter, x_out, err_out);
 }
 
-// Batched homotopy across a thread pool; Y row-major batch x m, X batch x n,
-// iters/errs length batch. nthreads<=0 = hardware concurrency.
 void ss_homotopy_solve_batch_f32(const float* A, int m, int n, const float* Y,
                                  int batch, float tol, int max_iter, int k_max,
                                  int nthreads, float* X_out, int* iters_out,
                                  float* errs_out) {
-  std::vector<float> At;
-  transpose_to_colmajor(A, m, n, At);
-  int cap = std::min(k_max, n);
-  int nt = nthreads > 0 ? nthreads
-                        : int(std::thread::hardware_concurrency());
-  nt = std::max(1, std::min(nt, batch));
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    HomotopyWork<float> w(At.data(), m, n, cap);
-    for (;;) {
-      int b = next.fetch_add(1);
-      if (b >= batch) return;
-      iters_out[b] = w.solve(Y + size_t(b) * m, tol, max_iter,
-                             X_out + size_t(b) * n, errs_out + b);
-    }
-  };
-  std::vector<std::thread> ts;
-  for (int i = 0; i < nt; ++i) ts.emplace_back(worker);
-  for (auto& t : ts) t.join();
+  homotopy_batch_impl<float>(A, m, n, Y, batch, tol, max_iter, k_max,
+                             nthreads, X_out, iters_out, errs_out);
+}
+
+void ss_homotopy_solve_batch_f64(const double* A, int m, int n,
+                                 const double* Y, int batch, double tol,
+                                 int max_iter, int k_max, int nthreads,
+                                 double* X_out, int* iters_out,
+                                 double* errs_out) {
+  homotopy_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, k_max,
+                              nthreads, X_out, iters_out, errs_out);
 }
 
 // IRLS with construct-once QR: create returns an opaque handle.
@@ -457,6 +476,24 @@ int ss_irls_solve_f32(void* handle, const float* y, float tol, int max_iter,
 
 void ss_irls_destroy_f32(void* handle) {
   delete static_cast<QRFactors<float>*>(handle);
+}
+
+void* ss_irls_create_f64(const double* A, int m, int n) {
+  if (m < n) return nullptr;
+  std::vector<double> At;
+  transpose_to_colmajor(A, m, n, At);
+  return new QRFactors<double>(At.data(), m, n);
+}
+
+int ss_irls_solve_f64(void* handle, const double* y, double tol, int max_iter,
+                      double* x_out, double* err_out, int* spd_fail) {
+  auto* qr = static_cast<QRFactors<double>*>(handle);
+  IrlsWork<double> w(*qr);
+  return w.solve(y, tol, max_iter, x_out, err_out, spd_fail);
+}
+
+void ss_irls_destroy_f64(void* handle) {
+  delete static_cast<QRFactors<double>*>(handle);
 }
 
 int ss_native_version() { return 1; }

@@ -228,20 +228,13 @@ class Homotopy:
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         if self._use_native():
-            if self.dtype != np.float32:
-                if self._engine == "native":
-                    raise RuntimeError(
-                        "the native batched solver is float32-only; use "
-                        "engine='jax' (or per-signal solve()) for float64"
-                    )
-            else:
-                from .backend import native as _native
-                k_max = self._k_max or min(self._n, max_iterations + 1)
-                X, iters, errs = _native.homotopy_solve_batch(
-                    np.asarray(self._A), np.asarray(Y), tol,
-                    max_iterations, k_max)
-                return X, _homotopy.HomotopyReportArrays(
-                    iter=iters.astype(np.uint32), solution_error=errs)
+            from .backend import native as _native
+            k_max = self._k_max or min(self._n, max_iterations + 1)
+            X, iters, errs = _native.homotopy_solve_batch(
+                np.asarray(self._A), np.asarray(Y), tol,
+                max_iterations, k_max)
+            return X, _homotopy.HomotopyReportArrays(
+                iter=iters.astype(np.uint32), solution_error=errs)
         return self._fn(max_iterations, batch=Y.shape[0])(
             self._A, self._G, Y, tol)
 
@@ -323,12 +316,6 @@ class Irls:
     def _use_native(self) -> bool:
         if self._engine == "jax":
             return False
-        if self.dtype != np.float32:
-            if self._engine == "native":
-                raise RuntimeError(
-                    "the native IRLS backend is float32-only; use "
-                    "engine='jax' for float64")
-            return False
         from .backend import native as _native
         if not _native.available():
             if self._engine == "native":
@@ -365,6 +352,23 @@ class Irls:
         """Batched solve over signals B of shape (batch, m)."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._use_native():
+            # per-signal solves against the cached QR handle — keeps
+            # batch ≡ sequential bit-identical on the native engine
+            from .backend import native as _native
+            if self._native is None:
+                self._native = _native.IrlsNative(np.asarray(self._A))
+            Yn = np.asarray(Y)
+            xs, its, errs, spds = [], [], [], []
+            for b in range(Yn.shape[0]):
+                x, it, err, spd = self._native.solve(Yn[b], tol,
+                                                     max_iterations)
+                xs.append(x); its.append(it); errs.append(err)
+                spds.append(spd)
+            return np.stack(xs), _irls.IrlsReportArrays(
+                iter=np.asarray(its, np.uint32),
+                solution_error=np.asarray(errs, self.dtype),
+                spd_failure=np.asarray(spds, bool))
         return self._fn(max_iterations, batched=True)(
             self._Q, self._R, Y, tol)
 

@@ -11,25 +11,29 @@ backend, used for
   * machines with no accelerator,
   * the benchmark harness's measured CPU baseline.
 
-The shared library is built lazily with ``make`` on first use (g++ is part
-of the supported toolchain); set ``SS_NATIVE_DISABLE=1`` to forbid the
-native path entirely — everything degrades gracefully to the JAX engine.
-Wheel installs without the ``csrc/`` tree simply report the backend as
-unavailable and run on the JAX engine (repo checkouts get it
-automatically).
+Library resolution order:
+  1. a compiled ``sparse_solvers_tpu/_native*.so`` next to the package —
+     what ``pip install`` produces (setup.py builds csrc/ as a C++
+     extension, so wheels ship the native engine);
+  2. a repo checkout's ``csrc/libsparsesolvers_cpu.so``, built lazily with
+     ``make`` on first use (g++ is part of the supported toolchain).
+
+Set ``SS_NATIVE_DISABLE=1`` to forbid the native path entirely —
+everything degrades gracefully to the JAX engine.
 """
 
 from __future__ import annotations
 
 import ctypes
+import glob
 import os
 import subprocess
 import threading
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_PKG = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(os.path.dirname(_PKG), "csrc")
 _LIBNAME = "libsparsesolvers_cpu.so"
 
 _lock = threading.Lock()
@@ -38,11 +42,18 @@ _tried = False
 
 
 def _build() -> str | None:
+    # wheel install: the extension module sits inside the package (it has
+    # no PyInit_ symbol — it is loaded with ctypes, never imported)
+    wheels = sorted(glob.glob(os.path.join(_PKG, "_native*.so")))
+    if wheels:
+        return wheels[0]
     path = os.path.join(_CSRC, _LIBNAME)
     src = os.path.join(_CSRC, "sparsesolvers_cpu.cpp")
     if os.path.exists(path) and (not os.path.exists(src) or
                                  os.path.getmtime(path) >= os.path.getmtime(src)):
         return path
+    if not os.path.exists(src):
+        return None
     try:
         subprocess.run(["make", "-C", _CSRC], check=True,
                        capture_output=True, timeout=300)
@@ -69,6 +80,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f32p, i32p, f32p]
+    lib.ss_homotopy_solve_batch_f64.restype = None
+    lib.ss_homotopy_solve_batch_f64.argtypes = [
+        f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f64p, i32p, f64p]
     lib.ss_irls_create_f32.restype = ctypes.c_void_p
     lib.ss_irls_create_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
     lib.ss_irls_solve_f32.restype = ctypes.c_int
@@ -77,6 +93,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p]
     lib.ss_irls_destroy_f32.restype = None
     lib.ss_irls_destroy_f32.argtypes = [ctypes.c_void_p]
+    lib.ss_irls_create_f64.restype = ctypes.c_void_p
+    lib.ss_irls_create_f64.argtypes = [f64p, ctypes.c_int, ctypes.c_int]
+    lib.ss_irls_solve_f64.restype = ctypes.c_int
+    lib.ss_irls_solve_f64.argtypes = [
+        ctypes.c_void_p, f64p, ctypes.c_double, ctypes.c_int, f64p, f64p,
+        i32p]
+    lib.ss_irls_destroy_f64.restype = None
+    lib.ss_irls_destroy_f64.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -142,60 +166,73 @@ def homotopy_solve(A: np.ndarray, y: np.ndarray, tol: float,
 def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
                          max_iterations: int, k_max: int,
                          nthreads: int = 0):
-    """Threaded batched homotopy on the host (float32).
+    """Threaded batched homotopy on the host; float32 or float64 follows
+    A's dtype (the reference instantiates both, homotopy-cpu.cpp:277-297).
 
     Returns (X (batch, n), iters (batch,), errs (batch,))."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native backend unavailable")
     m, n = A.shape
-    A32, Y32 = _f32(A), _f32(Y)
-    batch = Y32.shape[0]
-    X = np.zeros((batch, n), np.float32)
+    f64 = A.dtype == np.float64
+    dt, ct = ((np.float64, ctypes.c_double) if f64
+              else (np.float32, ctypes.c_float))
+    Ac = np.ascontiguousarray(A, dt)
+    Yc = np.ascontiguousarray(Y, dt)
+    batch = Yc.shape[0]
+    X = np.zeros((batch, n), dt)
     iters = np.zeros(batch, np.int32)
-    errs = np.zeros(batch, np.float32)
-    lib.ss_homotopy_solve_batch_f32(
-        A32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m, n,
-        Y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), batch,
-        float(tol), int(max_iterations), int(k_max), int(nthreads),
-        X.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    errs = np.zeros(batch, dt)
+    fn = lib.ss_homotopy_solve_batch_f64 if f64 \
+        else lib.ss_homotopy_solve_batch_f32
+    p = ctypes.POINTER(ct)
+    fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
+       float(tol), int(max_iterations), int(k_max), int(nthreads),
+       X.ctypes.data_as(p),
+       iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+       errs.ctypes.data_as(p))
     return X, iters, errs
 
 
 class IrlsNative:
-    """Construct-once IRLS on the host (float32): QR factored at
-    construction, reused across solves — the reference's amortized-state
-    shape (src/lib.cpp:51-57)."""
+    """Construct-once IRLS on the host: QR factored at construction,
+    reused across solves — the reference's amortized-state shape
+    (src/lib.cpp:51-57). float32 or float64 follows A's dtype."""
 
     def __init__(self, A: np.ndarray):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native backend unavailable")
-        A32 = _f32(A)
-        self._m, self._n = A32.shape
+        self._f64 = A.dtype == np.float64
+        self._dt, self._ct = ((np.float64, ctypes.c_double) if self._f64
+                              else (np.float32, ctypes.c_float))
+        Ac = np.ascontiguousarray(A, self._dt)
+        self._m, self._n = Ac.shape
         self._lib = lib
-        self._h = lib.ss_irls_create_f32(
-            A32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._m, self._n)
+        create = lib.ss_irls_create_f64 if self._f64 \
+            else lib.ss_irls_create_f32
+        self._h = create(Ac.ctypes.data_as(ctypes.POINTER(self._ct)),
+                         self._m, self._n)
         if not self._h:
             raise ValueError("Irls requires m >= n")
 
     def solve(self, y: np.ndarray, tol: float, max_iterations: int):
-        y32 = _f32(y)
-        x = np.zeros(self._n, np.float32)
-        err = ctypes.c_float()
+        yc = np.ascontiguousarray(y, self._dt)
+        x = np.zeros(self._n, self._dt)
+        err = self._ct()
         spd = ctypes.c_int()
-        it = self._lib.ss_irls_solve_f32(
-            self._h, y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            float(tol), int(max_iterations),
-            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.byref(err), ctypes.byref(spd))
+        fn = self._lib.ss_irls_solve_f64 if self._f64 \
+            else self._lib.ss_irls_solve_f32
+        it = fn(self._h, yc.ctypes.data_as(ctypes.POINTER(self._ct)),
+                float(tol), int(max_iterations),
+                x.ctypes.data_as(ctypes.POINTER(self._ct)),
+                ctypes.byref(err), ctypes.byref(spd))
         return x, it, err.value, bool(spd.value)
 
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
-            self._lib.ss_irls_destroy_f32(h)
+            destroy = (self._lib.ss_irls_destroy_f64 if self._f64
+                       else self._lib.ss_irls_destroy_f32)
+            destroy(h)
             self._h = None

@@ -104,3 +104,44 @@ def test_engine_native_forced():
         np.stack([y] * 3), tolerance=1e-3, max_iterations=100)
     assert X.shape == (3, 80)
     assert (np.asarray(reps.iter) == rep.iter).all()
+
+
+def test_homotopy_batch_f64_matches_single():
+    """f64 batched native solves agree with per-signal f64 native solves
+    (dual-dtype instantiation parity, homotopy-cpu.cpp:277-297)."""
+    A, _, _ = _problem(48, 96, 5, seed=11, dtype=np.float64)
+    rng = np.random.RandomState(3)
+    Y = []
+    for i in range(6):
+        x = np.zeros(96)
+        x[rng.choice(96, 4, replace=False)] = rng.uniform(0.5, 1, 4)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+    X, iters, errs = native.homotopy_solve_batch(A, Y, 1e-3, 100, 101)
+    assert X.dtype == np.float64
+    for i in range(6):
+        xi, iti, erri = native.homotopy_solve(A, Y[i], 1e-3, 100, 101)
+        assert iters[i] == iti
+        np.testing.assert_array_equal(X[i], xi)
+        assert errs[i] == erri
+
+
+def test_irls_f64_native_matches_jax():
+    """f64 native IRLS via the public API agrees with the jax engine at
+    the reference's f64 test tolerances (binding.cpp:69-86 dual dtype)."""
+    rng = np.random.RandomState(5)
+    m, n = 40, 20
+    A = rng.randn(m, n)
+    A /= np.linalg.norm(A, axis=0)
+    x = np.zeros(n)
+    x[3] = 1.0
+    y = A @ x
+    s_nat = ss.Irls(A, engine="native")
+    s_jax = ss.Irls(A, engine="jax")
+    xn, rn = s_nat.solve(y, tolerance=1e-3, max_iterations=50)
+    xj, rj = s_jax.solve(y, tolerance=1e-3, max_iterations=50)
+    assert xn.dtype == np.float64
+    assert rn.iter == rj.iter
+    assert rn.spd_failure == rj.spd_failure
+    np.testing.assert_allclose(xn, xj, atol=1e-8)
+    assert np.argmax(xn) == 3

@@ -53,15 +53,25 @@ def test_native_exact_mode_rejected():
 
 
 @pytest.mark.skipif(not native.available(), reason="native unavailable")
-def test_native_f64_batch_raises_instead_of_silent_jax():
+def test_native_f64_batch_supported():
+    # round 1 rejected f64 native batch; round 2 instantiates both dtypes
+    # like the reference (homotopy-cpu.cpp:277-297)
     A = np.eye(6, dtype=np.float64)
     s = ss.Homotopy(A, engine="native")
-    with pytest.raises(RuntimeError):
-        s.solve_batch(np.ones((2, 6)), tolerance=0.1)
+    sig = np.zeros(6)
+    sig[2] = 1.0
+    X, reps = s.solve_batch(np.stack([sig, sig]), tolerance=0.1)
+    assert X.dtype == np.float64
+    np.testing.assert_array_equal(X[0], sig)
+    assert list(reps.iter) == [1, 1]
 
 
 @pytest.mark.skipif(not native.available(), reason="native unavailable")
-def test_native_f64_irls_raises_instead_of_silent_jax():
+def test_native_f64_irls_supported():
     A = np.eye(6, dtype=np.float64)
-    with pytest.raises(RuntimeError):
-        ss.Irls(A, engine="native").solve(np.ones(6), tolerance=0.1)
+    sig = np.zeros(6)
+    sig[2] = 1.0
+    x, rep = ss.Irls(A, engine="native").solve(sig, tolerance=0.1)
+    assert x.dtype == np.float64
+    np.testing.assert_array_equal(x, sig)
+    assert rep.iter == 1 and not rep.spd_failure

@@ -60,7 +60,10 @@ def test_irls_sharded_matches_single(mesh):
     Qd, Yd = sh.shard_inputs(mesh, Q, Y)
     X, rep = sh.irls_sharded(mesh, Qd, jnp.asarray(R), Yd, 0.001, 50)
 
-    Xs, reps = ss.Irls(A).solve_batch(Y, tolerance=0.001, max_iterations=50)
+    # comparator pinned to the jax engine (auto now routes sub-floor
+    # problems to the native f64-capable backend, a different fp schedule)
+    Xs, reps = ss.Irls(A, engine="jax").solve_batch(Y, tolerance=0.001,
+                                                    max_iterations=50)
     # IRLS amplifies accumulation-order noise (see test_batch.py); the
     # reference property tolerance applies
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-4)
