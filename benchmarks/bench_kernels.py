@@ -87,6 +87,78 @@ def main():
             "roofline_frac": round(r.fraction_of_peak() or 0, 3)}),
             flush=True)
 
+    # --- batch-driver kernels (solvers/homotopy_batch.py) at the
+    # headline batch: the fused γ scan and the active-set transition ---
+    from sparse_solvers_tpu.ops.pallas import scan as SC
+    from sparse_solvers_tpu.ops.pallas import transition as TR
+
+    b, K = (8, 17) if args.quick else (256, 96)
+    q = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    c = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    mask = jnp.zeros((b, n), jnp.int8)
+    cinf = jnp.abs(c).max(axis=1)
+    xa = jnp.zeros((b, K), jnp.float32)
+    da = jnp.zeros((b, K), jnp.float32).at[:, 0].set(1.0)
+    ind = jnp.full((b, K), n, jnp.int32).at[:, 0].set(5)
+
+    def scan_loop(q_, c_):
+        def body(i, s):
+            g, _ = SC.find_max_gamma_fused(q_ + s * 0, c_, mask, cinf,
+                                           xa, da, ind)
+            return s + jnp.sum(g * 0)
+        return lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    f = jax.jit(scan_loop)
+    _ = np.asarray(f(q, c))
+    sbytes = (2 * b * n * 4 + b * n)  # q + c f32, mask int8
+    r = profiling.measure(f, q, c, flops=REPS * 12 * b * n,
+                          bytes=REPS * sbytes, reps=1)
+    r.seconds /= REPS
+    r.flops /= REPS
+    r.bytes /= REPS
+    print(json.dumps({
+        "bench": "gamma_scan", "impl": "pallas", "n": n, "b": b, "K": K,
+        "ms": round(r.seconds * 1e3, 3), "gbps": round(r.gbps, 1),
+        "hbm_frac": round(r.gbps / (r.chip.hbm_gbps if r.chip else 1e9),
+                          3)}), flush=True)
+
+    # transition kernel: chain the inverse through iterations (insert-only
+    # steps, the dominant case)
+    inv0 = jnp.zeros((b, K, K), jnp.float32).at[:, 0, 0].set(1.0)
+    gk0 = jnp.zeros((b, K, K), jnp.float32).at[:, 0, 0].set(1.0)
+    u1 = jnp.zeros((b, K), jnp.float32)
+    idx = jnp.full((b,), 7, jnp.int32)
+    kk = jnp.ones((b,), jnp.int32)
+    onesb = jnp.ones((b,), bool)
+    zerosb = jnp.zeros((b,), bool)
+    gamma = jnp.full((b,), 0.01, jnp.float32)
+    vtv = jnp.ones((b,), jnp.float32)
+    cnew = jnp.full((b,), 0.5, jnp.float32)
+
+    def trans_loop(inv_, gk_):
+        def body(i, carry):
+            inv_c, gk_c = carry
+            o = TR.transition(inv_c, gk_c, xa, da, jnp.zeros_like(xa),
+                              ind, u1, idx, kk, gamma, vtv, cnew,
+                              onesb, onesb, zerosb, jnp.float32(0.01), n)
+            return (o[0], o[1])
+        out = lax.fori_loop(0, REPS, body, (inv_, gk_))
+        return out[0][0, 0, 0]
+
+    f = jax.jit(trans_loop)
+    _ = np.asarray(f(inv0, gk0))
+    tbytes = 4 * b * K * K * 4  # inv+gk read+write (aliased in place)
+    r = profiling.measure(f, inv0, gk0, flops=REPS * 10 * b * K * K,
+                          bytes=REPS * tbytes, reps=1)
+    r.seconds /= REPS
+    r.flops /= REPS
+    r.bytes /= REPS
+    print(json.dumps({
+        "bench": "transition", "impl": "pallas", "b": b, "K": K,
+        "ms": round(r.seconds * 1e3, 3), "gbps": round(r.gbps, 1),
+        "hbm_frac": round(r.gbps / (r.chip.hbm_gbps if r.chip else 1e9),
+                          3)}), flush=True)
+
 
 if __name__ == "__main__":
     sys.exit(main())

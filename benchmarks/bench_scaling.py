@@ -1,77 +1,169 @@
-"""Multi-device scaling benchmark — row-sharded homotopy over a mesh.
+"""Multi-device scaling evidence — row-sharded homotopy over a mesh.
 
-The reference has no distributed mode (SURVEY.md §2.4); this measures the
-framework's scaling design: A row-partitioned over the mesh's "row" axis,
-signals over "data", one psum per correlation product. On a CPU host this
-exercises a virtual device mesh (XLA_FLAGS=--xla_force_host_platform_
-device_count=8); on a TPU slice it uses real chips over ICI.
+The reference has no distributed mode (SURVEY.md §2.4); this records the
+framework's scaling design evidence (VERDICT round-1 item 3):
 
-One JSON line per mesh shape:
-  {"bench": "scaling", "devices": D, "mesh": "(data, row)",
-   "solves_per_sec": ..., "efficiency_vs_1dev": ...}
+  1. strong scaling over the row axis (devices 1→N, fixed problem);
+  2. data-axis scaling (batch parallel, replicated A);
+  3. sharded-on-1-device vs the unsharded batch path (sharding overhead);
+  4. the gram=False regime (config-5 proxy: n too large to replicate
+     AᵀA — every insert pays a psum'd Gram-column product);
+  5. the collective-overlap experiment: `overlap_split` issues one psum
+     per correlation column block so XLA can overlap each collective
+     with the next block's local gemv; results must be identical and the
+     compiled HLO shows the split collectives.
+
+On this workspace the mesh is 8 virtual CPU devices
+(``--cpu`` + XLA_FLAGS=--xla_force_host_platform_device_count=8): the
+timings exercise the real shard_map/collective machinery but NOT real
+ICI — wall-clock overlap of collectives cannot be validated on host
+threads, so experiment 5 records result-parity and the collective count,
+with timing noted as indicative only. One JSON line per measurement.
 
 Run:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python benchmarks/bench_scaling.py --quick
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/bench_scaling.py --cpu [--quick]
+
+(The JAX_PLATFORMS env var is ignored in this workspace — a sitecustomize
+registers the TPU plugin; --cpu uses jax.config, which works.)
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import json
-import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    args = ap.parse_args()
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
 
-    import jax
-    from sparse_solvers_tpu.parallel import sharding as sh
 
-    m, n, k, batch = ((256, 512, 8, 8) if args.quick
-                      else (2048, 4096, 32, 32))
-    max_iter = 2 * k
-
-    rng = np.random.RandomState(0)
+def _problem(m, n, k, batch, seed=0):
+    rng = np.random.RandomState(seed)
     A = rng.randn(m, n).astype(np.float32)
     A /= np.linalg.norm(A, axis=0)
     X = np.zeros((batch, n), np.float32)
     for b in range(batch):
         sup = rng.choice(n, k, replace=False)
         X[b, sup] = rng.uniform(0.5, 1.0, k)
-    Y = (X @ A.T).astype(np.float32)
+    return A, (X @ A.T).astype(np.float32)
 
+
+def _time_sharded(jax, sh, mesh, A, Y, tol, max_iter, **kw):
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    run = jax.jit(lambda a, y: sh.homotopy_sharded(
+        mesh, a, y, tolerance=tol, max_iterations=max_iter, **kw))
+    Xs, rep = run(Ad, Yd)
+    np.asarray(rep.iter)  # fence (compile run discarded)
+    t0 = time.time()
+    Xs, rep = run(Ad, Yd)
+    iters = np.asarray(rep.iter)
+    dt = time.time() - t0
+    return dt, Xs, iters, run, (Ad, Yd)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (virtual device mesh)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from sparse_solvers_tpu.parallel import sharding as sh
+    import sparse_solvers_tpu as ss
+
+    m, n, k, batch = ((256, 512, 8, 8) if args.quick
+                      else (2048, 4096, 32, 32))
+    max_iter, tol = 2 * k, 1e-2
+    A, Y = _problem(m, n, k, batch, seed=0)
     ndev = len(jax.devices())
+    platform = jax.devices()[0].platform
+
+    # --- 1. strong scaling over the row axis ---------------------------
     base = None
     d = 1
     while d <= ndev:
         mesh = sh.make_mesh(n_row=d, n_data=1, devices=jax.devices()[:d])
-        Ad, Yd = sh.shard_inputs(mesh, A, Y)
-        run = jax.jit(lambda a, y: sh.homotopy_sharded(
-            mesh, a, y, tolerance=1e-2, max_iterations=max_iter))
-        Xs, rep = run(Ad, Yd)
-        jax.block_until_ready(Xs)
-        t0 = time.time()
-        Xs, rep = run(Ad, Yd)
-        jax.block_until_ready(Xs)
-        dt = time.time() - t0
+        dt, _, iters, _, _ = _time_sharded(jax, sh, mesh, A, Y, tol,
+                                           max_iter)
         sps = batch / dt
         if base is None:
             base = sps
-        print(json.dumps({
-            "bench": "scaling", "devices": d, "mesh": "(data=1, row=%d)" % d,
-            "solves_per_sec": round(sps, 3),
-            "efficiency_vs_1dev": round(sps / (base * d), 3)}), flush=True)
+        emit(bench="scaling", axis="row", platform=platform, devices=d,
+             mesh=f"(data=1, row={d})", solves_per_sec=round(sps, 3),
+             efficiency_vs_1dev=round(sps / (base * d), 3),
+             mean_iterations=float(np.mean(iters)))
         d *= 2
+
+    # --- 2. data-axis scaling ------------------------------------------
+    d = 2
+    while d <= ndev:
+        mesh = sh.make_mesh(n_row=1, n_data=d, devices=jax.devices()[:d])
+        dt, _, _, _, _ = _time_sharded(jax, sh, mesh, A, Y, tol, max_iter)
+        sps = batch / dt
+        emit(bench="scaling", axis="data", platform=platform, devices=d,
+             mesh=f"(data={d}, row=1)", solves_per_sec=round(sps, 3),
+             efficiency_vs_1dev=round(sps / (base * d), 3))
+        d *= 2
+
+    # --- 3. sharded-on-1-device vs unsharded batch path ----------------
+    solver = ss.Homotopy(A, engine="jax")
+    Xb, rb = solver.solve_batch(Y, tolerance=tol, max_iterations=max_iter)
+    np.asarray(rb.iter)
+    t0 = time.time()
+    Xb, rb = solver.solve_batch(Y, tolerance=tol, max_iterations=max_iter)
+    np.asarray(rb.iter)
+    dt_plain = time.time() - t0
+    emit(bench="scaling", axis="overhead", platform=platform,
+         unsharded_solves_per_sec=round(batch / dt_plain, 3),
+         sharded_1dev_solves_per_sec=round(base, 3),
+         sharding_overhead=round(dt_plain and (batch / base) / dt_plain, 3))
+
+    # --- 4. gram=False large-n regime (config-5 proxy) ------------------
+    mg, ng, kg, bg = ((512, 2048, 8, 4) if args.quick
+                      else (4096, 16384, 16, 8))
+    Ag, Yg = _problem(mg, ng, kg, bg, seed=1)
+    mesh = sh.make_mesh(n_row=ndev, n_data=1)
+    dt, Xg, iters, _, _ = _time_sharded(jax, sh, mesh, Ag, Yg, tol,
+                                        2 * kg, gram=False)
+    rec = float(np.max(np.abs(np.asarray(Xg) @ Ag.T - Yg)))
+    emit(bench="scaling", axis="gram_false", platform=platform,
+         devices=ndev, m=mg, n=ng, k=kg, batch=bg,
+         solves_per_sec=round(bg / dt, 3),
+         mean_iterations=float(np.mean(iters)), max_residual=round(rec, 4))
+
+    # --- 5. collective-overlap experiment -------------------------------
+    mesh = sh.make_mesh(n_row=min(4, ndev), n_data=1)
+    dt1, X1, _, run1, sargs = _time_sharded(jax, sh, mesh, A, Y, tol,
+                                            max_iter, gram=False,
+                                            overlap_split=1)
+    dt2, X2, _, run2, _ = _time_sharded(jax, sh, mesh, A, Y, tol,
+                                        max_iter, gram=False,
+                                        overlap_split=2)
+    same = bool(np.allclose(np.asarray(X1), np.asarray(X2), atol=1e-5))
+    hlo1 = run1.lower(*sargs).compile().as_text()
+    hlo2 = run2.lower(*sargs).compile().as_text()
+    ar1 = hlo1.count("all-reduce")
+    ar2 = hlo2.count("all-reduce")
+    emit(bench="scaling", axis="overlap_split", platform=platform,
+         devices=min(4, ndev),
+         split1_solves_per_sec=round(batch / dt1, 3),
+         split2_solves_per_sec=round(batch / dt2, 3),
+         results_match=same, all_reduce_ops_split1=ar1,
+         all_reduce_ops_split2=ar2,
+         note=("virtual CPU mesh: timings indicative only; real-ICI "
+               "overlap requires >=2 physical chips"
+               if platform == "cpu" else "real devices"))
 
 
 if __name__ == "__main__":

@@ -113,6 +113,12 @@ class RowShardedOperator(NamedTuple):
     A_local: jnp.ndarray
     axis: str
     G: jnp.ndarray | None = None  # replicated AᵀA (psum'd at construction)
+    # Correlation split factor (collective-overlap experiment): with
+    # split=s, rmatvec issues s independent half-width psums, exposing
+    # each collective for overlap with the next block's local gemv (the
+    # BASELINE.json north-star "psum overlapped with next matvec tile").
+    # split=1 is the default single-psum design.
+    split: int = 1
 
     @property
     def shape(self):
@@ -156,8 +162,19 @@ class RowShardedOperator(NamedTuple):
         return jnp.take(g, slots, mode="fill", fill_value=0), vtv
 
     def rmatvec(self, u_local):
-        return lax.psum(blas.xgemv(self.A_local, u_local, trans=True),
-                        self.axis)
+        if self.split <= 1:
+            return lax.psum(blas.xgemv(self.A_local, u_local, trans=True),
+                            self.axis)
+        # pipelined variant: one psum per column block, so the collective
+        # for block i can ride ICI while block i+1's gemv runs
+        n = self.A_local.shape[1]
+        step = -(-n // self.split)
+        parts = [
+            lax.psum(blas.xgemv(self.A_local[:, i:i + step], u_local,
+                                trans=True), self.axis)
+            for i in range(0, n, step)
+        ]
+        return jnp.concatenate(parts)
 
     def column(self, j):
         return self.A_local[:, j]  # local shard of the column

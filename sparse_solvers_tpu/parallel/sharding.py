@@ -65,7 +65,7 @@ _SHARDED_GRAM_AUTO_BYTES = 1 << 30
 
 def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      max_iterations: int, k_max: int | None = None,
-                     gram: bool | None = None):
+                     gram: bool | None = None, overlap_split: int = 1):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
@@ -76,7 +76,13 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     replicated Gram AᵀA once per call — one psum'd gemm — after which
     every active-set insert is a local row lookup instead of a
     psum-per-insert Gram-column product (SURVEY.md §2.4: minimize
-    collectives per iteration).
+    collectives per iteration). ``gram=False`` is the config-5 regime
+    (n too large to replicate n²): Gram columns are psum'd per insert.
+
+    ``overlap_split`` > 1 splits each correlation psum into that many
+    independent column-block psums so XLA can overlap each collective
+    with the next block's local gemv (benchmarks/bench_scaling.py
+    records the experiment).
     """
     n = A.shape[1]
     k_max = k_max or min(n, max_iterations + 1)
@@ -94,7 +100,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         from ..ops import blas
         G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
                           ROW_AXIS) if gram else None)
-        op = RowShardedOperator(A_local, ROW_AXIS, G)
+        op = RowShardedOperator(A_local, ROW_AXIS, G, split=overlap_split)
         # With a replicated Gram and few lanes per device, the γ-scan
         # product q = AᵀAd comes from Gram-column gathers — zero
         # collectives per iteration (SURVEY.md §2.4 north star); the
