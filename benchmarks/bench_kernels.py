@@ -101,6 +101,22 @@ def main():
     da = jnp.zeros((b, K), jnp.float32).at[:, 0].set(1.0)
     ind = jnp.full((b, K), n, jnp.int32).at[:, 0].set(5)
 
+    # Loop-harness overhead baseline: the identical fori chain with the
+    # kernel replaced by a trivial reduction over the same operands. The
+    # chain's (b,n) materialization + loop-carry copies dominate µs-scale
+    # kernels on this tunneled device, so kernel times are reported
+    # baseline-subtracted; the authoritative per-kernel numbers are the
+    # in-solve device timings (results/profile_headline.json).
+    def base_loop(q_, c_):
+        def body(i, s):
+            return s + jnp.sum(q_ + s * 0) * 1e-30 + jnp.sum(c_) * 0
+        return lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    fb = jax.jit(base_loop)
+    _ = np.asarray(fb(q, c))
+    rb = profiling.measure(fb, q, c, reps=1)
+    base_s = rb.seconds / REPS
+
     def scan_loop(q_, c_):
         def body(i, s):
             g, _ = SC.find_max_gamma_fused(q_ + s * 0, c_, mask, cinf,
@@ -113,14 +129,18 @@ def main():
     sbytes = (2 * b * n * 4 + b * n)  # q + c f32, mask int8
     r = profiling.measure(f, q, c, flops=REPS * 12 * b * n,
                           bytes=REPS * sbytes, reps=1)
-    r.seconds /= REPS
-    r.flops /= REPS
-    r.bytes /= REPS
-    print(json.dumps({
-        "bench": "gamma_scan", "impl": "pallas", "n": n, "b": b, "K": K,
-        "ms": round(r.seconds * 1e3, 3), "gbps": round(r.gbps, 1),
-        "hbm_frac": round(r.gbps / (r.chip.hbm_gbps if r.chip else 1e9),
-                          3)}), flush=True)
+    net_s = r.seconds / REPS - base_s
+    row = {"bench": "gamma_scan", "impl": "pallas", "n": n, "b": b, "K": K,
+           "ms": round(max(net_s, 0) * 1e3, 3),
+           "harness_ms": round(base_s * 1e3, 3)}
+    if net_s > 5e-6:
+        row["gbps"] = round(sbytes / net_s / 1e9, 1)
+        row["hbm_frac"] = round(sbytes / net_s / 1e9
+                                / (r.chip.hbm_gbps if r.chip else 1e9), 3)
+    else:
+        row["note"] = ("below harness noise; in-solve device time is "
+                       "authoritative (results/profile_headline.json)")
+    print(json.dumps(row), flush=True)
 
     # transition kernel: chain the inverse through iterations (insert-only
     # steps, the dominant case)
@@ -145,19 +165,35 @@ def main():
         out = lax.fori_loop(0, REPS, body, (inv_, gk_))
         return out[0][0, 0, 0]
 
+    def trans_base(inv_, gk_):
+        def body(i, carry):
+            a, g = carry
+            return (a + 0.0 * g, g)
+        out = lax.fori_loop(0, REPS, body, (inv_, gk_))
+        return out[0][0, 0, 0]
+
+    fb = jax.jit(trans_base)
+    _ = np.asarray(fb(inv0, gk0))
+    tb = profiling.measure(fb, inv0, gk0, reps=1).seconds / REPS
+
     f = jax.jit(trans_loop)
     _ = np.asarray(f(inv0, gk0))
     tbytes = 4 * b * K * K * 4  # inv+gk read+write (aliased in place)
     r = profiling.measure(f, inv0, gk0, flops=REPS * 10 * b * K * K,
                           bytes=REPS * tbytes, reps=1)
-    r.seconds /= REPS
-    r.flops /= REPS
-    r.bytes /= REPS
-    print(json.dumps({
-        "bench": "transition", "impl": "pallas", "b": b, "K": K,
-        "ms": round(r.seconds * 1e3, 3), "gbps": round(r.gbps, 1),
-        "hbm_frac": round(r.gbps / (r.chip.hbm_gbps if r.chip else 1e9),
-                          3)}), flush=True)
+    net_s = r.seconds / REPS - tb
+    row = {"bench": "transition", "impl": "pallas", "b": b, "K": K,
+           "ms": round(max(net_s, 0) * 1e3, 3),
+           "harness_ms": round(tb * 1e3, 3)}
+    if net_s > 2e-5:
+        row["gbps"] = round(tbytes / net_s / 1e9, 1)
+        row["hbm_frac"] = round(tbytes / net_s / 1e9
+                                / (r.chip.hbm_gbps if r.chip else 1e9), 3)
+    else:
+        row["note"] = ("below harness noise (~±0.1 ms/iter loop-carry "
+                       "churn on this device); in-solve device time is "
+                       "authoritative (results/profile_headline.json)")
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,8 +35,9 @@ def main():
 
     M, N, K, B = 4096, 8192, 64, 256
     TOL, MAX_ITER = 1e-2, 128
+    KMAX = (3 * K) // 2  # match bench.py's capacity
     A, Y = make_problem(M, N, K, B)
-    solver = ss.Homotopy(A)
+    solver = ss.Homotopy(A, k_max=KMAX)
     Y = jax.device_put(Y)
 
     X, rep = solver.solve_batch(Y, tolerance=TOL, max_iterations=MAX_ITER)
@@ -89,13 +90,29 @@ def main():
               file=sys.stderr)
         out_rows.append({"total_ms": round(tot, 3), "count": cnt,
                          "name": name})
+    # per-Pallas-kernel device times (the authoritative kernel
+    # measurements — loop-harness micro-benches on this tunneled device
+    # carry ~±0.1 ms/iteration of loop-carry churn, bench_kernels.py)
+    kernels = {}
+    for tot, cnt, name in rows:
+        for key in ("find_max_gamma_fused", "transition"):
+            if name.lstrip("%").startswith(key):
+                kernels.setdefault(key, {"total_ms": round(tot, 3),
+                                         "count": cnt,
+                                         "us_per_call": round(tot / cnt
+                                                              * 1e3, 1)})
+    for key, v in kernels.items():
+        print(f"kernel {key}: {v['us_per_call']} us/call x{v['count']}",
+              file=sys.stderr)
+
     os.makedirs(os.path.join(repo, "benchmarks", "results"), exist_ok=True)
     with open(os.path.join(repo, "benchmarks", "results",
                            "profile_headline.json"), "w") as f:
         json.dump({"config": {"m": M, "n": N, "k": K, "b": B,
-                              "max_iter": MAX_ITER},
+                              "max_iter": MAX_ITER, "k_max": KMAX},
                    "iters_mean": float(iters.mean()),
                    "iters_max": int(iters.max()),
+                   "pallas_kernels": kernels,
                    "ops": out_rows}, f, indent=1)
     print("wrote benchmarks/results/profile_headline.json", file=sys.stderr)
 

@@ -110,6 +110,10 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     n = A.shape[1]
     K = k_max
     dtype = A.dtype
+    if dtype != jnp.float32:
+        raise ValueError(
+            "the batch-native driver is float32 (its Pallas kernels are); "
+            f"got {dtype} — use the vmapped core (api routes f64 there)")
     tol = jnp.asarray(tolerance, dtype)
     if use_kernel is None:
         import jax
