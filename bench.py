@@ -62,6 +62,10 @@ def main():
     # recovery check below — none does on this workload (paths are
     # insert-only, max support = k).
     KMAX = int(os.environ.get("SS_BENCH_KMAX", (3 * K) // 2))
+    # MXU precision for the solve loop ("high" default = 3 bf16 passes;
+    # "default" = 1 pass, ~1.4x faster — the recorded opt-in headroom,
+    # tests/test_solvers.py default-precision recovery test)
+    PRECISION = os.environ.get("SS_BENCH_PRECISION")
 
     import jax
     # Persistent compilation cache: reuses the compiled executable across
@@ -81,7 +85,7 @@ def main():
 
     A, Y = make_problem(M, N, K, BATCH)
 
-    solver = ss.Homotopy(A, k_max=KMAX)
+    solver = ss.Homotopy(A, k_max=KMAX, precision=PRECISION)
     # pre-place the signal batch on device: the timed region measures the
     # solver, not the host->device stream of Y (which a serving system
     # pays once / overlaps)

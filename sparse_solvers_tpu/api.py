@@ -127,8 +127,14 @@ class Homotopy:
         """AᵀA, computed lazily on first jax-engine use (native-engine
         solves never touch it, so construction stays device-free)."""
         if self._gram_enabled and self._G_cache is None:
-            self._G_cache = jax.jit(_blas.xgemm, static_argnames="trans_a")(
+            G = jax.jit(_blas.xgemm, static_argnames="trans_a")(
                 self._A, self._A, trans_a=True)
+            if isinstance(G, jax.core.Tracer):
+                # first touch is inside an outer jit trace
+                # (solve_batch_on_device): use the traced value but never
+                # cache a tracer — it would leak into later eager solves
+                return G
+            self._G_cache = G
         return self._G_cache
 
     @property
@@ -244,6 +250,19 @@ class Homotopy:
         return self._fn(max_iterations, batch=None)(
             self._A, self._G, y, tolerance)
 
+    def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
+                              max_iterations: int = 100):
+        """Jit-composable batched solve over device arrays.
+
+        Y: (batch, m) device array; tolerance may be a traced scalar.
+        Returns (X (batch, n), HomotopyReportArrays pytree) without any
+        device→host transfer — composes under an outer ``jax.jit`` /
+        ``shard_map`` (the serving-loop entry point; ``solve_batch``
+        wraps this plus host-side conversion and engine routing).
+        """
+        return self._fn(max_iterations, batch=Y.shape[0])(
+            self._A, self._G, Y, tolerance)
+
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)
                 if tolerance is None else float(tolerance))
@@ -282,7 +301,10 @@ class Irls:
         # to the column-sign convention of the factorization. Computed
         # lazily so native-engine construction does no device work.
         if self._QR_cache is None:
-            self._QR_cache = jnp.linalg.qr(self._A, mode="reduced")
+            QR = jnp.linalg.qr(self._A, mode="reduced")
+            if isinstance(QR[0], jax.core.Tracer):
+                return QR  # traced under an outer jit: don't cache (see _G)
+            self._QR_cache = QR
         return self._QR_cache
 
     @property
@@ -377,6 +399,12 @@ class Irls:
         """Jit-composable solve: device arrays in, (x, report pytree) out."""
         return self._fn(max_iterations, batched=False)(
             self._Q, self._R, y, tolerance)
+
+    def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
+                              max_iterations: int = 100):
+        """Jit-composable batched solve (see Homotopy.solve_batch_on_device)."""
+        return self._fn(max_iterations, batched=True)(
+            self._Q, self._R, Y, tolerance)
 
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)

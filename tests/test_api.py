@@ -99,6 +99,48 @@ def test_reports_repr_fields():
     assert hasattr(irep, "spd_failure")
 
 
+def test_solve_batch_on_device_jit_composable():
+    """solve_batch_on_device composes under an outer jit (the serving-loop
+    entry point) and matches solve_batch's jax path lane for lane."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    m, n, b = 24, 48, 5
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Xt = np.zeros((b, n), np.float32)
+    for i in range(b):
+        Xt[i, rng.choice(n, 4, replace=False)] = 1.0
+    Y = Xt @ A.T
+
+    solver = ss.Homotopy(A, engine="jax")
+
+    @jax.jit
+    def serve(Yd, tol):
+        X, rep = solver.solve_batch_on_device(Yd, tol, max_iterations=40)
+        # post-process on device to prove composability
+        return X, rep.iter, jnp.abs(X).sum(axis=1)
+
+    X1, it1, l1 = serve(jnp.asarray(Y), 1e-2)
+    X2, rep2 = solver.solve_batch(Y, tolerance=1e-2, max_iterations=40)
+    # inlined-G vs cached-G are different compiled programs; the matmul
+    # schedules may differ by ulps, so parity here is tight-allclose (the
+    # bit-exact contract is within one compiled program)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(rep2.iter))
+
+    irls = ss.Irls(A.T.copy(), engine="jax")  # m >= n
+    Yi = (A.T @ np.ones(m, np.float32))[None, :].repeat(3, axis=0)
+    Xi, repi = jax.jit(
+        lambda Yd, tol: irls.solve_batch_on_device(Yd, tol, 20))(
+            jnp.asarray(Yi), 1e-4)
+    Xi2, repi2 = irls.solve_batch(Yi, tolerance=1e-4, max_iterations=20)
+    np.testing.assert_array_equal(np.asarray(Xi), np.asarray(Xi2))
+    np.testing.assert_array_equal(np.asarray(repi.spd_failure),
+                                  np.asarray(repi2.spd_failure))
+
+
 def test_engine_jax_small_problem_warns():
     """Forcing engine="jax" below the dispatch-latency floor warns
     (the ~82 ms flat device round trip dwarfs sub-millisecond solves;

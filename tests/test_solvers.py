@@ -296,3 +296,35 @@ def test_irls_spd_boundary_parity_fast_vs_exact():
         np.testing.assert_allclose(float(reps["fast"].solution_error),
                                    float(reps["exact"].solution_error),
                                    rtol=1e-5)
+
+
+@pytest.mark.parametrize("precision", ["default", "high", "highest"])
+def test_homotopy_precision_levels_recover(precision):
+    """Every MXU precision level must recover the planted support on the
+    standard compressive ensemble (the headline workload in miniature).
+
+    precision="default" (one bf16 pass) is the documented opt-in
+    throughput mode (~1.4x on TPU, BASELINE.md); the contract is not
+    trajectory parity with "high" — fp schedules legitimately fork — but
+    oracle-quality recovery: exact support, faithful reconstruction.
+    """
+    import sparse_solvers_tpu as ss
+
+    rng = np.random.RandomState(7)
+    m, n, k, b = 64, 128, 6, 4
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Xt = np.zeros((b, n), np.float32)
+    for i in range(b):
+        Xt[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1.0, k)
+    Y = Xt @ A.T
+
+    solver = ss.Homotopy(A, engine="jax", precision=precision)
+    X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=2 * k)
+    X = np.asarray(X)
+    for i in range(b):
+        sup_true = set(np.flatnonzero(Xt[i]))
+        sup_got = set(np.flatnonzero(np.abs(X[i]) > 0.1))
+        assert sup_got == sup_true, (precision, i)
+    err = np.max(np.abs(X @ A.T - Y))
+    assert err < 5e-2, (precision, err)
