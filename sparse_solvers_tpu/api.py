@@ -161,13 +161,20 @@ class Homotopy:
         # SS_BATCH_NATIVE=1 forces the driver anywhere (tests),
         # SS_BATCH_NATIVE=0 disables it.
         native_env = os.environ.get("SS_BATCH_NATIVE")
+        # structural requirements (the kernels are f32 and round-trip
+        # indices through f32; the driver needs G); SS_BATCH_NATIVE=1
+        # forces the driver anywhere these hold. The auto default
+        # additionally sticks to the measured regime (lane-aligned n —
+        # the scan kernel pads other widths itself, but only aligned
+        # shapes have recorded TPU wins).
         eligible = (batch is not None and self._mode == "fast"
                     and self._gram_enabled
                     and self._A.dtype == np.float32
-                    and self._n % 128 == 0 and self._n < (1 << 24))
+                    and self._n < (1 << 24))
         batch_native = eligible and (
             native_env == "1"
             or (native_env != "0" and not sparse
+                and self._n % 128 == 0
                 and jax.default_backend() == "tpu"))
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native)
@@ -381,6 +388,12 @@ class Irls:
             if self._native is None:
                 self._native = _native.IrlsNative(np.asarray(self._A))
             Yn = np.asarray(Y)
+            if Yn.shape[0] == 0:  # np.stack below rejects empty batches
+                return (np.zeros((0, self._n), self.dtype),
+                        _irls.IrlsReportArrays(
+                            iter=np.zeros(0, np.uint32),
+                            solution_error=np.zeros(0, self.dtype),
+                            spd_failure=np.zeros(0, bool)))
             xs, its, errs, spds = [], [], [], []
             for b in range(Yn.shape[0]):
                 x, it, err, spd = self._native.solve(Yn[b], tol,

@@ -41,25 +41,29 @@ _lib = None
 _tried = False
 
 
-def _build() -> str | None:
-    # wheel install: the extension module sits inside the package (it has
-    # no PyInit_ symbol — it is loaded with ctypes, never imported)
-    wheels = sorted(glob.glob(os.path.join(_PKG, "_native*.so")))
-    if wheels:
-        return wheels[0]
+def _candidates():
+    """Yield library paths in preference order: the packaged extension
+    (what ``pip install`` produces; it has no PyInit_ symbol — it is
+    loaded with ctypes, never imported), then a repo checkout's csrc
+    build (made lazily). get_lib tries each until one *binds*, so a
+    stale packaged binary missing newer entry points degrades to the
+    fresh csrc build instead of poisoning the process."""
+    yield from sorted(glob.glob(os.path.join(_PKG, "_native*.so")))
     path = os.path.join(_CSRC, _LIBNAME)
     src = os.path.join(_CSRC, "sparsesolvers_cpu.cpp")
     if os.path.exists(path) and (not os.path.exists(src) or
                                  os.path.getmtime(path) >= os.path.getmtime(src)):
-        return path
+        yield path
+        return
     if not os.path.exists(src):
-        return None
+        return
     try:
         subprocess.run(["make", "-C", _CSRC], check=True,
                        capture_output=True, timeout=300)
-        return path if os.path.exists(path) else None
+        if os.path.exists(path):
+            yield path
     except Exception:
-        return None
+        pass
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -112,11 +116,14 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is None and not _tried:
             _tried = True
-            path = _build()
-            if path:
+            for path in _candidates():
                 try:
+                    # AttributeError: a stale binary lacking newer entry
+                    # points (e.g. the f64 batch symbols) — fall through
+                    # to the next candidate rather than crashing solves
                     _lib = _bind(ctypes.CDLL(path))
-                except OSError:
+                    break
+                except (OSError, AttributeError):
                     _lib = None
         return _lib
 

@@ -191,7 +191,13 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         cnew = _take1(s.c, idx) - gamma * _take1(q, idx)
 
         doins = live & ~present & (s.kk < K)
-        dorm = live & present
+        # `~empty` gates the remove: when the scan selects removal of the
+        # only active member (kk == 1) the lane breaks with its solution
+        # intact (the core/reference break BEFORE touching the support,
+        # homotopy-cpu.cpp:246 K==0 break) — without the gate the
+        # transition would vswap x_act to zero and the final slot-scatter
+        # would return X = 0 for the lane
+        dorm = live & present & ~empty
         inv1, gk1, x_act1, d_act1, c_act1, ind1 = _trans.transition(
             s.inv, s.gk, s.x_act, s.d_act, s.c_act, s.indices, u1, idx,
             s.kk, gamma, vtv, cnew, live, doins, dorm, tol, n,

@@ -123,3 +123,43 @@ def test_no_nans_on_thrashy_ensemble():
         Xb, Rb = f(jnp.asarray(A), s._G, jnp.asarray(Y), 0.05)
     assert np.isfinite(np.asarray(Xb)).all()
     assert np.isfinite(np.asarray(Rb.solution_error)).all()
+
+
+def test_remove_to_empty_breaks_with_solution_intact():
+    """When the γ-scan selects removal of a lane's only active member
+    (kk == 1) the lane must break with its solution intact — the core and
+    the reference break BEFORE touching the support (homotopy-cpu.cpp:246
+    K==0 break; solve_homotopy_core's `empty` clamp). Regression: the
+    batch driver ran the remove anyway, zeroing x_act so the final
+    slot-scatter returned X = 0 for the lane."""
+    n = m = 8
+    K = 4
+    A = np.eye(m, n, dtype=np.float32)          # G = I
+    G = np.eye(n, dtype=np.float32)
+    Y = np.zeros((1, m), np.float32)
+    init, body, lane_live = HB.make_stepper(
+        jnp.asarray(A), jnp.asarray(G), jnp.asarray(Y), 0.01, 10, K,
+        use_kernel=False)
+    # one active member (index 3) whose removal candidate -x/d = 0.45 is
+    # below every insertion candidate (= 1.0 here): the scan picks the
+    # removal, which would empty the support
+    s = init._replace(
+        it=jnp.array([1], jnp.uint32),
+        c=jnp.zeros((1, n), jnp.float32).at[0, 3].set(1.0),
+        c_inf=jnp.array([1.0], jnp.float32),
+        mask=jnp.zeros((1, n), jnp.int8).at[0, 3].set(1),
+        inv=jnp.zeros((1, K, K), jnp.float32).at[0, 0, 0].set(1.0),
+        gk=jnp.zeros((1, K, K), jnp.float32).at[0, 0, 0].set(1.0),
+        x_act=jnp.zeros((1, K), jnp.float32).at[0, 0].set(0.9),
+        d_act=jnp.zeros((1, K), jnp.float32).at[0, 0].set(-2.0),
+        c_act=jnp.zeros((1, K), jnp.float32).at[0, 0].set(1.0),
+        indices=jnp.full((1, K), n, jnp.int32).at[0, 0].set(3),
+        kk=jnp.array([1], jnp.int32),
+        broke=jnp.array([False]),
+    )
+    out = body(s)
+    assert bool(out.broke[0])                      # lane breaks...
+    assert int(out.kk[0]) == 1                     # ...support untouched
+    assert int(out.indices[0, 0]) == 3
+    np.testing.assert_allclose(float(out.x_act[0, 0]), 0.9, atol=1e-6)
+    assert int(out.mask[0, 3]) == 1

@@ -75,3 +75,38 @@ def test_native_f64_irls_supported():
     assert x.dtype == np.float64
     np.testing.assert_array_equal(x, sig)
     assert rep.iter == 1 and not rep.spd_failure
+
+
+@pytest.mark.skipif(not native.available(), reason="native unavailable")
+def test_irls_native_empty_batch():
+    """A zero-length batch returns empty arrays on the native engine like
+    the jax path (regression: np.stack([]) raised ValueError)."""
+    A = np.eye(6, dtype=np.float32)
+    X, reps = ss.Irls(A, engine="native").solve_batch(
+        np.zeros((0, 6), np.float32), tolerance=0.1)
+    assert X.shape == (0, 6)
+    assert reps.iter.shape == (0,)
+    assert reps.spd_failure.shape == (0,)
+
+
+def test_batch_native_force_unaligned_n(monkeypatch):
+    """SS_BATCH_NATIVE=1 must force the slot-space driver even when n is
+    not lane-aligned (the scan kernel pads n itself); only the structural
+    requirements (f32, gram, n < 2^24) gate the force. Regression: the
+    force was silently ignored for n % 128 != 0."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(5)
+    m, n, k, B = 40, 80, 4, 6
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Xt = np.zeros((B, n), np.float32)
+    for i in range(B):
+        Xt[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (Xt @ A.T).astype(np.float32)
+    s = ss.Homotopy(A, engine="jax")
+    X, reps = s.solve_batch(Y, tolerance=0.01, max_iterations=20)
+    # the compiled-program cache key records which driver was built:
+    # (max_iterations, k_max, batched, sparse, batch_native)
+    assert any(key[4] for key in s._cache), s._cache.keys()
+    rec = np.max(np.abs(np.asarray(X) @ A.T - Y), axis=1)
+    assert (rec < 0.05).all()
