@@ -145,7 +145,11 @@ class Homotopy:
     def dtype(self):
         return self._A.dtype
 
-    def _fn(self, max_iterations: int, batch: int | None):
+    def _plan(self, max_iterations: int, batch: int | None):
+        """Routing decisions for a jax-engine solve of this shape —
+        (k_max, sparse_matvec, batch_native). Shared by the compiled-
+        program cache and by ``explain`` so the report cannot drift from
+        the executed path."""
         k_max = self._k_max or min(self._n, max_iterations + 1)
         # Sparse (gather-based) A·d only wins while the gathered column
         # traffic (batch·k_max columns) is below a couple of full passes
@@ -176,6 +180,40 @@ class Homotopy:
             or (native_env != "0" and not sparse
                 and self._n % 128 == 0
                 and jax.default_backend() == "tpu"))
+        return k_max, sparse, batch_native
+
+    def explain(self, batch: int | None = None,
+                max_iterations: int = 100) -> dict:
+        """Execution plan for a solve of this configuration — which
+        engine and which compiled formulation would run, so users can
+        see (rather than guess) whether the Pallas throughput driver,
+        the vmapped core, or the native host backend carries the solve.
+
+        Pass ``batch`` (lane count) for ``solve_batch`` plans, None for
+        single solves. Pure report: triggers no compilation or device
+        work."""
+        if self._use_native():
+            return {"engine": "native", "mode": self._mode,
+                    "backend": "csrc host (C++)"}
+        k_max, sparse, batch_native = self._plan(max_iterations, batch)
+        return {
+            "engine": "jax",
+            "backend": jax.default_backend(),
+            "mode": self._mode,
+            "precision": self._precision,
+            "gram": self._gram_enabled,
+            "k_max": k_max,
+            "sparse_matvec": sparse,
+            "batch_native": batch_native,
+            "formulation": (
+                "slot-space batch driver (Pallas scan + transition)"
+                if batch_native else
+                ("vmapped while_loop core" if batch is not None
+                 else "while_loop core")),
+        }
+
+    def _fn(self, max_iterations: int, batch: int | None):
+        k_max, sparse, batch_native = self._plan(max_iterations, batch)
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native)
         fn = self._cache.get(key)
@@ -329,6 +367,18 @@ class Irls:
     @property
     def dtype(self):
         return self._A.dtype
+
+    def explain(self, batch: int | None = None,
+                max_iterations: int = 100) -> dict:
+        """Execution plan report (see Homotopy.explain)."""
+        if self._use_native():
+            return {"engine": "native", "mode": self._mode,
+                    "backend": "csrc host (C++)"}
+        return {"engine": "jax", "backend": jax.default_backend(),
+                "mode": self._mode,
+                "formulation": ("vmapped IRLS iteration" if batch is not None
+                                else "IRLS iteration"),
+                "qr_cached": self._QR_cache is not None}
 
     def _fn(self, max_iterations: int, batched: bool):
         key = (max_iterations, batched)

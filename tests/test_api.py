@@ -158,3 +158,40 @@ def test_engine_jax_small_problem_warns():
         warnings.simplefilter("always")
         ss.Homotopy(A)  # auto: no warning
     assert not [x for x in w if x.category is RuntimeWarning]
+
+
+def test_explain_reports_executed_path(monkeypatch):
+    """explain() must agree with the path the compiled-program cache
+    actually records (same routing helper feeds both), and reveal the
+    engine choice users otherwise can't see (round-1 review: eligibility
+    routing had no telemetry)."""
+    rng = np.random.RandomState(11)
+    A = rng.randn(40, 80).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+
+    # auto on a small problem: native host engine
+    from sparse_solvers_tpu.backend import native
+    if native.available():
+        plan = ss.Homotopy(A).explain()
+        assert plan["engine"] == "native"
+
+    # forced jax, batched, forced slot-space driver
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    s = ss.Homotopy(A, engine="jax")
+    plan = s.explain(batch=6, max_iterations=20)
+    assert plan["engine"] == "jax" and plan["batch_native"]
+    assert "Pallas" in plan["formulation"]
+    Y = (A @ rng.randn(80).astype(np.float32))[None, :].repeat(6, 0)
+    s.solve_batch(Y, tolerance=0.01, max_iterations=20)
+    (key,) = s._cache.keys()
+    assert key[4] == plan["batch_native"]
+    assert key[1] == plan["k_max"]
+    assert key[3] == plan["sparse_matvec"]
+
+    # vmapped core when the driver is disabled
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+    plan = s.explain(batch=6, max_iterations=20)
+    assert not plan["batch_native"] and "vmapped" in plan["formulation"]
+
+    plan = ss.Irls(np.eye(8, dtype=np.float32), engine="jax").explain()
+    assert plan["engine"] == "jax" and not plan["qr_cached"]
