@@ -1,0 +1,72 @@
+"""Multi-device sparse recovery — row-sharded sensing matrix over a mesh.
+
+Scales the homotopy solver past one chip by partitioning the sensing
+matrix's rows over the "row" mesh axis and the signal batch over the
+"data" axis; each device computes partial correlations, combined by one
+psum over ICI per product (docs/design.md §4, parallel/sharding.py).
+
+Runs anywhere: with no TPU pod attached, it re-executes itself with an
+8-device virtual CPU mesh (fewer than 2 real devices → demo mode); on a
+real slice it uses the actual devices. Set SS_SHARDED_DEMO_CPU=1 to
+force the CPU mesh without probing the accelerator at all.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__ if "__file__" in globals() else "."))))
+
+
+def main():
+    import jax
+
+    # force CPU before any device probe (the JAX_PLATFORMS env var may
+    # be overridden by a site-registered accelerator plugin; the config
+    # update is authoritative — see CLAUDE.md / tests/conftest.py)
+    if os.environ.get("SS_SHARDED_DEMO_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    if jax.device_count() < 2:
+        # re-exec with a virtual 8-device CPU platform for demonstration
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        os.environ["SS_SHARDED_DEMO_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    import numpy as np
+    from sparse_solvers_tpu.parallel import sharding as sh
+
+    m, n, k, batch = 1024, 2048, 16, 64
+    rng = np.random.RandomState(0)
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X_true = np.zeros((batch, n), np.float32)
+    for b in range(batch):
+        sup = rng.choice(n, k, replace=False)
+        X_true[b, sup] = rng.uniform(0.5, 1.0, k)
+    Y = X_true @ A.T
+
+    n_dev = jax.device_count()
+    n_row, n_data = (4, n_dev // 4) if n_dev % 4 == 0 else (n_dev, 1)
+    mesh = sh.make_mesh(n_row=n_row, n_data=n_data)
+    print(f"mesh: {n_row} row-shards x {n_data} data-shards "
+          f"({jax.devices()[0].platform})")
+
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    X, reports = sh.homotopy_sharded(mesh, Ad, Yd, tolerance=1e-2,
+                                     max_iterations=4 * k)
+    X = np.asarray(X)
+
+    support_hit = np.mean([
+        set(np.flatnonzero(X[b] > 0.1)) == set(np.flatnonzero(X_true[b]))
+        for b in range(batch)])
+    print(f"{batch} solves of {m}x{n} (k={k}) across {n_dev} devices; "
+          f"mean path length {np.asarray(reports.iter).mean():.1f}; "
+          f"support recovery {100*support_hit:.0f}%")
+
+
+if __name__ == "__main__":
+    main()

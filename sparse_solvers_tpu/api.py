@@ -48,6 +48,24 @@ def _default_tolerance(dtype) -> float:
 # (n² entries; 1 GiB ⇒ n ≈ 16384 in float32).
 _GRAM_AUTO_BYTES = 1 << 30
 
+_PRECISION_VALUES = ("highest", "high", "default", "certified")
+
+
+def _certified_error(A, x, y):
+    """Certificate: ‖Aᵀ(y − Ax)‖∞ at parity-grade ("high", 3-bf16-pass)
+    MXU precision — exactly the solver's own convergence criterion
+    (reference: homotopy-cpu.cpp:270, c_inf via ixamax), recomputed from
+    the returned solution with trustworthy arithmetic. Batched when x/y
+    carry a leading batch axis."""
+    with _blas.precision_scope("high"):
+        if x.ndim == 2:                       # (b, n) against (b, m)
+            r = y - _blas.xgemm(x, A, trans_b=True)
+            c = _blas.xgemm(r, A)
+        else:
+            r = y - _blas.xgemv(A, x)
+            c = _blas.xgemv(A, r, trans=True)
+    return jnp.max(jnp.abs(c), axis=-1)
+
 
 def _warn_small_problem_jax(engine: str, m: int, n: int) -> None:
     """Explicitly forcing engine="jax" below the dispatch-latency floor
@@ -83,7 +101,14 @@ class Homotopy:
         1 GiB). Ignored in exact mode.
     precision : MXU contraction precision for the solve loop — "highest"
         (bit-faithful f32, 6 bf16 passes), "high" (3 passes, ~1e-7
-        relative) or "default" (1 bf16 pass). Default None = "high" in
+        relative), "default" (1 bf16 pass), or "certified" (mixed:
+        the path runs at "default" speed, then the final correlation
+        ‖Aᵀ(y−Ax)‖∞ — the solver's own convergence criterion — is
+        recomputed at "high" precision and reported as solution_error;
+        ``solve``/``solve_batch`` automatically re-solve at "high"
+        precision if the certificate exceeds the tolerance, so results
+        are guaranteed at least as accurate as precision="high" while
+        the common case runs one-pass fast). Default None = "high" in
         fast mode, "highest" in exact mode.
     engine : "jax" (accelerator/XLA), "native" (C++ host backend, csrc/),
         or "auto" (default) — native for problems small enough that a
@@ -107,6 +132,16 @@ class Homotopy:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
+        if (precision is not None and isinstance(precision, str)
+                and precision not in _PRECISION_VALUES):
+            raise ValueError(
+                f"precision must be one of {_PRECISION_VALUES}, "
+                f"got {precision!r}")
+        if precision == "certified" and mode == "exact":
+            raise ValueError(
+                "precision='certified' runs the path at one-pass MXU "
+                "precision; mode='exact' (operation-for-operation "
+                "reference parity) requires 'high' or 'highest'")
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
@@ -196,7 +231,7 @@ class Homotopy:
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
-        return {
+        plan = {
             "engine": "jax",
             "backend": jax.default_backend(),
             "mode": self._mode,
@@ -211,28 +246,56 @@ class Homotopy:
                 ("vmapped while_loop core" if batch is not None
                  else "while_loop core")),
         }
+        if self._precision == "certified":
+            plan["path_precision"] = "default"
+            plan["certificate"] = ("‖Aᵀ(y−Ax)‖∞ at high precision; "
+                                   "solve/solve_batch re-solve lanes "
+                                   "that miss the tolerance")
+        return plan
 
-    def _fn(self, max_iterations: int, batch: int | None):
+    def _fn(self, max_iterations: int, batch: int | None,
+            precision: str | None = None):
+        """Compiled solve program. ``precision`` overrides the instance
+        setting (used by the certified re-solve path)."""
+        precision = precision or self._precision
+        certified = precision == "certified"
+        # certified mode: the path itself runs at one-pass ("default")
+        # precision; the certificate below restores trust in the result
+        path_precision = "default" if certified else precision
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
         key = (max_iterations, k_max, batch is not None, sparse,
-               batch_native)
+               batch_native, precision)
         fn = self._cache.get(key)
         if fn is None:
             if batch_native:
-                def run(A, G, y, tol):
-                    with _blas.precision_scope(self._precision):
+                def path(A, G, y, tol):
+                    with _blas.precision_scope(path_precision):
                         return _homotopy_batch.solve_homotopy_batch(
                             A, G, y, tol, max_iterations, k_max)
             else:
                 def core(A, G, y, tol):
                     op = _operators.DenseOperator(A, G)
-                    with _blas.precision_scope(self._precision):
+                    with _blas.precision_scope(path_precision):
                         return _homotopy.solve_homotopy_core(
                             op, self._n, y, tol, max_iterations, k_max,
                             mode=self._mode, sparse_matvec=sparse)
-                run = core
+                path = core
                 if batch is not None:
-                    run = jax.vmap(core, in_axes=(None, None, 0, None))
+                    path = jax.vmap(core, in_axes=(None, None, 0, None))
+            if certified:
+                # the certificate is fused into the path's executable:
+                # on remote-dispatch runtimes every additional jit call
+                # carries a flat dispatch cost (~27 ms measured on the
+                # tunneled v5e, vs 1.3 ms of certificate device time),
+                # so a separate cert program would dominate the
+                # certificate itself
+                def run(A, G, y, tol):
+                    x, rep = path(A, G, y, tol)
+                    err = _certified_error(A, x, y)
+                    return x, rep._replace(
+                        solution_error=err.astype(rep.solution_error.dtype))
+            else:
+                run = path
             fn = jax.jit(run)
             self._cache[key] = fn
         return fn
@@ -267,6 +330,12 @@ class Homotopy:
         # one fused device→host transfer (separate int()/float()/asarray
         # pulls cost a blocking round trip each — dominant on remote TPUs)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
+        if self._precision == "certified" and err > tol:
+            # the one-pass path missed the tolerance under high-precision
+            # scrutiny: re-solve at "high" (certified's guarantee)
+            x, rep = self._fn(max_iterations, batch=None,
+                              precision="high")(self._A, self._G, y, tol)
+            x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
         return x, HomotopyReport(iter=int(it), solution_error=float(err))
 
     def solve_batch(self, B, tolerance: float | None = None,
@@ -286,12 +355,38 @@ class Homotopy:
                 max_iterations, k_max)
             return X, _homotopy.HomotopyReportArrays(
                 iter=iters.astype(np.uint32), solution_error=errs)
-        return self._fn(max_iterations, batch=Y.shape[0])(
+        X, rep = self._fn(max_iterations, batch=Y.shape[0])(
             self._A, self._G, Y, tol)
+        if self._precision == "certified":
+            # lanes whose high-precision certificate misses the tolerance
+            # are re-solved at "high". The re-solve covers the full batch
+            # (shape-stable: reuses one cached executable regardless of
+            # how many lanes failed) and the merge keeps the fast result
+            # everywhere the certificate held. Failures are rare by
+            # construction — a lane fails only when the tolerance sits
+            # within one-pass-bf16 resolution of the problem's scale.
+            bad = np.asarray(rep.solution_error) > tol
+            if bad.any():
+                Xh, reph = self._fn(max_iterations, batch=Y.shape[0],
+                                    precision="high")(
+                    self._A, self._G, Y, tol)
+                sel = jnp.asarray(bad)
+                X = jnp.where(sel[:, None], Xh, X)
+                rep = type(rep)(
+                    iter=jnp.where(sel, reph.iter, rep.iter),
+                    solution_error=jnp.where(sel, reph.solution_error,
+                                             rep.solution_error))
+        return X, rep
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
-        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        """Jit-composable solve: device arrays in, (x, report pytree) out.
+
+        Under precision="certified" the report's solution_error is the
+        high-precision certificate, but no automatic re-solve happens
+        here (a data-dependent re-solve cannot live under jit) — check
+        ``solution_error <= tolerance`` downstream, or use ``solve``.
+        """
         return self._fn(max_iterations, batch=None)(
             self._A, self._G, y, tolerance)
 
@@ -304,6 +399,12 @@ class Homotopy:
         device→host transfer — composes under an outer ``jax.jit`` /
         ``shard_map`` (the serving-loop entry point; ``solve_batch``
         wraps this plus host-side conversion and engine routing).
+
+        Under precision="certified" the per-lane solution_error is the
+        fused high-precision certificate; the automatic re-solve of
+        failing lanes lives only in ``solve_batch`` (data-dependent work
+        cannot live under jit) — check ``solution_error <= tolerance``
+        per lane downstream.
         """
         return self._fn(max_iterations, batch=Y.shape[0])(
             self._A, self._G, Y, tolerance)

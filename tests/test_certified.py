@@ -1,0 +1,129 @@
+"""Certified mixed-precision mode (precision="certified").
+
+The path runs at one-pass MXU precision; the final correlation
+‖Aᵀ(y−Ax)‖∞ — the solver's own convergence criterion (reference:
+src/solvers/homotopy-cpu.cpp:270) — is recomputed at parity-grade "high"
+precision and reported as solution_error; solve/solve_batch re-solve any
+lane whose certificate misses the tolerance at precision="high". On the
+CPU backend every precision setting computes identical f32 arithmetic, so
+these tests pin the *machinery* (certificate values, report plumbing, the
+re-solve branch and merge) — the speed claim is pinned on hardware by
+bench.py / benchmarks/results/headline_precision_v5e.jsonl.
+"""
+
+import numpy as np
+import pytest
+
+import sparse_solvers_tpu as ss
+
+
+def make_problem(m, n, k, batch, seed=0):
+    """Unit-column gaussian compressive ensemble (bench.py workload)."""
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n)
+    A /= np.linalg.norm(A, axis=0)
+    X = np.zeros((batch, n))
+    for b in range(batch):
+        sup = rng.choice(n, k, replace=False)
+        X[b, sup] = rng.uniform(0.5, 1.0, k)
+    return A.astype(np.float32), (X @ A.T).astype(np.float32)
+
+
+def test_certificate_is_high_precision_correlation():
+    """solution_error under certified mode equals ‖Aᵀ(y−Ax)‖∞ recomputed
+    from the returned solution (not the path's own running value)."""
+    A, Y = make_problem(256, 512, 8, 6)
+    solver = ss.Homotopy(A, precision="certified")
+    X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=24)
+    X = np.asarray(X)
+    c = (Y - X @ A.T) @ A
+    np.testing.assert_allclose(np.asarray(rep.solution_error),
+                               np.max(np.abs(c), axis=-1),
+                               rtol=1e-5, atol=1e-7)
+    assert np.all(np.asarray(rep.solution_error) <= 1e-2)
+
+
+def test_certified_matches_high_when_certificates_hold():
+    """On CPU the one-pass path is bit-identical to "high" (precision
+    flags only matter on MXU), so certified results must equal the
+    high-precision results lane-for-lane."""
+    A, Y = make_problem(256, 512, 8, 6)
+    cert = ss.Homotopy(A, precision="certified")
+    high = ss.Homotopy(A, precision="high")
+    Xc, rc = cert.solve_batch(Y, tolerance=1e-2, max_iterations=24)
+    Xh, rh = high.solve_batch(Y, tolerance=1e-2, max_iterations=24)
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xh),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
+
+
+def test_certified_resolve_branch_matches_high():
+    """An unreachable tolerance fails every certificate, driving the
+    full-batch re-solve; the merged result must be exactly what
+    precision="high" produces (certified's guarantee)."""
+    A, Y = make_problem(256, 512, 8, 4)
+    tol = 1e-30  # unattainable in f32: every lane runs to max_iterations
+    cert = ss.Homotopy(A, precision="certified")
+    high = ss.Homotopy(A, precision="high")
+    Xc, rc = cert.solve_batch(Y, tolerance=tol, max_iterations=12)
+    Xh, rh = high.solve_batch(Y, tolerance=tol, max_iterations=12)
+    np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
+    np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xh),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(rc.solution_error),
+                               np.asarray(rh.solution_error),
+                               rtol=1e-6, atol=0)
+
+
+def test_certified_single_solve():
+    A, Y = make_problem(256, 512, 4, 1)
+    solver = ss.Homotopy(A, precision="certified")
+    x, rep = solver.solve(Y[0], tolerance=1e-2, max_iterations=16)
+    assert rep.solution_error <= 1e-2
+    c = (Y[0] - np.asarray(x) @ A.T) @ A
+    np.testing.assert_allclose(rep.solution_error, np.max(np.abs(c)),
+                               rtol=1e-5, atol=1e-7)
+    # unreachable tolerance: single-solve re-solve branch
+    x2, rep2 = solver.solve(Y[0], tolerance=1e-30, max_iterations=8)
+    xh, reph = ss.Homotopy(A, precision="high").solve(
+        Y[0], tolerance=1e-30, max_iterations=8)
+    assert rep2.iter == reph.iter
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(xh),
+                               rtol=0, atol=0)
+
+
+def test_certified_on_device_reports_certificate_without_resolve():
+    """The jit-composable entry fuses the certificate into the report but
+    performs no data-dependent re-solve (documented contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    A, Y = make_problem(256, 512, 8, 4)
+    solver = ss.Homotopy(A, precision="certified")
+
+    @jax.jit
+    def serve(Y):
+        X, rep = solver.solve_batch_on_device(Y, 1e-2, 24)
+        return X, rep.solution_error
+
+    X, err = serve(jnp.asarray(Y))
+    assert np.all(np.asarray(err) <= 1e-2)
+    c = (Y - np.asarray(X) @ A.T) @ A
+    np.testing.assert_allclose(np.asarray(err), np.max(np.abs(c), axis=-1),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_certified_explain_fields():
+    A, _ = make_problem(256, 512, 4, 1)
+    plan = ss.Homotopy(A, precision="certified").explain(batch=64)
+    assert plan["precision"] == "certified"
+    assert plan["path_precision"] == "default"
+    assert "certificate" in plan
+
+
+def test_certified_validation():
+    A = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError, match="exact"):
+        ss.Homotopy(A, mode="exact", precision="certified")
+    with pytest.raises(ValueError, match="precision"):
+        ss.Homotopy(A, precision="fastest")
