@@ -95,7 +95,10 @@ def main():
     # pays once / overlaps)
     Y = jax.device_put(Y)
     t0 = time.time()
-    Xw, repw = solver.solve_batch(Y, tolerance=TOL, max_iterations=MAX_ITER)
+    # warmup through the same on-device entry the timed loops use, so
+    # exactly one program compiles (solve_batch's host path traces a
+    # second, differently-keyed executable for no benchmarking benefit)
+    Xw, repw = solver.solve_batch_on_device(Y, TOL, MAX_ITER)
     # materialize a small output: on tunneled devices block_until_ready
     # can return before the remote execution finishes
     _log(f"warmup (compile + run): {time.time() - t0:.2f}s; "

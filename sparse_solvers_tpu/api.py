@@ -251,6 +251,9 @@ class Homotopy:
             plan["certificate"] = ("‖Aᵀ(y−Ax)‖∞ at high precision; "
                                    "solve/solve_batch re-solve lanes "
                                    "that miss the tolerance")
+        if batch_native:
+            plan["capacity_tiers"] = _homotopy_batch._plan_tiers(
+                k_max, max_iterations, None)
         return plan
 
     def _fn(self, max_iterations: int, batch: int | None,

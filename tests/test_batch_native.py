@@ -163,3 +163,81 @@ def test_remove_to_empty_breaks_with_solution_intact():
     assert int(out.indices[0, 0]) == 3
     np.testing.assert_allclose(float(out.x_act[0, 0]), 0.9, atol=1e-6)
     assert int(out.mask[0, 3]) == 1
+
+
+def test_capacity_ladder_matches_single_tier():
+    """The two-tier capacity ladder (solve_homotopy_batch ladder=True)
+    makes identical path decisions to the single full-capacity loop —
+    equal iteration counts lane-for-lane — and agrees on the solution to
+    the driver's established fp bar (the tiers' slot-axis reductions may
+    associate differently at the ulp level in interpret mode, the same
+    class of fork as driver-vs-vmapped-core)."""
+    rng = np.random.RandomState(3)
+    m, n, k, B = 128, 256, 24, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X = np.zeros((B, n), np.float32)
+    for i in range(B):
+        X[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X @ A.T).astype(np.float32)
+    G = jax.jit(lambda M: M.T @ M)(jnp.asarray(A))
+
+    assert HB._plan_tiers(40, 64, True) == [24, 40]
+    assert HB._plan_tiers(40, 64, None) == [40]     # auto: off below 48
+    assert HB._plan_tiers(96, 128, None) == [48, 96]
+    assert HB._plan_tiers(96, 128, False) == [96]
+    assert HB._plan_tiers(96, 40, None) == [96]     # cap > max_iter: off
+
+    out = {}
+    for ladder in (False, True):
+        f = jax.jit(partial(HB.solve_homotopy_batch, max_iterations=64,
+                            k_max=40, use_kernel=False, ladder=ladder))
+        with blas.precision_scope("high"):
+            out[ladder] = f(jnp.asarray(A), G, jnp.asarray(Y), 0.01)
+
+    X0, R0 = out[False]
+    X1, R1 = out[True]
+    np.testing.assert_array_equal(np.asarray(R0.iter), np.asarray(R1.iter))
+    # ulp-level association forks across tiers accumulate through the
+    # online inverse on these 30+-iteration removal-bearing paths (for
+    # scale: the single-tier driver and the vmapped core fork to
+    # different iteration counts entirely on this workload); the ladder
+    # stays decision-identical and solution-close
+    np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(R0.solution_error),
+                               np.asarray(R1.solution_error), atol=1e-3)
+    # converged lanes reconstruct their signals (the reference's
+    # noisy-patterns acceptance, test_util.h:190-193; lanes at
+    # max_iterations legitimately carry error > tol, reference
+    # check_report semantics)
+    conv = (np.asarray(R1.iter) < 64) & (
+        np.asarray(R1.solution_error) <= 0.01)
+    assert conv.any()
+    recon = np.asarray(X1)[conv] @ A.T
+    assert np.max(np.abs(recon - Y[conv])) <= 5 * 0.01
+
+
+def test_capacity_ladder_overflow_lane_breaks_cleanly():
+    """A lane whose path outruns a user-shrunk k_max must break with the
+    same semantics under the ladder (overflow can only happen in the
+    final tier by construction)."""
+    rng = np.random.RandomState(4)
+    m, n, k, B = 96, 192, 30, 4
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X = np.zeros((B, n), np.float32)
+    for i in range(B):
+        X[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X @ A.T).astype(np.float32)
+    G = jax.jit(lambda M: M.T @ M)(jnp.asarray(A))
+
+    for ladder in (False, True):
+        f = jax.jit(partial(HB.solve_homotopy_batch, max_iterations=60,
+                            k_max=16, use_kernel=False, ladder=ladder))
+        with blas.precision_scope("high"):
+            Xb, Rb = f(jnp.asarray(A), G, jnp.asarray(Y), 0.01)
+        iters = np.asarray(Rb.iter)
+        errs = np.asarray(Rb.solution_error)
+        assert np.all(iters <= 17), iters  # broke at/near capacity
+        assert np.all(np.isfinite(errs))
+        assert np.all(np.isfinite(np.asarray(Xb)))
