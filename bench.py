@@ -160,11 +160,12 @@ def main():
          f"({BATCH/dt_call:.0f} solves/s incl. dispatch)")
 
     iters = float(np.max(np.asarray(rep.iter)))
-    # per iteration the loop reads A ~5x (2 gemm passes x2 + gram column)
-    bytes_per_iter = 5 * M * N * A.itemsize
-    atr_gbps = iters * bytes_per_iter / dt / 1e9
+    # per-phase roofline attribution lives in
+    # benchmarks/bench_profile_headline.py (the one-pass gemms read an
+    # XLA-hoisted bf16 copy of A, so a naive f32 A-stream figure would
+    # overcount); here report the per-iteration rate the phases sum to
     _log(f"tpu: {dt*1e3:.1f} ms/batch -> {solves_per_sec:.2f} solves/s; "
-         f"effective A-stream {atr_gbps:.0f} GB/s")
+         f"{dt/iters*1e6:.0f} us/iteration at {iters:.0f} path iterations")
 
     # recovery sanity: solutions reconstruct their signals
     recon = np.asarray(X) @ A.T

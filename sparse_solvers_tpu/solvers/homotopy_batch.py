@@ -30,8 +30,8 @@ eliminates those structurally:
     live, so the (b,K) u1 gather, the (b,K)-point direction scatter and
     the (b,K,K) transition kernel are otherwise paid mostly for
     provably-empty slots; one zero-pad embed migrates the state to the
-    full-capacity loop. Measured −17 % per batch at the headline
-    config (57.5 → 48.0 ms, one v5e).
+    full-capacity loop. Measured at the headline config (one v5e):
+    57.5 → 45.7–48.0 ms/batch.
 
 Sign semantics: the reference recomputes sign(c_Γ) with a tolerance
 deadzone every iteration (reference: src/solvers/homotopy-cpu.cpp:
@@ -101,10 +101,17 @@ def _plan_tiers(k_max: int, max_iterations: int, ladder) -> list[int]:
     already treat as absent).
 
     ladder: None = auto (on where measured beneficial: k_max ≥ 48),
-    True = force two tiers when structurally possible, False = off.
+    True = force two tiers when structurally possible, False = off, or
+    an explicit ascending tier list ending at k_max (infeasible
+    intermediate tiers are dropped).
     """
     if ladder is False:
         return [k_max]
+    if isinstance(ladder, (list, tuple)):
+        assert list(ladder) == sorted(set(ladder)) and ladder[-1] == k_max, (
+            f"ladder must be ascending and end at k_max={k_max}: {ladder}")
+        return [K for K in ladder
+                if K == k_max or (2 <= K and max_iterations > K)]
     k1 = -(-((k_max + 1) // 2) // 8) * 8  # ceil(k_max/2) to sublane mult
     feasible = 2 <= k1 < k_max and max_iterations > k1
     if ladder is None:

@@ -241,3 +241,32 @@ def test_capacity_ladder_overflow_lane_breaks_cleanly():
         assert np.all(iters <= 17), iters  # broke at/near capacity
         assert np.all(np.isfinite(errs))
         assert np.all(np.isfinite(np.asarray(Xb)))
+
+
+def test_capacity_ladder_explicit_tiers():
+    """Explicit tier lists (ladder=(K1, K2, ..., k_max)) behave like the
+    auto two-tier plan: identical path decisions, close solutions;
+    infeasible intermediate tiers are dropped."""
+    assert HB._plan_tiers(96, 128, (24, 48, 96)) == [24, 48, 96]
+    assert HB._plan_tiers(96, 40, (24, 48, 96)) == [24, 96]
+
+    rng = np.random.RandomState(3)
+    m, n, k, B = 128, 256, 16, 6
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X = np.zeros((B, n), np.float32)
+    for i in range(B):
+        X[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X @ A.T).astype(np.float32)
+    G = jax.jit(lambda M: M.T @ M)(jnp.asarray(A))
+
+    out = {}
+    for lad in (False, (16, 24, 40)):
+        f = jax.jit(partial(HB.solve_homotopy_batch, max_iterations=64,
+                            k_max=40, use_kernel=False, ladder=lad))
+        with blas.precision_scope("high"):
+            out[lad] = f(jnp.asarray(A), G, jnp.asarray(Y), 0.01)
+    X0, R0 = out[False]
+    X1, R1 = out[(16, 24, 40)]
+    np.testing.assert_array_equal(np.asarray(R0.iter), np.asarray(R1.iter))
+    np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), atol=1e-3)
