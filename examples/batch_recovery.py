@@ -19,6 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__ if "__file__" in globals() else "."))))
 
+if os.environ.get("SS_EXAMPLE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import sparse_solvers_tpu as ss
 
 

@@ -64,7 +64,8 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
             ep_ref, el_ref, ek_ref,
             live_ref, doins_ref, dorm_ref, gamma_ref, vtv_ref, cnew_ref,
             idxf_ref,
-            inv_out, gk_out, xact_out, dact_out, cact_out, indf_out):
+            inv_out, gk_out, xact_out, dact_out, cact_out, indf_out,
+            deg_out):
     sent = scal_ref[0]
     tol = scal_ref[1]
     inv = inv_ref[...]          # (L,K,K) symmetric per lane
@@ -96,6 +97,25 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     def col3(m):  # (L,1) 0/1 → (L,K,K) bool
         return (m[:, :, None] + jnp.zeros_like(inv)) > 0.5
 
+    # ---- degenerate-insert guard -------------------------------------
+    # den = vᵀv − u1ᵀB u1 is the Schur complement of the bordered Gram —
+    # the squared distance of the inserted column from span(A_Γ). When
+    # the support approaches rank deficiency (e.g. |Γ| → m on thrashy
+    # noise paths) the true den → 0 and the f32-computed value is
+    # rounding noise (possibly ≤ 0); the reference divides by it
+    # unguarded (online_inverse.h:219, 1/(vᵀv−u1ᵀu2)) and its arithmetic
+    # degenerates to inf/NaN. Such a lane breaks cleanly instead
+    # (solution intact, honest error > tol) via the deg flag; the
+    # threshold is relative and sits well below any numerically
+    # meaningful insert.
+    u2 = mv(inv, u1)
+    den = vtv - dot1(u1, u2)
+    okins = jnp.where(den > 1e-6 * vtv, 1.0, 0.0)
+    okl = 1.0 - doins * (1.0 - okins)   # (L,1) 1 unless a bad insert
+    live = live * okl
+    doins = doins * okl
+    deg_out[...] = (1.0 - okl)
+
     lv1 = (live + jnp.zeros_like(x)) > 0.5
     ins1 = (doins + jnp.zeros_like(x)) > 0.5
     ins3 = col3(doins)
@@ -106,8 +126,9 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     ca1 = jnp.where(lv1, ca - gamma * mv(gk, d), ca)
 
     # ---- insert: bordering at slot k (online_inverse.h:184-251) ----
-    u2 = mv(inv, u1)
-    di = 1.0 / (vtv - dot1(u1, u2))
+    # (bounded even on remove lanes, where the present column's den ≈ 0
+    # — the inert-branch inf the round-1 advisor flagged is gone)
+    di = 1.0 / jnp.where(den > 1e-6 * vtv, den, 1.0)
     u2di = u2 * di
     border = ek * di - (1.0 - ek) * u2di
     blend_k = (1.0 - ek[:, :, None]) * (1.0 - ek[:, None, :])
@@ -186,7 +207,9 @@ def transition(inv, gk, x_act, d_act, c_act, indices, u1, idx, kk, gamma,
     inv/gk: (b,K,K) f32; x_act/d_act/c_act/u1: (b,K) f32; indices: (b,K)
     int32; idx/kk: (b,) int32; gamma/vtv/cnew: (b,) f32; live/doins/dorm:
     (b,) bool; tol: f32 scalar. Returns (inv′, gk′, x_act′, d_act′,
-    c_act′, indices′).
+    c_act′, indices′, degenerate) where ``degenerate`` is a (b,) bool —
+    the lane's insert had a noise-level Schur complement and its state
+    was left untouched (the caller should break the lane).
     """
     b, K = x_act.shape
     L = _LANE_TILE
@@ -219,7 +242,7 @@ def transition(inv, gk, x_act, d_act, c_act, indices, u1, idx, kk, gamma,
         grid=(bp // L,),
         in_specs=[smem, v3, v3, v2, v2, v2, v2, v2, v2, v2, v2,
                   v1, v1, v1, v1, v1, v1, v1],
-        out_specs=(v3, v3, v2, v2, v2, v2),
+        out_specs=(v3, v3, v2, v2, v2, v2, v1),
         out_shape=(
             jax.ShapeDtypeStruct((bp, K, K), f32),
             jax.ShapeDtypeStruct((bp, K, K), f32),
@@ -227,6 +250,7 @@ def transition(inv, gk, x_act, d_act, c_act, indices, u1, idx, kk, gamma,
             jax.ShapeDtypeStruct((bp, K), f32),
             jax.ShapeDtypeStruct((bp, K), f32),
             jax.ShapeDtypeStruct((bp, K), f32),
+            jax.ShapeDtypeStruct((bp, 1), f32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -247,9 +271,10 @@ def transition(inv, gk, x_act, d_act, c_act, indices, u1, idx, kk, gamma,
       cnew[:, None].astype(f32),
       idx.astype(f32)[:, None])
 
-    inv2, gk2, x2, d2, ca2, indf2 = out
+    inv2, gk2, x2, d2, ca2, indf2, degf = out
     ind2 = indf2.astype(jnp.int32)
+    deg = degf[:, 0] > 0.5
     if pad:
-        inv2, gk2, x2, d2, ca2, ind2 = (
-            inv2[:b], gk2[:b], x2[:b], d2[:b], ca2[:b], ind2[:b])
-    return inv2, gk2, x2, d2, ca2, ind2
+        inv2, gk2, x2, d2, ca2, ind2, deg = (
+            inv2[:b], gk2[:b], x2[:b], d2[:b], ca2[:b], ind2[:b], deg[:b])
+    return inv2, gk2, x2, d2, ca2, ind2, deg

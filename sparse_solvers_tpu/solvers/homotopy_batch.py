@@ -112,11 +112,25 @@ def _plan_tiers(k_max: int, max_iterations: int, ladder) -> list[int]:
             f"ladder must be ascending and end at k_max={k_max}: {ladder}")
         return [K for K in ladder
                 if K == k_max or (2 <= K and max_iterations > K)]
-    k1 = -(-((k_max + 1) // 2) // 8) * 8  # ceil(k_max/2) to sublane mult
-    feasible = 2 <= k1 < k_max and max_iterations > k1
-    if ladder is None:
-        return [k1, k_max] if (feasible and k_max >= 48) else [k_max]
-    return [k1, k_max] if feasible else [k_max]
+    half = lambda K: -(-((K + 1) // 2) // 8) * 8  # ceil(K/2), sublane mult
+    if ladder is None and k_max < 48:
+        return [k_max]  # auto: measured win starts at large capacities
+    # halve down to a 16-slot floor, at most 3 loops total (each tier is
+    # a separately compiled while loop; 3 measured faster than 2 at the
+    # headline config — 42.5 vs 45.3 ms/batch — with diminishing returns
+    # and growing compile cost beyond that)
+    tiers = [k_max]
+    t = half(k_max)
+    while t >= 16 and t < tiers[0] and len(tiers) < 3:
+        if max_iterations > t:  # a tier no path can outgrow is skipped
+            tiers.insert(0, t)
+        t = half(t)
+    if ladder is True and len(tiers) == 1:
+        # forced: accept a sub-16 first tier if that is all that fits
+        t = half(k_max)
+        if 2 <= t < k_max and max_iterations > t:
+            tiers.insert(0, t)
+    return tiers
 
 
 def _embed(s: "_BState", K2: int, n: int) -> "_BState":
@@ -271,27 +285,31 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         # transition would vswap x_act to zero and the final slot-scatter
         # would return X = 0 for the lane
         dorm = live & present & ~empty
-        inv1, gk1, x_act1, d_act1, c_act1, ind1 = _trans.transition(
+        # `deg` flags inserts whose Schur complement was rounding noise
+        # (support at rank deficiency): the kernel leaves the lane's
+        # state untouched and the lane breaks below, like a capacity
+        # overflow — solution intact, honest error > tol
+        inv1, gk1, x_act1, d_act1, c_act1, ind1, deg = _trans.transition(
             s.inv, s.gk, s.x_act, s.d_act, s.c_act, s.indices, u1, idx,
             s.kk, gamma, vtv, cnew, live, doins, dorm, tol, n,
             interpret=interp)
 
-        step = (live & ~empty)[:, None]
-        c1 = jnp.where(step, s.c - gamma[:, None] * q, s.c)
-        c_inf1 = jnp.where(live & ~empty,
-                           jnp.max(jnp.abs(c1), axis=1), s.c_inf)
+        stepped = live & ~empty & ~deg
+        c1 = jnp.where(stepped[:, None], s.c - gamma[:, None] * q, s.c)
+        c_inf1 = jnp.where(stepped, jnp.max(jnp.abs(c1), axis=1), s.c_inf)
         mval = jnp.where(dorm, jnp.int8(0),
-                         jnp.where(doins, jnp.int8(1),
+                         jnp.where(doins & ~deg, jnp.int8(1),
                                    present.astype(jnp.int8)))
         mask1 = s.mask.at[bidx, idx].set(mval)
-        kk1 = jnp.where(dorm, s.kk - 1, jnp.where(doins, s.kk + 1, s.kk))
+        kk1 = jnp.where(dorm, s.kk - 1,
+                        jnp.where(doins & ~deg, s.kk + 1, s.kk))
 
         return _BState(
             it=s.it + live.astype(jnp.uint32),
             c=c1, c_inf=c_inf1, mask=mask1,
             inv=inv1, gk=gk1, x_act=x_act1, d_act=d_act1, c_act=c_act1,
             indices=ind1, kk=kk1,
-            broke=s.broke | (live & empty),
+            broke=s.broke | (live & (empty | deg)),
         )
 
     return init, body, lane_live

@@ -182,11 +182,12 @@ def test_capacity_ladder_matches_single_tier():
     Y = (X @ A.T).astype(np.float32)
     G = jax.jit(lambda M: M.T @ M)(jnp.asarray(A))
 
-    assert HB._plan_tiers(40, 64, True) == [24, 40]
+    assert HB._plan_tiers(40, 64, True) == [16, 24, 40]
     assert HB._plan_tiers(40, 64, None) == [40]     # auto: off below 48
-    assert HB._plan_tiers(96, 128, None) == [48, 96]
+    assert HB._plan_tiers(96, 128, None) == [24, 48, 96]
     assert HB._plan_tiers(96, 128, False) == [96]
-    assert HB._plan_tiers(96, 40, None) == [96]     # cap > max_iter: off
+    # tiers no path can outgrow are skipped, deeper ones kept
+    assert HB._plan_tiers(96, 40, None) == [16, 24, 96]
 
     out = {}
     for ladder in (False, True):

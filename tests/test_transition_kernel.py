@@ -72,7 +72,7 @@ def test_transition_matches_online_inverse(remove_last):
     doins = live & ~pres & (kk < K)
     dorm = live & pres
 
-    inv2, gk2, x2, d2, ca2, ind2 = map(np.asarray, T.transition(
+    inv2, gk2, x2, d2, ca2, ind2, deg2 = map(np.asarray, T.transition(
         jnp.asarray(inv), jnp.asarray(gk), jnp.asarray(xa), jnp.asarray(da),
         jnp.asarray(ca), jnp.asarray(ind), jnp.asarray(u1),
         jnp.asarray(idx), jnp.asarray(kk), jnp.asarray(gamma),
@@ -172,3 +172,50 @@ def test_scan_kernel_matches_core_formula():
                                  jnp.asarray(mask[l] > 0), jnp.float32)
         assert int(i[l]) == int(ic), f"lane {l}: idx {int(i[l])} != {int(ic)}"
         np.testing.assert_allclose(float(g[l]), float(gc), rtol=1e-6)
+
+
+def test_degenerate_insert_flags_and_freezes_lane():
+    """Inserting a column already in span(A_Γ) makes the Schur
+    complement den = vᵀv − u1ᵀBu1 rounding noise; the reference divides
+    by it unguarded (online_inverse.h:219) and degenerates to inf. The
+    kernel must flag the lane (deg) and leave its state untouched so the
+    driver can break it cleanly."""
+    K, n = 4, 8
+    # two orthonormal active columns -> gk = I2 (padded), inv = I2
+    inv = np.zeros((2, K, K), np.float32)
+    gk = np.zeros((2, K, K), np.float32)
+    for l in range(2):
+        inv[l, 0, 0] = inv[l, 1, 1] = 1.0
+        gk[l, 0, 0] = gk[l, 1, 1] = 1.0
+    xa = np.zeros((2, K), np.float32); xa[:, 0] = 0.5
+    da = np.zeros((2, K), np.float32); da[:, 0] = 1.0
+    ca = np.zeros((2, K), np.float32); ca[:, 0] = 0.3
+    ind = np.full((2, K), n, np.int32)
+    ind[:, 0] = 0; ind[:, 1] = 1
+    kk = np.full(2, 2, np.int32)
+    idx = np.full(2, 5, np.int32)
+    # lane 0: inserted column == active column 0 (u1 = [1,0], vtv = 1:
+    # den = 0, degenerate). lane 1: orthogonal column (u1 = 0, den = 1).
+    u1 = np.zeros((2, K), np.float32)
+    u1[0, 0] = 1.0
+    vtv = np.ones(2, np.float32)
+    gamma = np.full(2, 0.25, np.float32)
+    cnew = np.full(2, 0.7, np.float32)
+    live = np.ones(2, bool)
+    doins = np.ones(2, bool)
+    dorm = np.zeros(2, bool)
+
+    inv2, gk2, x2, d2, ca2, ind2, deg = map(np.asarray, T.transition(
+        *map(jnp.asarray, (inv, gk, xa, da, ca, ind, u1, idx, kk, gamma,
+                           vtv, cnew, live, doins, dorm)),
+        np.float32(0.01), n, interpret=True))
+
+    assert bool(deg[0]) and not bool(deg[1])
+    # degenerate lane: state untouched (no gamma step, no insert)
+    np.testing.assert_array_equal(inv2[0], inv[0])
+    np.testing.assert_array_equal(gk2[0], gk[0])
+    np.testing.assert_array_equal(x2[0], xa[0])
+    np.testing.assert_array_equal(ind2[0], ind[0])
+    # healthy lane: insert applied at slot 2, all state finite
+    assert ind2[1, 2] == 5 and np.isfinite(inv2[1]).all()
+    np.testing.assert_allclose(x2[1, 0], 0.75, atol=1e-6)
