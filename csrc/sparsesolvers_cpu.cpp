@@ -77,12 +77,24 @@ struct OnlineInverse {
     return -1;
   }
 
-  // u1[i] = <A[:,cols[i]], A[:,col]> supplied by the caller; vtv = |A col|^2
-  void insert(int col, const T* u1_in, T vtv) {
+  // u1[i] = <A[:,cols[i]], A[:,col]> supplied by the caller; vtv = |A col|^2.
+  // Returns false (state untouched) when the insert is numerically
+  // degenerate: |den| at subnormal scale, where 1/den overflows to inf
+  // (den = vtv - u1^T B u1, the Schur complement of the bordered Gram;
+  // the reference divides unguarded, online_inverse.h:219). Tiny and
+  // even negative dens proceed exactly as the reference's arithmetic
+  // does — coherent dictionaries produce noise-level dens whose paths
+  // still converge via the per-iteration sign recomputation. Same rule
+  // as the JAX engines (solvers/homotopy.py, ops/pallas/transition.py);
+  // run_solver additionally breaks on a non-finite direction.
+  bool insert(int col, const T* u1_in, T vtv) {
     for (int i = 0; i < k; ++i) u1[i] = u1_in[i];
     // u2 = B u1 over the live block
     for (int i = 0; i < k; ++i) u2[i] = dot(&B[size_t(i) * cap], u1.data(), k);
-    T d = T(1) / (vtv - dot(u1.data(), u2.data(), k));
+    T den = vtv - dot(u1.data(), u2.data(), k);
+    if (!(std::abs(den) > T(256) * std::numeric_limits<T>::min()))
+      return false;
+    T d = T(1) / den;
     // B += d u2 u2^T ; border row/col k = -d u2 ; corner = d
     for (int i = 0; i < k; ++i) {
       T* row = &B[size_t(i) * cap];
@@ -94,6 +106,7 @@ struct OnlineInverse {
     at(k, k) = d;
     cols[k] = col;
     ++k;
+    return true;
   }
 
   void remove(int col) {
@@ -189,9 +202,10 @@ struct HomotopyWork {
       // a full-capacity insert breaks the path cleanly, like the JAX
       // engines (solvers/homotopy.py k_max overflow guard) and the
       // empty-set case below — continuing with a stale support would
-      // re-select the same column forever
+      // re-select the same column forever; likewise a degenerate insert
+      // (Schur complement at rounding noise — see inverse::insert)
       if (inv.slot_of(gidx) < 0 && inv.k >= cap) break;
-      toggle(gidx);
+      if (!toggle(gidx)) break;
       if (inv.k == 0) break;
 
       // x += gamma d ; c -= gamma q (correlation recurrence); new c_inf
@@ -206,8 +220,17 @@ struct HomotopyWork {
       std::fill(d.begin(), d.end(), T(0));
       for (int s = 0; s < inv.k; ++s)
         u1col[s] = sign_deadzone(c[inv.cols[s]], tol);
-      for (int s = 0; s < inv.k; ++s)
-        d[inv.cols[s]] = dot(&inv.B[size_t(s) * inv.cap], u1col.data(), inv.k);
+      bool dbad = false;
+      for (int s = 0; s < inv.k; ++s) {
+        T ds = dot(&inv.B[size_t(s) * inv.cap], u1col.data(), inv.k);
+        d[inv.cols[s]] = ds;
+        dbad |= !std::isfinite(ds);
+      }
+      // finiteness break: on rank-deficient supports the (deliberately
+      // reference-faithful) tiny/negative-den inserts can overflow the
+      // inverse; stop with the committed finite x/c instead of stepping
+      // a non-finite direction (same rule as the batch driver)
+      if (dbad) break;
     } while (iter < max_iter && c_inf > tol);
 
     std::memcpy(x_out, x.data(), sizeof(T) * n);
@@ -215,14 +238,15 @@ struct HomotopyWork {
     return iter;
   }
 
-  void toggle(int j) {
+  bool toggle(int j) {
     if (inv.slot_of(j) >= 0) {
       inv.remove(j);
-    } else if (inv.k < cap) {
-      const T* v = col(j);
-      for (int s = 0; s < inv.k; ++s) u1col[s] = dot(col(inv.cols[s]), v, m);
-      inv.insert(j, u1col.data(), dot(v, v, m));
+      return true;
     }
+    if (inv.k >= cap) return true;  // caller breaks on capacity first
+    const T* v = col(j);
+    for (int s = 0; s < inv.k; ++s) u1col[s] = dot(col(inv.cols[s]), v, m);
+    return inv.insert(j, u1col.data(), dot(v, v, m));
   }
 };
 

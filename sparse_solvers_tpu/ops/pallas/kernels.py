@@ -157,6 +157,90 @@ def normal_matvec_fused(A: jnp.ndarray, D: jnp.ndarray,
     return out[:b] if b_pad != b else out
 
 
+def _fused_normal_bf16_kernel(a_ref, d_ref, q_ref):
+    """Grid step i: q += A[T_i,:]ᵀ bf16(A[T_i,:] d), all inputs bf16.
+
+    The f32→bf16 round of the intermediate matches XLA's DEFAULT-precision
+    two-gemm schedule (which rounds p = D Aᵀ to bf16 before the second
+    MXU pass), so per-element values agree with the one-pass XLA form up
+    to f32 accumulation order."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        q_ref[:] = jnp.zeros_like(q_ref)
+
+    a = a_ref[:]  # (TILE_M, n) bf16
+    t = lax.dot_general(d_ref[:], a, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (b, TILE_M)
+    q_ref[:] += lax.dot_general(t.astype(jnp.bfloat16), a,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+
+def _bf16_eligible(b_pad: int, m: int, n: int) -> bool:
+    """VMEM envelope for the bf16 single-pass q kernel: double-buffered
+    bf16 A tile + bf16 D block + f32 q accumulator + intermediate."""
+    if n % 128 or b_pad % 8:
+        return False
+    t = _tile_m_bf16(n)
+    vm = 2 * (t * n * 2) + b_pad * n * 2 + b_pad * n * 4
+    vm += b_pad * max(t, 128) * 4
+    return vm <= 40 * 1024 * 1024  # ~3x Mosaic factor under _VMEM_LIMIT
+
+
+def _tile_m_bf16(n: int) -> int:
+    t = _VMEM_BUDGET // (2 * 2 * n)
+    return max(8, min(512, (t // 8) * 8))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def normal_matvec_fused_bf16(A16: jnp.ndarray, D: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Q = bf16(D Aᵀ) A in ONE pass over a bf16 sensing matrix.
+
+    A16: (m, n) bfloat16; D: (b, n) f32 (rounded to bf16 on entry, as
+    XLA's DEFAULT precision would) → Q: (b, n) f32. The one-pass-regime
+    form of ``normal_matvec_fused``: at DEFAULT MXU precision the
+    two-gemm schedule is HBM-bound on two reads of A; streaming the
+    bf16 copy once halves that (reference product:
+    src/solvers/homotopy-cpu.cpp:111-120).
+    """
+    b, n = D.shape
+    m = A16.shape[0]
+    b_pad = _round_up(b, 8)
+    D16 = D.astype(jnp.bfloat16)
+    if A16.dtype != jnp.bfloat16 or not _bf16_eligible(b_pad, m, n):
+        Af = A16.astype(D.dtype)
+        return blas.xgemm(blas.xgemm(D, Af, trans_b=True), Af)
+
+    tile_m = _tile_m_bf16(n)
+    m_pad = _round_up(m, tile_m)
+    Ap = jnp.pad(A16, ((0, m_pad - m), (0, 0))) if m_pad != m else A16
+    Dp = jnp.pad(D16, ((0, b_pad - b), (0, 0))) if b_pad != b else D16
+
+    out = pl.pallas_call(
+        _fused_normal_bf16_kernel,
+        grid=(m_pad // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_pad, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * m_pad * n,
+            bytes_accessed=m_pad * n * 2 + 3 * b_pad * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(Ap, Dp)
+    return out[:b] if b_pad != b else out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def residual_correlation_fused(A: jnp.ndarray, X: jnp.ndarray,
                                Y: jnp.ndarray,

@@ -105,12 +105,17 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     # rounding noise (possibly ≤ 0); the reference divides by it
     # unguarded (online_inverse.h:219, 1/(vᵀv−u1ᵀu2)) and its arithmetic
     # degenerates to inf/NaN. Such a lane breaks cleanly instead
-    # (solution intact, honest error > tol) via the deg flag; the
-    # threshold is relative and sits well below any numerically
-    # meaningful insert.
+    # (solution intact, honest error > tol) via the deg flag. The guard
+    # is the narrowest that keeps 1/den finite: |den| above subnormal
+    # scale. Tiny and even *negative* dens proceed exactly as the
+    # reference's arithmetic does — coherent dictionaries legitimately
+    # produce noise-level dens whose garbage-ish inverse still converges
+    # (the per-iteration sign recomputation self-corrects); actual
+    # overflow to inf/NaN downstream is caught by the driver's per-lane
+    # finiteness break (homotopy_batch.py).
     u2 = mv(inv, u1)
     den = vtv - dot1(u1, u2)
-    okins = jnp.where(den > 1e-6 * vtv, 1.0, 0.0)
+    okins = jnp.where(jnp.abs(den) > 1e-35, 1.0, 0.0)
     okl = 1.0 - doins * (1.0 - okins)   # (L,1) 1 unless a bad insert
     live = live * okl
     doins = doins * okl
@@ -128,7 +133,7 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     # ---- insert: bordering at slot k (online_inverse.h:184-251) ----
     # (bounded even on remove lanes, where the present column's den ≈ 0
     # — the inert-branch inf the round-1 advisor flagged is gone)
-    di = 1.0 / jnp.where(den > 1e-6 * vtv, den, 1.0)
+    di = 1.0 / jnp.where(jnp.abs(den) > 1e-35, den, 1.0)
     u2di = u2 * di
     border = ek * di - (1.0 - ek) * u2di
     blend_k = (1.0 - ek[:, :, None]) * (1.0 - ek[:, None, :])

@@ -269,10 +269,32 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             # full-capacity insert like the empty-set break instead of
             # writing out of bounds
             empty = empty | (~present & (s.inv.k >= k_max))
+        if fast:
+            # degenerate-insert guard (fast mode only; exact mode keeps
+            # the reference's unguarded arithmetic op-for-op): when the
+            # support nears rank deficiency the insert's Schur complement
+            # den = vᵀv − u1ᵀBu1 is rounding noise and the reference's
+            # 1/den (online_inverse.h:219) degenerates to inf/NaN —
+            # break instead, solution intact (same rule and threshold as
+            # the batch driver's transition kernel).
+            u1g, vtvg = op.gram_gathered(idx, s.inv.indices)
+            den = vtvg - blas.xdot(u1g, blas.xgemv(s.inv.inv, u1g))
+            # narrowest guard that keeps 1/den finite: |den| above
+            # subnormal scale. Tiny and even negative dens proceed
+            # exactly as the reference's arithmetic does (coherent
+            # dictionaries produce noise-level dens whose paths still
+            # converge via the per-iteration sign recomputation).
+            tiny = jnp.asarray(256 * jnp.finfo(dtype).tiny, dtype)
+            empty = empty | (~present & (jnp.abs(den) <= tiny))
+            # a broken lane's toggle still executes under vmap's batched
+            # while_loop — feed it a virtual orthogonal column (u1 = 0,
+            # vᵀv = 1) so no 1/0 enters the carried inverse
+            u1g = jnp.where(empty, jnp.array(0, dtype), u1g)
+            vtvg = jnp.where(empty, jnp.array(1, dtype), vtvg)
         gamma = jnp.where(empty, jnp.array(0, dtype), gamma)
 
         if fast and use_gk:
-            u1, vtv = op.gram_gathered(idx, s.inv.indices)
+            u1, vtv = u1g, vtvg
             # active correlations advance by the same recurrence as c,
             # restricted to the support: q[Γ] = (AᵀA)[Γ,Γ] d[Γ] exactly
             # (d is supported on Γ), with the small Gram submatrix
@@ -282,7 +304,7 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             inv1, gk1, c_act1 = _toggle_support_unordered(
                 s.inv, s.gk, c_act1, idx, u1, vtv)
         elif fast:
-            u1, vtv = op.gram_gathered(idx, s.inv.indices)
+            u1, vtv = u1g, vtvg
             inv1 = lax.cond(
                 s.inv.mask[idx],
                 lambda st, _u, _v: oinv.remove_unordered(st, idx),

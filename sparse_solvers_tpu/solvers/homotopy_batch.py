@@ -62,7 +62,10 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
+from jax import lax as _lax
+
 from ..ops import blas
+from ..ops.pallas import kernels as _kern
 from ..ops.pallas import scan as _scan
 from ..ops.pallas import transition as _trans
 from .homotopy import HomotopyReportArrays, _sign_deadzone
@@ -153,7 +156,8 @@ def _embed(s: "_BState", K2: int, n: int) -> "_BState":
 def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                          tolerance, max_iterations: int, k_max: int,
                          use_kernel: bool | None = None,
-                         ladder: bool | None = None):
+                         ladder: bool | None = None,
+                         fused_q: bool | None = None):
     """Fast-mode batched homotopy with a precomputed Gram matrix.
 
     A: (m, n); G = AᵀA (n, n); Y: (b, m). Returns (X (b, n),
@@ -170,7 +174,8 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         # overflow path can never trigger inside a non-final tier
         cap = None if t == len(tiers) - 1 else Kt - 1
         init, body, lane_live = make_stepper(
-            A, G, Y, tolerance, max_iterations, Kt, use_kernel, it_cap=cap)
+            A, G, Y, tolerance, max_iterations, Kt, use_kernel, it_cap=cap,
+            fused_q=fused_q)
         st = init if state is None else _embed(state, Kt, n)
         state = lax.while_loop(lambda s, _live=lane_live: jnp.any(_live(s)),
                                body, st)
@@ -185,11 +190,13 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
 
 
 def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
-                 use_kernel: bool | None = None, it_cap: int | None = None):
+                 use_kernel: bool | None = None, it_cap: int | None = None,
+                 fused_q: bool | None = None):
     """Build (initial state, body, lane_live) for the batch driver —
     exposed so tests can step the iteration eagerly. ``it_cap`` freezes
     lanes at an iteration bound (the capacity-ladder phase boundary:
-    such lanes resume unchanged in the next tier's loop)."""
+    such lanes resume unchanged in the next tier's loop). ``fused_q``
+    controls the one-pass bf16 q-product kernel (None = auto)."""
     b, _ = Y.shape
     n = A.shape[1]
     K = k_max
@@ -205,6 +212,17 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     interp = not use_kernel
     bidx = jnp.arange(b)
     gdiag = jnp.diagonal(G)
+
+    # One-pass q product: at DEFAULT MXU precision the two-gemm q is
+    # HBM-bound on two reads of A; the fused kernel streams a bf16 copy
+    # once (ops/pallas/kernels.py normal_matvec_fused_bf16). Numerics
+    # match the DEFAULT two-gemm form (same bf16 roundings) up to f32
+    # accumulation order.
+    if fused_q is None:
+        fused_q = (use_kernel
+                   and blas.current_precision() == _lax.Precision.DEFAULT
+                   and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
+    A16 = A.astype(jnp.bfloat16) if fused_q else None
 
     # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
     C0 = blas.xgemm(Y, A)                       # c0 = Aᵀy per lane
@@ -242,10 +260,14 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     def body(s: _BState) -> _BState:
         live = lane_live(s)
 
-        # q = AᵀA d: scatter the slot direction, two MXU gemms
+        # q = AᵀA d: scatter the slot direction, then either one fused
+        # bf16 pass over A or two MXU gemms
         D = jnp.zeros((b, n), dtype).at[bidx[:, None], s.indices].set(
             s.d_act, mode="drop")
-        q = blas.xgemm(blas.xgemm(D, A, trans_b=True), A)
+        if fused_q:
+            q = _kern.normal_matvec_fused_bf16(A16, D, interpret=interp)
+        else:
+            q = blas.xgemm(blas.xgemm(D, A, trans_b=True), A)
 
         gamma_raw, idx = _scan.find_max_gamma_fused(
             q, s.c, s.mask, s.c_inf, s.x_act, s.d_act, s.indices,
@@ -304,12 +326,22 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         kk1 = jnp.where(dorm, s.kk - 1,
                         jnp.where(doins & ~deg, s.kk + 1, s.kk))
 
+        # per-lane finiteness break: the reference's arithmetic on
+        # rank-deficient supports can overflow through a huge 1/den
+        # (negative/noise-level dens are allowed through deliberately —
+        # see the transition kernel's guard); a lane whose slot state
+        # went non-finite stops here with its committed (finite) x and c
+        # rather than poisoning later iterations
+        blew = live & ~(jnp.isfinite(d_act1).all(axis=1)
+                        & jnp.isfinite(c_act1).all(axis=1)
+                        & jnp.isfinite(inv1[:, 0, 0]))
+
         return _BState(
             it=s.it + live.astype(jnp.uint32),
             c=c1, c_inf=c_inf1, mask=mask1,
             inv=inv1, gk=gk1, x_act=x_act1, d_act=d_act1, c_act=c_act1,
             indices=ind1, kk=kk1,
-            broke=s.broke | (live & (empty | deg)),
+            broke=s.broke | (live & (empty | deg)) | blew,
         )
 
     return init, body, lane_live

@@ -145,3 +145,21 @@ def test_irls_f64_native_matches_jax():
     assert rn.spd_failure == rj.spd_failure
     np.testing.assert_allclose(xn, xj, atol=1e-8)
     assert np.argmax(xn) == 3
+
+
+def test_native_degenerate_insert_breaks_finite():
+    """Thrashy signed ensemble drives the support toward rank deficiency
+    (|active set| -> m); the degenerate-insert guard must break the solve
+    cleanly (finite x and error) instead of the reference's unguarded
+    1/den inf (same rule as the JAX engines)."""
+    rng = np.random.RandomState(42)
+    m, n, k = 40, 80, 10
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    for i in range(16):
+        xt = np.zeros(n, np.float32)
+        xt[rng.choice(n, k, replace=False)] = rng.randn(k)
+        y = (A @ xt + 0.01 * rng.randn(m)).astype(np.float32)
+        x, it, err = native.homotopy_solve(A, y, 0.05, 120, 121)
+        assert np.isfinite(x).all(), i
+        assert np.isfinite(err), i
