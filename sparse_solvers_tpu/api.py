@@ -254,6 +254,13 @@ class Homotopy:
         if batch_native:
             plan["capacity_tiers"] = _homotopy_batch._plan_tiers(
                 k_max, max_iterations, None)
+            if batch is not None and self._precision in ("default",
+                                                         "certified"):
+                from .ops.pallas import kernels as _kern
+                plan["fused_q"] = bool(
+                    jax.default_backend() == "tpu"
+                    and _kern._bf16_eligible(-(-batch // 8) * 8,
+                                             self._m, self._n))
         return plan
 
     def _fn(self, max_iterations: int, batch: int | None,
