@@ -87,6 +87,39 @@ def main():
             "roofline_frac": round(r.fraction_of_peak() or 0, 3)}),
             flush=True)
 
+        if b == (8 if args.quick else 256):
+            # one-pass regime (the certified headline's q product): XLA
+            # DEFAULT-precision two-gemm vs the single-pass bf16 kernel
+            with blas.precision_scope("default"):
+                xla1 = looped(
+                    lambda A_, D_: blas.xgemm(
+                        blas.xgemm(D_, A_, trans_b=True), A_))
+                _ = np.asarray(xla1(A, D))
+                r = profiling.measure(
+                    xla1, A, D, flops=REPS * flops,
+                    bytes=REPS * (2 * m * n * 2 + 2 * b * n * 4), reps=1)
+            r.seconds /= REPS; r.flops /= REPS; r.bytes /= REPS
+            print(json.dumps({
+                "bench": "normal_matvec", "impl": "xla-2gemm-default",
+                "m": m, "n": n, "b": b, "ms": round(r.seconds * 1e3, 3),
+                "tflops": round(r.tflops, 2), "gbps": round(r.gbps, 1),
+                "roofline_frac": round(r.fraction_of_peak() or 0, 3)}),
+                flush=True)
+
+            A16 = A.astype(jnp.bfloat16)
+            p16 = looped(lambda A_, D_: K.normal_matvec_fused_bf16(A16, D_))
+            _ = np.asarray(p16(A, D))
+            r = profiling.measure(
+                p16, A, D, flops=REPS * flops,
+                bytes=REPS * (m * n * 2 + 3 * b * n * 2), reps=1)
+            r.seconds /= REPS; r.flops /= REPS; r.bytes /= REPS
+            print(json.dumps({
+                "bench": "normal_matvec", "impl": "pallas-fused-bf16",
+                "m": m, "n": n, "b": b, "ms": round(r.seconds * 1e3, 3),
+                "tflops": round(r.tflops, 2), "gbps": round(r.gbps, 1),
+                "roofline_frac": round(r.fraction_of_peak() or 0, 3)}),
+                flush=True)
+
     # --- batch-driver kernels (solvers/homotopy_batch.py) at the
     # headline batch: the fused γ scan and the active-set transition ---
     from sparse_solvers_tpu.ops.pallas import scan as SC
