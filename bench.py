@@ -104,6 +104,13 @@ def main():
     _log(f"warmup (compile + run): {time.time() - t0:.2f}s; "
          f"iters mean={np.mean(np.asarray(repw.iter)):.1f} "
          f"max={np.max(np.asarray(repw.iter))}")
+    if PRECISION == "certified":
+        # pre-warm the "high" re-solve executable so a certification
+        # failure inside the timed region pays solver work, not a
+        # first-time remote compile
+        _, rh = solver._fn(MAX_ITER, batch=BATCH, precision="high")(
+            solver._A, solver._G, Y, TOL)
+        np.asarray(rh.iter)
 
     # Timed runs. Two numbers:
     #  * per-call latency — each run fenced by materializing the (tiny)
@@ -141,16 +148,32 @@ def main():
         # timed region; reading the flags back is result consumption
         # (untimed, like reading X — each tiny transfer costs a full
         # ~27 ms round trip on this tunneled device). Any re-solve a
-        # flag triggers is solver work and is added to the timed total.
-        fails = [int(np.sum(np.asarray(r.solution_error) > TOL))
+        # flag triggers is solver work and is added to the timed total
+        # (the "high" executable was pre-warmed above so this measures
+        # solving, not compiling). NaN-safe predicate: a non-finite
+        # certificate counts as failing.
+        fails = [int(np.sum(~(np.asarray(r.solution_error) <= TOL)))
                  for r in reps]
         t1 = time.time()
-        for nf in fails:
+        for i, nf in enumerate(fails):
             if nf:  # pay the certified re-solve for this batch
                 Xh, rh = solver._fn(MAX_ITER, batch=BATCH,
                                     precision="high")(
                     solver._A, solver._G, Y, TOL)
                 np.asarray(rh.iter)
+                if i == len(fails) - 1:
+                    # the sanity checks below must describe the
+                    # certified pipeline's actual output: merge the
+                    # re-solved lanes into the last batch's results
+                    sel = ~(np.asarray(rep.solution_error) <= TOL)
+                    X = np.where(sel[:, None], np.asarray(Xh),
+                                 np.asarray(X))
+                    rep = type(rep)(
+                        iter=np.where(sel, np.asarray(rh.iter),
+                                      np.asarray(rep.iter)),
+                        solution_error=np.where(
+                            sel, np.asarray(rh.solution_error),
+                            np.asarray(rep.solution_error)))
         dt_total += time.time() - t1
         _log(f"certified: {sum(fails)} lane(s) failed certification "
              f"across {runs} batches")

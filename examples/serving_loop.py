@@ -67,7 +67,7 @@ def main():
     # certificate audit (off the timed path; a failing batch would be
     # re-solved at precision="high" — or route it through solve_batch,
     # which does this automatically)
-    failed = sum(int(np.sum(np.asarray(rep.solution_error) > tol))
+    failed = sum(int(np.sum(~(np.asarray(rep.solution_error) <= tol)))
                  for _, rep in out)
     total = batch * n_batches
     print(f"{total} certified solves in {dt*1e3:.1f} ms "

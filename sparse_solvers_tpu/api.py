@@ -340,7 +340,12 @@ class Homotopy:
         # one fused device→host transfer (separate int()/float()/asarray
         # pulls cost a blocking round trip each — dominant on remote TPUs)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
-        if self._precision == "certified" and err > tol:
+        # NaN-safe predicate (~(err <= tol), not err > tol): a
+        # rank-deficient path can emit a non-finite certificate, which
+        # must count as failing. Lanes that exhausted max_iterations are
+        # reported as-is — no precision fixes an iteration budget.
+        if (self._precision == "certified" and not (err <= tol)
+                and int(it) < max_iterations):
             # the one-pass path missed the tolerance under high-precision
             # scrutiny: re-solve at "high" (certified's guarantee)
             x, rep = self._fn(max_iterations, batch=None,
@@ -375,7 +380,15 @@ class Homotopy:
             # everywhere the certificate held. Failures are rare by
             # construction — a lane fails only when the tolerance sits
             # within one-pass-bf16 resolution of the problem's scale.
-            bad = np.asarray(rep.solution_error) > tol
+            # NaN-safe predicate: a non-finite certificate counts as
+            # failing. Lanes that exhausted max_iterations are excluded
+            # (honestly non-convergent at any precision — re-solving
+            # them every call would double serving cost forever; the
+            # narrow corner of a lane converging exactly on the last
+            # allowed iteration under bf16 is reported as-is).
+            errs = np.asarray(rep.solution_error)
+            bad = (~(errs <= tol)) & (
+                np.asarray(rep.iter) < max_iterations)
             if bad.any():
                 Xh, reph = self._fn(max_iterations, batch=Y.shape[0],
                                     precision="high")(

@@ -115,7 +115,9 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     # finiteness break (homotopy_batch.py).
     u2 = mv(inv, u1)
     den = vtv - dot1(u1, u2)
-    okins = jnp.where(jnp.abs(den) > 1e-35, 1.0, 0.0)
+    tiny = 256 * 1.1754944e-38  # 256*finfo(f32).tiny — same threshold
+    # as the core engine and csrc (engines must agree on the break)
+    okins = jnp.where(jnp.abs(den) > tiny, 1.0, 0.0)
     okl = 1.0 - doins * (1.0 - okins)   # (L,1) 1 unless a bad insert
     live = live * okl
     doins = doins * okl
@@ -133,7 +135,7 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     # ---- insert: bordering at slot k (online_inverse.h:184-251) ----
     # (bounded even on remove lanes, where the present column's den ≈ 0
     # — the inert-branch inf the round-1 advisor flagged is gone)
-    di = 1.0 / jnp.where(jnp.abs(den) > 1e-35, den, 1.0)
+    di = 1.0 / jnp.where(jnp.abs(den) > tiny, den, 1.0)
     u2di = u2 * di
     border = ek * di - (1.0 - ek) * u2di
     blend_k = (1.0 - ek[:, :, None]) * (1.0 - ek[:, None, :])

@@ -332,7 +332,8 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         # see the transition kernel's guard); a lane whose slot state
         # went non-finite stops here with its committed (finite) x and c
         # rather than poisoning later iterations
-        blew = live & ~(jnp.isfinite(d_act1).all(axis=1)
+        blew = live & ~(jnp.isfinite(x_act1).all(axis=1)
+                        & jnp.isfinite(d_act1).all(axis=1)
                         & jnp.isfinite(c_act1).all(axis=1)
                         & jnp.isfinite(inv1[:, 0, 0]))
 

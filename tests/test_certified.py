@@ -57,22 +57,56 @@ def test_certified_matches_high_when_certificates_hold():
     np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
 
 
-def test_certified_resolve_branch_matches_high():
-    """An unreachable tolerance fails every certificate, driving the
-    full-batch re-solve; the merged result must be exactly what
-    precision="high" produces (certified's guarantee)."""
+def test_certified_resolve_branch_matches_high(monkeypatch):
+    """Lanes whose certificate fails (including a NaN certificate — the
+    NaN-safe predicate must treat it as failing) while the path claims
+    convergence are re-solved at "high"; the merged lanes must carry
+    exactly the high-precision results."""
+    import jax.numpy as jnp
+    from sparse_solvers_tpu import api as api_mod
+
+    A, Y = make_problem(256, 512, 8, 6)
+    real_cert = api_mod._certified_error
+
+    def spoofed(Am, x, y):
+        err = real_cert(Am, x, y)
+        # lane 1 gets an over-tolerance certificate, lane 3 a NaN one
+        return err.at[1].set(1e3).at[3].set(jnp.nan)
+
+    monkeypatch.setattr(api_mod, "_certified_error", spoofed)
+    cert = ss.Homotopy(A, precision="certified")
+    Xc, rc = cert.solve_batch(Y, tolerance=1e-2, max_iterations=24)
+    monkeypatch.undo()
+
+    high = ss.Homotopy(A, precision="high")
+    Xh, rh = high.solve_batch(Y, tolerance=1e-2, max_iterations=24)
+
+    Xc, Xh = np.asarray(Xc), np.asarray(Xh)
+    # spoofed-failing lanes were re-solved at high: exact match there
+    for lane in (1, 3):
+        np.testing.assert_array_equal(Xc[lane], Xh[lane])
+        assert np.asarray(rc.solution_error)[lane] <= 1e-2
+    # untouched lanes kept the fast result with a passing certificate
+    assert np.all(np.asarray(rc.solution_error) <= 1e-2)
+    np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
+
+
+def test_certified_exhausted_lanes_not_resolved():
+    """A lane that exhausts max_iterations is honestly non-convergent —
+    certified mode reports it as-is instead of re-solving the batch at
+    "high" on every call (which would double serving cost forever)."""
     A, Y = make_problem(256, 512, 8, 4)
     tol = 1e-30  # unattainable in f32: every lane runs to max_iterations
     cert = ss.Homotopy(A, precision="certified")
     high = ss.Homotopy(A, precision="high")
     Xc, rc = cert.solve_batch(Y, tolerance=tol, max_iterations=12)
     Xh, rh = high.solve_batch(Y, tolerance=tol, max_iterations=12)
+    assert np.all(np.asarray(rc.iter) == 12)
+    # on CPU the one-pass path is bit-identical to high, so the
+    # non-re-solved results still match lane-for-lane
     np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
     np.testing.assert_allclose(np.asarray(Xc), np.asarray(Xh),
                                rtol=0, atol=0)
-    np.testing.assert_allclose(np.asarray(rc.solution_error),
-                               np.asarray(rh.solution_error),
-                               rtol=1e-6, atol=0)
 
 
 def test_certified_single_solve():

@@ -68,7 +68,7 @@ def test_fused_bf16_q_matches_default_precision_roundings():
     np.testing.assert_allclose(q, q_ref, rtol=1e-5, atol=1e-4)
 
 
-def test_driver_fused_q_recovers(monkeypatch):
+def test_driver_fused_q_recovers():
     """The batch driver with the fused bf16 q-product (one-pass-regime
     path) still recovers k-sparse signals within tolerance — on CPU this
     genuinely quantizes to bf16 (unlike the plain path, where CPU XLA
