@@ -106,9 +106,11 @@ class Homotopy:
         ‖Aᵀ(y−Ax)‖∞ — the solver's own convergence criterion — is
         recomputed at "high" precision and reported as solution_error;
         ``solve``/``solve_batch`` automatically re-solve at "high"
-        precision if the certificate exceeds the tolerance, so results
-        are guaranteed at least as accurate as precision="high" while
-        the common case runs one-pass fast). Default None = "high" in
+        precision if the certificate misses the tolerance — except for
+        lanes that exhausted max_iterations, which are honestly
+        non-convergent at any precision and reported as-is — so results
+        are at least as accurate as precision="high" while the common
+        case runs one-pass fast). Default None = "high" in
         fast mode, "highest" in exact mode.
     engine : "jax" (accelerator/XLA), "native" (C++ host backend, csrc/),
         or "auto" (default) — native for problems small enough that a
