@@ -161,3 +161,27 @@ def test_certified_validation():
         ss.Homotopy(A, mode="exact", precision="certified")
     with pytest.raises(ValueError, match="precision"):
         ss.Homotopy(A, precision="fastest")
+
+
+def test_certified_over_batch_native_driver():
+    """certified precision composed with the slot-space batch driver
+    (the TPU headline path, forced here via SS_BATCH_NATIVE=1 interpret
+    mode): certificates hold, solutions recover, capacity ladder active."""
+    import os
+
+    A, Y = make_problem(256, 512, 8, 6)
+    os.environ["SS_BATCH_NATIVE"] = "1"
+    try:
+        solver = ss.Homotopy(A, precision="certified", k_max=48)
+        plan = solver.explain(batch=Y.shape[0], max_iterations=64)
+        assert plan["batch_native"]
+        assert plan["capacity_tiers"] == [16, 24, 48]
+        X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=64)
+    finally:
+        del os.environ["SS_BATCH_NATIVE"]
+    X = np.asarray(X)
+    assert np.all(np.asarray(rep.solution_error) <= 1e-2)
+    c = (Y - X @ A.T) @ A
+    np.testing.assert_allclose(np.asarray(rep.solution_error),
+                               np.max(np.abs(c), axis=-1),
+                               rtol=1e-5, atol=1e-7)
