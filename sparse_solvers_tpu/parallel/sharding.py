@@ -65,12 +65,22 @@ _SHARDED_GRAM_AUTO_BYTES = 1 << 30
 
 def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      max_iterations: int, k_max: int | None = None,
-                     gram: bool | None = None, overlap_split: int = 1):
+                     gram: bool | None = None, overlap_split: int = 1,
+                     precision: str = "high"):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
     Y: (batch, m) — batch over "data", m over "row".
     Returns (X: (batch, n) sharded over "data", reports pytree).
+
+    ``precision`` follows the api's MXU settings ("highest"/"high"/
+    "default"/"certified"). Under "certified" the path runs at one-pass
+    precision and each lane's final ‖Aᵀ(y−Ax)‖∞ is recomputed at "high"
+    precision *inside the shard_map* — per-shard partial correlations
+    combined by one psum over the row axis — and reported as
+    solution_error; lanes whose certificate misses the tolerance
+    without exhausting max_iterations trigger one full re-solve at
+    "high" (merged per lane), mirroring ``Homotopy.solve_batch``.
 
     ``gram`` (default auto, on while n² fits in 1 GiB/device) builds the
     replicated Gram AᵀA once per call — one psum'd gemm — after which
@@ -84,6 +94,12 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     with the next block's local gemv (benchmarks/bench_scaling.py
     records the experiment).
     """
+    if precision not in ("highest", "high", "default", "certified"):
+        raise ValueError(
+            "precision must be 'highest', 'high', 'default' or "
+            f"'certified', got {precision!r}")
+    certified = precision == "certified"
+    path_precision = "default" if certified else precision
     n = A.shape[1]
     k_max = k_max or min(n, max_iterations + 1)
     if gram is None:
@@ -98,24 +114,54 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
              check_vma=False)
     def run(A_local, Y_local):
         from ..ops import blas
-        G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
-                          ROW_AXIS) if gram else None)
-        op = RowShardedOperator(A_local, ROW_AXIS, G, split=overlap_split)
-        # With a replicated Gram and few lanes per device, the γ-scan
-        # product q = AᵀAd comes from Gram-column gathers — zero
-        # collectives per iteration (SURVEY.md §2.4 north star); the
-        # dense two-step (one psum) wins once the local batch is large.
-        local_batch = Y_local.shape[0]
-        sparse = gram and local_batch * k_max < 2 * A.shape[0]
-        solve = lambda y_local: solve_homotopy_core(
-            op, n, y_local, tolerance, max_iterations, k_max,
-            sparse_matvec=sparse)
-        X, rep = jax.vmap(solve)(Y_local)
-        return X, (rep.iter, rep.solution_error)
+        with blas.precision_scope(path_precision):
+            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                              ROW_AXIS) if gram else None)
+            op = RowShardedOperator(A_local, ROW_AXIS, G,
+                                    split=overlap_split)
+            # With a replicated Gram and few lanes per device, the γ-scan
+            # product q = AᵀAd comes from Gram-column gathers — zero
+            # collectives per iteration (SURVEY.md §2.4 north star); the
+            # dense two-step (one psum) wins once the local batch is
+            # large.
+            local_batch = Y_local.shape[0]
+            sparse = gram and local_batch * k_max < 2 * A.shape[0]
+            solve = lambda y_local: solve_homotopy_core(
+                op, n, y_local, tolerance, max_iterations, k_max,
+                sparse_matvec=sparse)
+            X, rep = jax.vmap(solve)(Y_local)
+        err = rep.solution_error
+        if certified:
+            # sharded certificate: per-shard partial correlations of the
+            # returned solutions, one psum over the row axis, at "high"
+            # precision (the solver's own convergence criterion)
+            with blas.precision_scope("high"):
+                r_loc = Y_local - blas.xgemm(X, A_local, trans_b=True)
+                c_part = blas.xgemm(r_loc, A_local)
+            c = jax.lax.psum(c_part, ROW_AXIS)
+            err = jnp.max(jnp.abs(c), axis=-1).astype(err.dtype)
+        return X, (rep.iter, err)
 
     X, (iters, errs) = run(A, Y)
     from ..solvers.homotopy import HomotopyReportArrays
-    return X, HomotopyReportArrays(iter=iters, solution_error=errs)
+    rep = HomotopyReportArrays(iter=iters, solution_error=errs)
+    if certified:
+        import numpy as np
+        bad = (~(np.asarray(errs) <= float(tolerance))
+               & (np.asarray(iters) < max_iterations))
+        if bad.any():
+            Xh, rh = homotopy_sharded(
+                mesh, A[:A.shape[0] - pad] if pad else A,
+                Y[:, :Y.shape[1] - pad] if pad else Y,
+                tolerance, max_iterations, k_max=k_max, gram=gram,
+                overlap_split=overlap_split, precision="high")
+            sel = jnp.asarray(bad)
+            X = jnp.where(sel[:, None], Xh, X)
+            rep = HomotopyReportArrays(
+                iter=jnp.where(sel, rh.iter, rep.iter),
+                solution_error=jnp.where(sel, rh.solution_error,
+                                         rep.solution_error))
+    return X, rep
 
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,

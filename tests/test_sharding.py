@@ -177,3 +177,41 @@ def test_sharded_homotopy_dense_has_loop_collectives(mesh):
         lambda a, y: sh.homotopy_sharded(mesh, a, y, 1e-2, 8, gram=False),
         Ad, Yd)
     assert _collectives_in_loop_bodies(txt) >= 1
+
+
+def test_homotopy_sharded_certified():
+    """precision="certified" on the sharded solver: the psum'd
+    high-precision certificate is reported per lane and holds; on CPU
+    the one-pass path is bit-identical to "high", so results match the
+    high-precision sharded solve lane-for-lane."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparse_solvers_tpu.parallel import sharding as sh
+
+    rng = np.random.RandomState(0)
+    m, n, k, B = 128, 256, 8, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X = np.zeros((B, n), np.float32)
+    for i in range(B):
+        X[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X @ A.T).astype(np.float32)
+
+    mesh = sh.make_mesh(n_row=4, n_data=2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A), jnp.asarray(Y))
+    Xc, rc = sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 40,
+                                 precision="certified")
+    Xh, rh = sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 40,
+                                 precision="high")
+    Xc, Xh = np.asarray(Xc), np.asarray(Xh)
+    np.testing.assert_array_equal(np.asarray(rc.iter), np.asarray(rh.iter))
+    np.testing.assert_allclose(Xc, Xh, atol=1e-6)
+    # certificate equals the true high-precision correlation
+    c = (Y - Xc @ A.T) @ A
+    np.testing.assert_allclose(np.asarray(rc.solution_error),
+                               np.max(np.abs(c), axis=-1),
+                               rtol=1e-5, atol=1e-7)
+    assert np.all(np.asarray(rc.solution_error) <= 1e-2)
+
+    with np.testing.assert_raises(ValueError):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 40, precision="fast")
