@@ -110,7 +110,9 @@ class Homotopy:
         lanes that exhausted max_iterations, which are honestly
         non-convergent at any precision and reported as-is — so results
         are at least as accurate as precision="high" while the common
-        case runs one-pass fast). Default None = "high" in
+        case runs one-pass fast). Solves routed to the native host
+        engine compute in exact f32 FMA arithmetic, so certification
+        adds nothing there and is skipped. Default None = "high" in
         fast mode, "highest" in exact mode.
     engine : "jax" (accelerator/XLA), "native" (C++ host backend, csrc/),
         or "auto" (default) — native for problems small enough that a

@@ -185,3 +185,16 @@ def test_certified_over_batch_native_driver():
     np.testing.assert_allclose(np.asarray(rep.solution_error),
                                np.max(np.abs(c), axis=-1),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_certified_native_routing_is_exact_and_skipped():
+    """precision="certified" with auto routing to the native engine:
+    the host backend computes in exact f32 FMA arithmetic, so the solve
+    proceeds normally and certification is a no-op (documented)."""
+    A, Y = make_problem(64, 128, 4, 1)  # m*n below the native-auto floor
+    solver = ss.Homotopy(A, precision="certified")
+    assert solver.explain()["engine"] == "native"
+    x, rep = solver.solve(Y[0], tolerance=1e-2, max_iterations=16)
+    assert rep.solution_error <= 1e-2
+    c = (Y[0] - np.asarray(x) @ A.T) @ A
+    assert np.max(np.abs(c)) <= 1e-2
