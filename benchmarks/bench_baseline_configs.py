@@ -66,12 +66,9 @@ def emit(**kw):
 
 
 def _setup_cache():
-    import jax
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from _common import setup_cache
+    setup_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

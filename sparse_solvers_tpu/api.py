@@ -210,7 +210,8 @@ class Homotopy:
         # additionally sticks to the measured regime (lane-aligned n —
         # the scan kernel pads other widths itself, but only aligned
         # shapes have recorded TPU wins).
-        eligible = (batch is not None and self._mode == "fast"
+        eligible = (batch is not None and batch > 0  # b=0: vmapped core
+                    and self._mode == "fast"
                     and self._gram_enabled
                     and self._A.dtype == np.float32
                     and self._n < (1 << 24))
@@ -229,9 +230,10 @@ class Homotopy:
         the vmapped core, or the native host backend carries the solve.
 
         Pass ``batch`` (lane count) for ``solve_batch`` plans, None for
-        single solves. Pure report: triggers no compilation or device
-        work."""
-        if self._use_native():
+        single solves. Side-effect-free report: no compilation, no lazy
+        native build (reading the backend name may initialize the JAX
+        client on first use, as any jax call does)."""
+        if self._use_native(probe=True):
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
@@ -314,12 +316,16 @@ class Homotopy:
             self._cache[key] = fn
         return fn
 
-    def _use_native(self) -> bool:
+    def _use_native(self, probe: bool = False) -> bool:
+        """``probe=True`` answers without side effects (no lazy `make`,
+        no error on a missing build) — explain()'s contract."""
         if self._engine == "jax" or self._mode == "exact":
             return False
         from .backend import native as _native  # local: optional build
-        if not _native.available():
+        if not _native.available(build=not probe):
             if self._engine == "native":
+                if probe:
+                    return True  # a solve would attempt (and report) it
                 raise RuntimeError(
                     "native engine requested but the host backend is "
                     "unavailable (build failed or SS_NATIVE_DISABLE=1)")
@@ -499,7 +505,7 @@ class Irls:
     def explain(self, batch: int | None = None,
                 max_iterations: int = 100) -> dict:
         """Execution plan report (see Homotopy.explain)."""
-        if self._use_native():
+        if self._use_native(probe=True):
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
         return {"engine": "jax", "backend": jax.default_backend(),
@@ -520,12 +526,14 @@ class Irls:
             self._cache[key] = fn
         return fn
 
-    def _use_native(self) -> bool:
+    def _use_native(self, probe: bool = False) -> bool:
         if self._engine == "jax":
             return False
         from .backend import native as _native
-        if not _native.available():
+        if not _native.available(build=not probe):
             if self._engine == "native":
+                if probe:
+                    return True
                 raise RuntimeError(
                     "native engine requested but the host backend is "
                     "unavailable (build failed or SS_NATIVE_DISABLE=1)")

@@ -41,29 +41,32 @@ _lib = None
 _tried = False
 
 
-def _candidates():
-    """Yield library paths in preference order: the packaged extension
-    (what ``pip install`` produces; it has no PyInit_ symbol — it is
-    loaded with ctypes, never imported), then a repo checkout's csrc
-    build (made lazily). get_lib tries each until one *binds*, so a
-    stale packaged binary missing newer entry points degrades to the
-    fresh csrc build instead of poisoning the process."""
-    yield from sorted(glob.glob(os.path.join(_PKG, "_native*.so")))
+def _candidates(build: bool = True):
+    """Yield library paths in preference order. In a repo checkout (the
+    csrc source tree exists) the csrc build comes FIRST — rebuilt by
+    ``make`` when stale against the source — so an older packaged
+    ``_native*.so`` from an editable install can never shadow a fresh
+    algorithm fix whose symbol set didn't change. The packaged extension
+    (what ``pip install`` produces; loaded with ctypes, never imported)
+    is the fallback there and the only candidate in installed
+    environments. get_lib tries each until one *binds*, so a stale
+    packaged binary missing newer entry points degrades to the next
+    candidate instead of poisoning the process."""
     path = os.path.join(_CSRC, _LIBNAME)
     src = os.path.join(_CSRC, "sparsesolvers_cpu.cpp")
-    if os.path.exists(path) and (not os.path.exists(src) or
-                                 os.path.getmtime(path) >= os.path.getmtime(src)):
-        yield path
-        return
-    if not os.path.exists(src):
-        return
-    try:
-        subprocess.run(["make", "-C", _CSRC], check=True,
-                       capture_output=True, timeout=300)
-        if os.path.exists(path):
+    if os.path.exists(src):
+        fresh = (os.path.exists(path)
+                 and os.path.getmtime(path) >= os.path.getmtime(src))
+        if not fresh and build:
+            try:
+                subprocess.run(["make", "-C", _CSRC], check=True,
+                               capture_output=True, timeout=300)
+                fresh = os.path.exists(path)
+            except Exception:
+                fresh = os.path.exists(path)  # stale beats nothing
+        if fresh or os.path.exists(path):
             yield path
-    except Exception:
-        pass
+    yield from sorted(glob.glob(os.path.join(_PKG, "_native*.so")))
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -128,8 +131,24 @@ def get_lib() -> ctypes.CDLL | None:
         return _lib
 
 
-def available() -> bool:
-    return get_lib() is not None
+def available(build: bool = True) -> bool:
+    """Whether the native engine is (or would be) usable.
+
+    ``build=False`` is the side-effect-free probe for telemetry
+    (``explain()``): no ``make``, no library load beyond what already
+    happened — it answers "would a solve route native", counting a
+    buildable csrc source tree as available (a solve would build it)."""
+    if build:
+        return get_lib() is not None
+    if os.environ.get("SS_NATIVE_DISABLE") == "1":
+        return False
+    if _lib is not None:
+        return True
+    if _tried:           # a full load attempt already failed
+        return _lib is not None
+    src = os.path.join(_CSRC, "sparsesolvers_cpu.cpp")
+    return (os.path.exists(src)
+            or any(True for _ in _candidates(build=False)))
 
 
 def _f32(a):

@@ -166,6 +166,13 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     ``ladder`` controls the capacity tiers (see _plan_tiers).
     """
     n = A.shape[1]
+    if Y.shape[0] == 0:
+        # empty batch: the Pallas kernels' block shapes cannot be built
+        # for b=0 (and there is nothing to solve)
+        return (jnp.zeros((0, n), A.dtype),
+                HomotopyReportArrays(
+                    iter=jnp.zeros((0,), jnp.uint32),
+                    solution_error=jnp.zeros((0,), A.dtype)))
     tiers = _plan_tiers(k_max, max_iterations, ladder)
     state = None
     for t, Kt in enumerate(tiers):
