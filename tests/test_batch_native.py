@@ -271,3 +271,30 @@ def test_capacity_ladder_explicit_tiers():
     X1, R1 = out[(16, 24, 40)]
     np.testing.assert_array_equal(np.asarray(R0.iter), np.asarray(R1.iter))
     np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), atol=1e-3)
+
+
+def test_empty_batch_routes_and_returns_empty():
+    """b=0 must not reach the Pallas kernels (block shapes cannot be
+    built for an empty batch): routing excludes it and the driver
+    early-returns empty results (review regression)."""
+    import os
+
+    A = np.random.RandomState(0).randn(128, 256).astype(np.float32)
+    os.environ["SS_BATCH_NATIVE"] = "1"
+    try:
+        s = ss.Homotopy(A, engine="jax")
+        assert not s.explain(batch=0, max_iterations=16).get(
+            "batch_native", False)
+        X, rep = s.solve_batch(np.zeros((0, 128), np.float32),
+                               tolerance=0.1, max_iterations=16)
+    finally:
+        del os.environ["SS_BATCH_NATIVE"]
+    assert np.asarray(X).shape == (0, 256)
+    assert np.asarray(rep.iter).shape == (0,)
+
+    # and the driver entry point itself early-returns
+    G = jnp.asarray(A.T @ A)
+    Xd, repd = HB.solve_homotopy_batch(
+        jnp.asarray(A), G, jnp.zeros((0, 128), jnp.float32), 0.1, 16, 17,
+        use_kernel=False)
+    assert Xd.shape == (0, 256) and repd.iter.shape == (0,)
