@@ -452,15 +452,29 @@ class Irls:
 
     The economy QR of A is computed once here and reused across every solve
     (the reference computes it in the solver constructor, src/lib.cpp:51-57).
+
+    ``precision`` pins the MXU contraction precision of the iteration
+    ("highest" default — exact mode's Newton step runs O(mn²) gemms
+    whose accuracy feeds the Cholesky SPD decision; fast mode's
+    triangular solves are precision-insensitive, so lowering it mostly
+    affects exact mode). IRLS has no "certified" variant: its reported
+    solution_error is the reweighting schedule's eps (irls-cpu.cpp:123),
+    not a residual, so there is no convergence criterion to certify.
     """
 
-    def __init__(self, A, engine: str = "auto", mode: str = "fast"):
+    def __init__(self, A, engine: str = "auto", mode: str = "fast",
+                 precision: str = "highest"):
         if engine not in ("auto", "jax", "native"):
             raise ValueError(
                 f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "precision must be 'highest', 'high' or 'default' "
+                f"(IRLS has no certified variant), got {precision!r}")
         self._engine = engine
+        self._precision = precision
         self._mode = mode
         self._native = None
         self._A = ndview.as_matrix(A)
@@ -518,11 +532,15 @@ class Irls:
         key = (max_iterations, batched)
         fn = self._cache.get(key)
         if fn is None:
-            core = partial(_irls.solve_irls, max_iterations=max_iterations,
-                           mode=self._mode)
+            def core(Q, R, y, tol):
+                with _blas.precision_scope(self._precision):
+                    return _irls.solve_irls(Q, R, y, tol,
+                                            max_iterations=max_iterations,
+                                            mode=self._mode)
+            run = core
             if batched:
-                core = jax.vmap(core, in_axes=(None, None, 0, None))
-            fn = jax.jit(core)
+                run = jax.vmap(core, in_axes=(None, None, 0, None))
+            fn = jax.jit(run)
             self._cache[key] = fn
         return fn
 

@@ -195,3 +195,25 @@ def test_explain_reports_executed_path(monkeypatch):
 
     plan = ss.Irls(np.eye(8, dtype=np.float32), engine="jax").explain()
     assert plan["engine"] == "jax" and not plan["qr_cached"]
+
+
+def test_irls_precision_knob():
+    """Irls accepts the MXU precision values (no certified variant —
+    its solution_error is the reweighting eps, not a residual); results
+    are identical across settings on the CPU backend."""
+    import numpy as np
+    import sparse_solvers_tpu as ss
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(64, 32).astype(np.float32)
+    y = (A @ np.eye(32, dtype=np.float32)[3]).astype(np.float32)
+    x0, r0 = ss.Irls(A, engine="jax").solve(y, tolerance=0.1)
+    x1, r1 = ss.Irls(A, engine="jax", precision="high").solve(
+        y, tolerance=0.1)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-6)
+    assert r0.iter == r1.iter
+    try:
+        ss.Irls(A, precision="certified")
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
