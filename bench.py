@@ -195,11 +195,15 @@ def main():
     err = np.max(np.abs(recon - Y))
     _log(f"recovery max |Ax - y| = {err:.2e}")
 
-    # CPU baseline (reference algorithm, NumPy BLAS)
-    t0 = time.time()
+    # CPU baseline (reference algorithm, NumPy BLAS) — median of the
+    # per-solve times: the host is shared, and a mean lets one
+    # contended solve swing the vs_baseline denominator by 2x
+    cpu_times = []
     for b in range(CPU_SOLVES):
+        t0 = time.time()
         cpu_baseline.solve(A, Y[b], TOL, MAX_ITER)
-    cpu_dt = (time.time() - t0) / CPU_SOLVES
+        cpu_times.append(time.time() - t0)
+    cpu_dt = sorted(cpu_times)[len(cpu_times) // 2]
     cpu_solves_per_sec = 1.0 / cpu_dt
     _log(f"cpu baseline: {cpu_dt:.2f} s/solve -> "
          f"{cpu_solves_per_sec:.3f} solves/s")
