@@ -11,13 +11,14 @@ Public surface mirrors the reference Python package ``sparsesolvers``
 (reference: bindings/python/sparsesolvers/binding.cpp:114-148).
 """
 
-from .api import Homotopy, Irls, reconstruct_signal, norm_l1
+from .api import Homotopy, Irls, IrlsCg, reconstruct_signal, norm_l1
 from .reports import HomotopyReport, IrlsReport
 from .utils.config import version
 
 __all__ = [
     "Homotopy",
     "Irls",
+    "IrlsCg",
     "HomotopyReport",
     "IrlsReport",
     "reconstruct_signal",

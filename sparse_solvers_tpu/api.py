@@ -628,6 +628,132 @@ class Irls:
                 if tolerance is None else float(tolerance))
 
 
+class IrlsCg:
+    """CG-accelerated IRLS for the underdetermined regime (m ≤ n).
+
+    Beyond-reference capability: the reference's IRLS rejects m < n
+    ("underdetermined systems not supported", irls_test.cpp:53) because
+    its Newton step needs the QR of a tall A. This solver runs the
+    classical Daubechies–DeVore–Fornasier–Güntürk IRLS with a conjugate-
+    gradient inner solve (arXiv:1509.04063) — factorization-free, so it
+    also serves problems too large to QR (construction does no device
+    work at all; each solve touches A only through matvec/rmatvec MXU
+    gemvs). For distributed problems see
+    ``parallel.sharding.irls_cg_sharded`` (one psum per CG step).
+
+    Parameters
+    ----------
+    A : (m, n) array-like, float32 or float64, m ≤ n.
+    p : reweighting exponent in (0, 1]; 1.0 (default) is convex ℓ₁
+        basis pursuit; p < 1 matches the reference IRLS's non-convex
+        flavor (irls-cpu.cpp:70 uses 0.9).
+    k_sparsity : the K of the ε-rule ε ← min(ε, r_{K+1}(x)/n); any K at
+        or above the true sparsity preserves recovery. Default m // 4.
+    cg_max_iterations / cg_tolerance : inner CG budget and relative
+        residual target (default: tolerance/10, clamped to
+        [10·machine-eps, √machine-eps] — the inner accuracy sets the
+        floor of the outer convergence test).
+    precision : MXU contraction precision ("highest" default).
+
+    Reports carry the reference IRLS field names (iter, solution_error =
+    final ε, spd_failure = inner-CG curvature breakdown — the analog of
+    the reference's Cholesky pivot failure, irls-cpu.cpp:50-51).
+    """
+
+    def __init__(self, A, p: float = 1.0, k_sparsity: int | None = None,
+                 cg_max_iterations: int | None = None,
+                 cg_tolerance: float | None = None,
+                 precision: str = "highest"):
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "precision must be 'highest', 'high' or 'default', "
+                f"got {precision!r}")
+        if not (0 < p <= 1.0):
+            raise ValueError(f"p must be in (0, 1], got {p}")
+        self._A = ndview.as_matrix(A)
+        self._m, self._n = self._A.shape
+        if self._m > self._n:
+            raise ValueError(
+                "IrlsCg serves the underdetermined regime (m <= n); for "
+                f"m > n use Irls (got {self._m}x{self._n})")
+        self._p = p
+        self._k = k_sparsity
+        self._cg_max = cg_max_iterations
+        self._cg_tol = cg_tolerance
+        self._precision = precision
+        self._cache: dict = {}
+
+    @property
+    def shape(self):
+        return (self._m, self._n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    def explain(self, batch: int | None = None,
+                max_iterations: int = 100) -> dict:
+        """Execution plan report (see Homotopy.explain)."""
+        return {"engine": "jax", "backend": jax.default_backend(),
+                "mode": "cg", "precision": self._precision,
+                "p": self._p,
+                "formulation": ("vmapped CG-IRLS iteration"
+                                if batch is not None
+                                else "CG-IRLS iteration"),
+                "factorization_free": True}
+
+    def _fn(self, max_iterations: int, batched: bool):
+        from .solvers import irls_cg as _irls_cg
+        key = (max_iterations, batched)
+        fn = self._cache.get(key)
+        if fn is None:
+            def core(A, y, tol):
+                with _blas.precision_scope(self._precision):
+                    return _irls_cg.solve_irls_cg(
+                        A, y, tol, max_iterations, p=self._p,
+                        k_sparsity=self._k,
+                        cg_max_iterations=self._cg_max,
+                        cg_tolerance=self._cg_tol)
+            run = core
+            if batched:
+                run = jax.vmap(core, in_axes=(None, 0, None))
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        return fn
+
+    def solve(self, b, tolerance: float | None = None,
+              max_iterations: int = 100):
+        """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
+        x, it, err, spd = jax.device_get(
+            (x, rep.iter, rep.solution_error, rep.spd_failure))
+        return x, IrlsReport(iter=int(it), solution_error=float(err),
+                             spd_failure=bool(spd))
+
+    def solve_batch(self, B, tolerance: float | None = None,
+                    max_iterations: int = 100):
+        """Batched solve over signals B of shape (batch, m)."""
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        return self._fn(max_iterations, batched=True)(self._A, Y, tol)
+
+    def solve_on_device(self, y: jnp.ndarray, tolerance,
+                        max_iterations: int = 100):
+        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        return self._fn(max_iterations, batched=False)(self._A, y, tolerance)
+
+    def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
+                              max_iterations: int = 100):
+        """Jit-composable batched solve over device arrays."""
+        return self._fn(max_iterations, batched=True)(self._A, Y, tolerance)
+
+    def _tol(self, tolerance):
+        return (_default_tolerance(self.dtype)
+                if tolerance is None else float(tolerance))
+
+
 def reconstruct_signal(A, x):
     """y = A @ x (reference: ss.h:79-84, lib.cpp reconstruct_signal)."""
     A = ndview.as_matrix(A)

@@ -101,6 +101,29 @@ class DenseOperator(NamedTuple):
         return blas.xgemm(self.A, self.A * w, trans_a=True)
 
 
+class ColShardedOperator(NamedTuple):
+    """A column-shard of A inside shard_map: A_local is (m, n_local).
+
+    The natural layout for the underdetermined (m ≪ n) regime served by
+    CG-IRLS (solvers/irls_cg.py): x, the weights, and Aᵀu stay sharded
+    along n, while m-sized quantities (y, the CG iterates z/r/p) are
+    replicated — so the only collective is one ``psum`` per matvec
+    A(D∘Aᵀz), i.e. one per CG step. The reference has no distributed
+    analog (SURVEY.md §2.4: single address space)."""
+    A_local: jnp.ndarray
+    axis: str
+
+    @property
+    def dtype(self):
+        return self.A_local.dtype
+
+    def matvec(self, x_local):
+        return lax.psum(blas.xgemv(self.A_local, x_local), self.axis)
+
+    def rmatvec(self, u):
+        return blas.xgemv(self.A_local, u, trans=True)  # stays col-sharded
+
+
 class RowShardedOperator(NamedTuple):
     """A row-shard of A inside shard_map: A_local is (m_local, n); every
     reduction over rows finishes with a psum over ``axis``.

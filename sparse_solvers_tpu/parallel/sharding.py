@@ -194,6 +194,60 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
                                spd_failure=spd)
 
 
+def irls_cg_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
+                    max_iterations: int, *, p: float = 1.0,
+                    k_sparsity: int | None = None,
+                    cg_max_iterations: int | None = None,
+                    cg_tolerance: float | None = None):
+    """Column-sharded, batch-sharded CG-IRLS (solvers/irls_cg.py).
+
+    A: (m, n) — **columns** sharded over the "row" mesh axis (the tensor
+    axis; in the underdetermined basis-pursuit regime n is the large
+    dimension, so the n axis is what must be partitioned — the axis name
+    is just the mesh's tensor axis). Y: (batch, m) — batch over "data",
+    m replicated. Returns (X: (batch, n), IrlsReportArrays).
+
+    Every m-sized CG iterate is replicated; x/weights stay column-
+    sharded; exactly one psum (of A·(D∘Aᵀz), m floats) rides ICI per CG
+    step, plus one tiny all_gather per outer step for the global
+    (K+1)-th order statistic of |x| (the ε rule).
+
+    Zero-column padding (to the mesh multiple) is inert: a zero column
+    contributes D_j·a_j a_jᵀ = 0 to A D Aᵀ and its x_j = D_j·(Aᵀz)_j = 0.
+    """
+    from ..ops.operators import ColShardedOperator
+    from ..solvers.irls_cg import solve_irls_cg_core
+
+    m, n = A.shape
+    n_dev = mesh.shape[ROW_AXIS]
+    pad = (-n) % n_dev
+    if pad:
+        A = jnp.pad(A, ((0, 0), (0, pad)))
+    n_local = (n + pad) // n_dev
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, ROW_AXIS), P(DATA_AXIS, None)),
+             out_specs=(P(DATA_AXIS, ROW_AXIS),
+                        (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(A_local, Y_local):
+        op = ColShardedOperator(A_local, ROW_AXIS)
+        solve = lambda y: solve_irls_cg_core(
+            op.matvec, op.rmatvec, m, n, y, tolerance, max_iterations,
+            p=p, k_sparsity=k_sparsity, cg_max_iterations=cg_max_iterations,
+            cg_tolerance=cg_tolerance, dtype=A_local.dtype,
+            n_local=n_local, n_axis=ROW_AXIS)
+        X, rep = jax.vmap(solve)(Y_local)
+        return X, (rep.iter, rep.solution_error, rep.spd_failure)
+
+    X, (iters, errs, spd) = run(A, Y)
+    if pad:
+        X = X[:, :n]
+    from ..solvers.irls import IrlsReportArrays
+    return X, IrlsReportArrays(iter=iters, solution_error=errs,
+                               spd_failure=spd)
+
+
 def shard_inputs(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray):
     """Pad rows to the row-axis multiple, then place A row-sharded and
     Y (batch, m) batch+row sharded on the mesh. Zero row padding does not

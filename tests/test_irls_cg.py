@@ -1,0 +1,193 @@
+"""CG-IRLS (solvers/irls_cg.py) — matrix-free basis pursuit, m ≤ n.
+
+Beyond-reference capability (the reference IRLS rejects underdetermined
+systems, irls_test.cpp:53), so the oracles here are mathematical rather
+than parity-based:
+
+  * compressed-sensing recovery: a k-sparse signal from gaussian
+    measurements with m ≥ O(k log n) is the ℓ₁ minimizer, and IRLS-CG
+    must find it (arXiv:1509.04063 §2);
+  * the inner CG must agree with a dense direct solve of the weighted
+    normal equations (A D Aᵀ) z = y for fixed weights;
+  * batching/vmap lane independence and the sharded variant's equality
+    with the single-device solver.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sparse_solvers_tpu as ss
+from sparse_solvers_tpu.solvers import irls_cg as icg
+from sparse_solvers_tpu.parallel import sharding as sh
+
+
+def _cs_problem(rng, m, n, k, dtype=np.float64):
+    """Gaussian compressed-sensing instance with a well-separated
+    k-sparse ground truth (unit-norm columns)."""
+    A = rng.randn(m, n).astype(dtype)
+    A /= np.linalg.norm(A, axis=0)
+    x_true = np.zeros(n, dtype)
+    sup = rng.choice(n, k, replace=False)
+    x_true[sup] = rng.choice([-1.0, 1.0], k) * rng.uniform(0.5, 1.5, k)
+    return A, x_true, (A @ x_true).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype,atol", [(np.float64, 1e-6),
+                                        (np.float32, 1e-3)])
+def test_recovers_sparse_signal(dtype, atol):
+    rng = np.random.RandomState(0)
+    A, x_true, y = _cs_problem(rng, 64, 256, 5, dtype)
+    solver = ss.IrlsCg(A)
+    x, rep = solver.solve(y, tolerance=1e-8 if dtype == np.float64 else 1e-5,
+                          max_iterations=80)
+    assert not rep.spd_failure
+    assert rep.iter >= 1
+    np.testing.assert_allclose(x, x_true, atol=atol)
+
+
+def test_first_iterate_is_least_norm_solution():
+    # x⁰=0 gives uniform weights, so iterate 1 is argmin ‖x‖₂ s.t. Ax=y
+    # (the DDFG initialization) — pin it against the pseudoinverse.
+    rng = np.random.RandomState(1)
+    A, _, y = _cs_problem(rng, 20, 50, 3)
+    x, rep = ss.IrlsCg(A).solve(y, tolerance=np.inf, max_iterations=1)
+    assert rep.iter == 1
+    x_ln = np.linalg.pinv(A) @ y
+    np.testing.assert_allclose(x, x_ln, atol=1e-8)
+
+
+def test_cg_matches_direct_solve():
+    # fixed weights: one CG solve vs numpy direct solve of (A D Aᵀ)z = y
+    rng = np.random.RandomState(2)
+    m, n = 24, 60
+    A = rng.randn(m, n)
+    D = rng.uniform(0.5, 2.0, n)
+    y = rng.randn(m)
+    B = (A * D) @ A.T
+    mv = lambda v: jnp.asarray(A) @ v
+    rmv = lambda u: jnp.asarray(A).T @ u
+    body = lambda v: mv(jnp.asarray(D) * rmv(v))
+    out = icg._cg_solve(body, jnp.asarray(y), jnp.zeros(m),
+                        jnp.asarray(1e-24), 200, None, jnp.float64)
+    assert not bool(out.broke)
+    np.testing.assert_allclose(np.asarray(out.z), np.linalg.solve(B, y),
+                               atol=1e-8)
+
+
+def test_solution_satisfies_constraint_and_l1_optimality():
+    # the recovered x must satisfy Ax≈y and have ‖x‖₁ no larger than the
+    # true sparse solution (it IS the ℓ₁ minimizer here)
+    rng = np.random.RandomState(3)
+    A, x_true, y = _cs_problem(rng, 48, 200, 4)
+    x, _ = ss.IrlsCg(A).solve(y, tolerance=1e-9, max_iterations=100)
+    np.testing.assert_allclose(A @ x, y, atol=1e-6)
+    assert np.abs(x).sum() <= np.abs(x_true).sum() + 1e-6
+
+
+def test_nonconvex_p_recovers():
+    rng = np.random.RandomState(4)
+    A, x_true, y = _cs_problem(rng, 64, 256, 5)
+    x, rep = ss.IrlsCg(A, p=0.9).solve(y, tolerance=1e-8,
+                                       max_iterations=80)
+    assert not rep.spd_failure
+    np.testing.assert_allclose(x, x_true, atol=1e-5)
+
+
+def test_batch_matches_sequential():
+    rng = np.random.RandomState(5)
+    A, _, _ = _cs_problem(rng, 32, 96, 3)
+    Y = np.stack([
+        _cs_problem(np.random.RandomState(10 + i), 32, 96, 3)[2]
+        for i in range(4)
+    ])
+    # same A for all lanes
+    A0 = A
+    solver = ss.IrlsCg(A0)
+    X, rep = solver.solve_batch(Y, tolerance=1e-8, max_iterations=60)
+    for i in range(4):
+        xi, ri = solver.solve(Y[i], tolerance=1e-8, max_iterations=60)
+        # vmap runs all lanes while any is live; converged lanes are
+        # gated, so results agree to fp determinism
+        np.testing.assert_allclose(np.asarray(X)[i], xi, atol=1e-10)
+        assert int(np.asarray(rep.iter)[i]) == ri.iter
+
+
+def test_f32_tight_tolerance_stops_early():
+    # the CG target auto-tightens with the outer tolerance, so an f32
+    # solve at tol=1e-5 must converge (change below tol) well before the
+    # iteration budget instead of jittering at the default-CG floor
+    rng = np.random.RandomState(9)
+    A, x_true, y = _cs_problem(rng, 64, 256, 5, np.float32)
+    x, rep = ss.IrlsCg(A).solve(y, tolerance=1e-5, max_iterations=80)
+    assert rep.iter < 80, rep
+    np.testing.assert_allclose(x, x_true, atol=1e-3)
+
+
+def test_empty_batch():
+    rng = np.random.RandomState(6)
+    A, _, _ = _cs_problem(rng, 16, 32, 2)
+    X, rep = ss.IrlsCg(A).solve_batch(np.zeros((0, 16)), tolerance=1e-6)
+    assert X.shape == (0, 32)
+    assert np.asarray(rep.iter).shape == (0,)
+
+
+def test_overdetermined_rejected():
+    with pytest.raises(ValueError, match="underdetermined"):
+        ss.IrlsCg(np.ones((8, 4)))
+
+
+def test_bad_p_rejected():
+    with pytest.raises(ValueError, match="p must be"):
+        ss.IrlsCg(np.ones((4, 8)), p=1.5)
+    with pytest.raises(ValueError, match="p must be"):
+        ss.IrlsCg(np.ones((4, 8)), p=0.0)
+
+
+def test_explain():
+    plan = ss.IrlsCg(np.ones((4, 8))).explain()
+    assert plan["engine"] == "jax"
+    assert plan["factorization_free"]
+
+
+def test_jit_composable():
+    rng = np.random.RandomState(7)
+    A, x_true, y = _cs_problem(rng, 48, 160, 4)
+    solver = ss.IrlsCg(A)
+
+    @jax.jit
+    def serve(y):
+        x, rep = solver.solve_on_device(y, 1e-8, max_iterations=60)
+        return x, rep.iter
+
+    x, it = serve(jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-5)
+    assert int(it) >= 1
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return sh.make_mesh(n_row=4, n_data=2)
+
+
+def test_irls_cg_sharded_matches_single(mesh):
+    rng = np.random.RandomState(8)
+    # n=90 deliberately not divisible by the 4-way column axis (padding)
+    A, _, _ = _cs_problem(rng, 30, 90, 3)
+    Y = np.stack([
+        _cs_problem(np.random.RandomState(20 + i), 30, 90, 3)[2]
+        for i in range(8)
+    ])
+    X, rep = sh.irls_cg_sharded(mesh, jnp.asarray(A), jnp.asarray(Y),
+                                1e-8, 60)
+    Xs, reps = ss.IrlsCg(A).solve_batch(Y, tolerance=1e-8,
+                                        max_iterations=60)
+    # same algorithm, same arithmetic order per shard — tolerances only
+    # absorb the psum reduction-order difference
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(rep.spd_failure),
+                                  np.asarray(reps.spd_failure))
+    np.testing.assert_allclose(np.asarray(rep.solution_error),
+                               np.asarray(reps.solution_error), rtol=1e-6)
