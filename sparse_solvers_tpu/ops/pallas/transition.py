@@ -33,11 +33,13 @@ XLA):
     (``pl.when`` on a tile-level reduction) — path-following workloads
     are insert-dominated, so the common grid step pays only the insert
     arithmetic;
-  * branch results land via true selects (``jnp.where``), so inert-branch
-    NaNs (e.g. the insert's 1/(vᵀv−u1ᵀu2) on a remove lane, or a
-    full-capacity lane's unbordered update) never reach live state, and
-    frozen lanes are kept bit-stable by selecting the original state —
-    not by multiplying with γ=0 (round-1 advisor findings 1–2);
+  * the insert lands as fused rank-1 *adds* on the (L,K,K) state — exact
+    because vacant slots hold zero rows/cols (see the in-kernel note) —
+    whose (L,K)/(L,1) ingredients are select-gated per lane, so
+    inert-branch NaNs (e.g. the insert's 1/(vᵀv−u1ᵀu2) on a remove lane)
+    never reach live state and frozen lanes add exactly zero; (L,K)
+    vectors and the remove path keep true selects — never a γ=0
+    multiplicative freeze (round-1 advisor findings 1–2);
   * everything is elementwise over (L,K,K)/(L,K) blocks with single-axis
     broadcasts and minor-axis reductions — the Mosaic-safe subset
     established in round 1.
@@ -124,8 +126,6 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     deg_out[...] = (1.0 - okl)
 
     lv1 = (live + jnp.zeros_like(x)) > 0.5
-    ins1 = (doins + jnp.zeros_like(x)) > 0.5
-    ins3 = col3(doins)
 
     # slot-space steps with the pre-toggle labels (homotopy-cpu.cpp:252,
     # :255 restricted to Γ); frozen lanes select their original values
@@ -133,27 +133,35 @@ def _kernel(scal_ref,                                   # SMEM (2,): sent, tol
     ca1 = jnp.where(lv1, ca - gamma * mv(gk, d), ca)
 
     # ---- insert: bordering at slot k (online_inverse.h:184-251) ----
-    # (bounded even on remove lanes, where the present column's den ≈ 0
-    # — the inert-branch inf the round-1 advisor flagged is gone)
+    # The driver maintains an empty-slot invariant (init, remove's
+    # vswap, and the ladder embed all leave vacant slots with zero
+    # rows/cols in inv/gk, u1 = 0, c_act = 0, index = sentinel), so the
+    # bordered update collapses algebraically to fused rank-1 forms
+    # with bit-identical entries:
+    #     inv′ = inv + d·(u2 − e_k)⊗(u2 − e_k)
+    #     gk′  = gk + u1⊗e_k + e_k⊗(u1 + vtv·e_k)
+    # (diagonal: d and vtv; border: −d·u2 and u1; interior: +d·u2u2ᵀ —
+    # exactly online_inverse.h:219-251). This runs in ~⅓ of the VMEM
+    # passes of the blend/select formulation it replaces. Non-insert
+    # and frozen lanes add exactly zero: the (L,K)/(L,1) ingredients
+    # are select-gated below, which also keeps 0·NaN off broken lanes'
+    # state (round-1 advisor finding — never freeze by multiplication).
+    # di stays bounded even on remove lanes (|den| ≈ 0 there).
     di = 1.0 / jnp.where(jnp.abs(den) > tiny, den, 1.0)
-    u2di = u2 * di
-    border = ek * di - (1.0 - ek) * u2di
-    blend_k = (1.0 - ek[:, :, None]) * (1.0 - ek[:, None, :])
-    inv_in = ((inv + u2di[:, :, None] * u2[:, None, :]) * blend_k
-              + ek[:, :, None] * border[:, None, :]
-              + ek[:, None, :] * border[:, :, None]
-              - (ek * di)[:, :, None] * ek[:, None, :])
-    grow = ek * vtv + (1.0 - ek) * u1
-    gk_in = (gk * blend_k
-             + ek[:, :, None] * grow[:, None, :]
-             + ek[:, None, :] * grow[:, :, None]
-             - (ek * vtv)[:, :, None] * ek[:, None, :])
-
-    inv_out[...] = jnp.where(ins3, inv_in, inv)
-    gk_out[...] = jnp.where(ins3, gk_in, gk)
-    cact_out[...] = jnp.where(ins1, ca1 * (1.0 - ek) + ek * cnew,
-                              jnp.where(lv1, ca1, ca))
-    indf_out[...] = jnp.where(ins1, indf * (1.0 - ek) + ek * idxf, indf)
+    ins = doins > 0.5                       # (L,1)
+    sv = jnp.where(ins, u2 - ek, 0.0)       # (L,K)
+    giv = jnp.where(ins, di, 0.0)           # (L,1)
+    u1g = jnp.where(ins, u1, 0.0)
+    vtvg = jnp.where(ins, vtv, 0.0)
+    inv_out[...] = inv + (giv * sv)[:, :, None] * sv[:, None, :]
+    gk_out[...] = (gk + u1g[:, :, None] * ek[:, None, :]
+                   + ek[:, :, None] * (u1g + vtvg * ek)[:, None, :])
+    # slot k's ca1 is exactly 0 on insert lanes (zero gk row, zero ca),
+    # so appending c′ is an add; likewise indf[k] = sentinel and the
+    # integer arithmetic below is exact for n < 2²⁴ (kernel-wide guard)
+    cact_out[...] = (jnp.where(lv1, ca1, ca)
+                     + jnp.where(ins, cnew, 0.0) * ek)
+    indf_out[...] = indf + jnp.where(ins, idxf - sent, 0.0) * ek
     xact_out[...] = x1
 
     # ---- remove: Schur downdate at p, then move last slot into p ----
