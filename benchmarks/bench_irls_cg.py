@@ -6,9 +6,11 @@ m ≥ n path needs a one-time O(mn²) QR; CG-IRLS (solvers/irls_cg.py) is
 factorization-free, so this harness records (a) recovery throughput on a
 moderate compressed-sensing ensemble and (b) a large-n config whose Gram
 (n² = 16 GiB at n=65536) could never be materialized — the regime the
-solver exists for. Per row: solves/s, effective A-stream bandwidth
-(each CG step reads A twice: one matvec + one rmatvec), mean outer
-iterations, and support-recovery rate against the planted ground truth.
+solver exists for. Per row: ms/batch, solves/s, mean outer iterations,
+support-recovery rate against the planted ground truth, and the sensing
+matrix's byte size (each CG step streams A twice — one matvec + one
+rmatvec — but per-lane CG step counts are internal to the while_loop, so
+no bandwidth figure is derived here).
 
 Timing follows BASELINE.md methodology: persistent compile cache, fenced
 timed regions (materialize a small output), first timed run discarded,
@@ -37,21 +39,12 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def _problem(m, n, k, batch, seed=0):
-    rng = np.random.RandomState(seed)
-    A = rng.randn(m, n).astype(np.float32)
-    A /= np.linalg.norm(A, axis=0)
-    X = np.zeros((batch, n), np.float32)
-    for b in range(batch):
-        sup = rng.choice(n, k, replace=False)
-        X[b, sup] = rng.choice([-1.0, 1.0], k) * rng.uniform(0.5, 1.5, k)
-    return A, X, (X @ A.T).astype(np.float32)
-
-
 def run_config(ss, m, n, k, batch, tol, max_iter, cg_max, repeats=3):
     import jax
+    from benchmarks._common import make_sparse_problem
 
-    A, Xtrue, Y = _problem(m, n, k, batch)
+    A, Xtrue, Y = make_sparse_problem(m, n, k, batch, signed=True,
+                                      amp=(0.5, 1.5))
     solver = ss.IrlsCg(A, k_sparsity=2 * k, cg_max_iterations=cg_max)
     t0 = time.perf_counter()
     X, rep = solver.solve_batch(Y, tolerance=tol, max_iterations=max_iter)
@@ -74,9 +67,6 @@ def run_config(ss, m, n, k, batch, tol, max_iter, cg_max, repeats=3):
         hits += set(top) == set(np.nonzero(Xtrue[b])[0])
     max_err = float(np.abs(Xh - Xtrue).max())
     mean_iters = float(iters.mean())
-    # effective A traffic: 2 reads of A per CG step; CG steps are not
-    # surfaced per lane, so report the guaranteed lower bound from outer
-    # iterations (>= 1 CG step each) and the residual-accuracy evidence
     solves_s = batch / dt
     emit(metric="irls_cg", m=m, n=n, k=k, batch=batch, tol=tol,
          max_outer=max_iter, cg_max=cg_max,

@@ -46,14 +46,11 @@ def emit(**kw):
 
 
 def _problem(m, n, k, batch, seed=0):
-    rng = np.random.RandomState(seed)
-    A = rng.randn(m, n).astype(np.float32)
-    A /= np.linalg.norm(A, axis=0)
-    X = np.zeros((batch, n), np.float32)
-    for b in range(batch):
-        sup = rng.choice(n, k, replace=False)
-        X[b, sup] = rng.uniform(0.5, 1.0, k)
-    return A, (X @ A.T).astype(np.float32)
+    # shared ensemble; identical RNG stream to the originally recorded
+    # rows (unsigned amplitudes, amp=(0.5, 1.0))
+    from benchmarks._common import make_sparse_problem
+    A, _, Y = make_sparse_problem(m, n, k, batch, seed=seed)
+    return A, Y
 
 
 def _time_sharded(jax, sh, mesh, A, Y, tol, max_iter, **kw):

@@ -670,6 +670,14 @@ class IrlsCg:
                 f"got {precision!r}")
         if not (0 < p <= 1.0):
             raise ValueError(f"p must be in (0, 1], got {p}")
+        if k_sparsity is not None and k_sparsity < 1:
+            raise ValueError(f"k_sparsity must be >= 1, got {k_sparsity}")
+        if cg_max_iterations is not None and cg_max_iterations < 1:
+            raise ValueError(
+                f"cg_max_iterations must be >= 1, got {cg_max_iterations}")
+        if cg_tolerance is not None and not cg_tolerance > 0:
+            raise ValueError(
+                f"cg_tolerance must be > 0, got {cg_tolerance}")
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         if self._m > self._n:

@@ -13,8 +13,9 @@ whose inner weighted-least-norm step is solved by conjugate gradients
 iteratively re-weighted least squares methods", arXiv:1509.04063). The
 iteration is **factorization-free**: per outer step it touches A only
 through matvec/rmatvec pairs, so it runs on problems where a QR or Gram
-matrix cannot be materialized, and it shards row- or column-wise with
-exactly one ``psum`` per CG matvec (parallel/sharding.irls_cg_sharded).
+matrix cannot be materialized, and it shards column-wise (n, the large
+axis of this regime) with exactly one ``psum`` per CG matvec
+(parallel/sharding.irls_cg_sharded).
 
 Algorithm (p-reweighted; p = 1 is the convex ℓ₁ case, p < 1 matches the
 reference's non-convex flavor, irls-cpu.cpp:70):
@@ -73,37 +74,44 @@ class _OuterState(NamedTuple):
     broke: jnp.ndarray     # CG breakdown → spd_failure
 
 
-def _pdot(a, b, axis_name):
-    s = jnp.sum(a * b)
-    return lax.psum(s, axis_name) if axis_name else s
+def _pdot(a, b):
+    return jnp.sum(a * b)
 
 
-def _cg_solve(body_matvec, y, z0, cg_tol2, max_cg, axis_name, dtype):
+def _cg_solve(body_matvec, y, z0, cg_tol2, max_cg, dtype):
     """Conjugate gradients for B z = y, warm-started at z0.
 
     ``body_matvec(v)`` applies B = A D Aᵀ (SPD). Stops when ⟨r,r⟩ ≤
     cg_tol2, on ``max_cg`` steps, or on curvature breakdown (pᵀBp ≤ 0 or
     non-finite — B numerically lost positive-definiteness). In the
     column-sharded case z/r/p/y are replicated m-vectors and the psum
-    lives inside ``body_matvec``; ``axis_name`` is only needed when the
-    m axis itself is sharded (row sharding), where the dot products
-    reduce over it.
+    lives inside ``body_matvec``, so the dot products here are local
+    either way.
     """
     r0 = y - body_matvec(z0)
     init = _CgState(it=jnp.uint32(0), z=z0, r=r0, p=r0,
-                    rs=_pdot(r0, r0, axis_name), broke=jnp.bool_(False))
+                    rs=_pdot(r0, r0), broke=jnp.bool_(False))
 
     def cond(s: _CgState):
         return (~s.broke) & (s.it < jnp.uint32(max_cg)) & (s.rs > cg_tol2)
 
     def body(s: _CgState) -> _CgState:
         Bp = body_matvec(s.p)
-        pBp = _pdot(s.p, Bp, axis_name)
-        ok = jnp.isfinite(pBp) & (pBp > jnp.array(0, dtype))
-        alpha = s.rs / jnp.where(ok, pBp, jnp.array(1, dtype))
-        z = jnp.where(ok, s.z + alpha * s.p, s.z)
-        r = jnp.where(ok, s.r - alpha * Bp, s.r)
-        rs = jnp.where(ok, _pdot(r, r, axis_name), s.rs)
+        pBp = _pdot(s.p, Bp)
+        okc = jnp.isfinite(pBp) & (pBp > jnp.array(0, dtype))
+        alpha = s.rs / jnp.where(okc, pBp, jnp.array(1, dtype))
+        z = s.z + alpha * s.p
+        r = s.r - alpha * Bp
+        rs = _pdot(r, r)
+        # a positive-subnormal curvature passes the okc gate but makes
+        # alpha overflow; the NaN/inf surfaces in rs — treat it as the
+        # same breakdown (otherwise NaN rs would exit the loop through a
+        # false comparison with broke unset, and the outer step would
+        # commit a NaN iterate as converged)
+        ok = okc & jnp.isfinite(rs)
+        z = jnp.where(ok, z, s.z)
+        r = jnp.where(ok, r, s.r)
+        rs = jnp.where(ok, rs, s.rs)
         beta = rs / s.rs
         p = jnp.where(ok, r + beta * s.p, s.p)
         return _CgState(it=s.it + 1, z=z, r=r, p=p, rs=rs, broke=~ok)
@@ -144,16 +152,15 @@ def solve_irls_cg_core(matvec, rmatvec, m: int, n: int, y, tolerance,
                        cg_max_iterations: int | None = None,
                        cg_tolerance: float | None = None,
                        dtype=jnp.float32, n_local: int | None = None,
-                       m_axis: str | None = None,
                        n_axis: str | None = None):
     """CG-IRLS over abstract A products.
 
     ``matvec(x)``: (n_local,) → (m,);  ``rmatvec(u)``: (m,) → (n_local,).
     For column sharding pass ``n_axis`` (the mesh axis partitioning n;
     matvec must psum over it internally — ops/operators.py
-    ColShardedOperator) and ``n_local``; for row sharding pass ``m_axis``
-    (dot products over the m axis then psum). ``k_sparsity`` is the K of
-    the ε-rule ε ← min(ε, r_{K+1}(x)/n) — any K at or above the true
+    ColShardedOperator) and ``n_local``; the m-sized CG iterates are then
+    replicated, so the CG dot products stay local. ``k_sparsity`` is the
+    K of the ε-rule ε ← min(ε, r_{K+1}(x)/n) — any K at or above the true
     sparsity preserves recovery (arXiv:1509.04063 §2.2); default m // 4.
 
     Per-lane state updates are gated on a live flag, so under ``vmap``
@@ -161,6 +168,15 @@ def solve_irls_cg_core(matvec, rmatvec, m: int, n: int, y, tolerance,
     """
     if not (0 < p <= 1.0):
         raise ValueError(f"p must be in (0, 1], got {p}")
+    if k_sparsity is not None and k_sparsity < 1:
+        raise ValueError(f"k_sparsity must be >= 1, got {k_sparsity}")
+    if cg_max_iterations is not None and cg_max_iterations < 1:
+        # a zero-step CG would return z = z0 and the first outer step
+        # would "converge" to x = 0 silently
+        raise ValueError(
+            f"cg_max_iterations must be >= 1, got {cg_max_iterations}")
+    if cg_tolerance is not None and not cg_tolerance > 0:
+        raise ValueError(f"cg_tolerance must be > 0, got {cg_tolerance}")
     n_local = n_local if n_local is not None else n
     K = k_sparsity if k_sparsity is not None else max(1, m // 4)
     max_cg = cg_max_iterations if cg_max_iterations is not None else min(m, 128)
@@ -180,7 +196,7 @@ def solve_irls_cg_core(matvec, rmatvec, m: int, n: int, y, tolerance,
     else:
         cg_rel = jnp.asarray(cg_tolerance, dtype)
     # absolute CG target: ‖r‖ ≤ cg_rel · ‖y‖
-    ynorm2 = _pdot(y, y, m_axis)
+    ynorm2 = _pdot(y, y)
     cg_tol2 = cg_rel ** 2 * ynorm2
     pexp = jnp.array(1.0 - p / 2.0, dtype)
 
@@ -190,7 +206,7 @@ def solve_irls_cg_core(matvec, rmatvec, m: int, n: int, y, tolerance,
     def step(x, z_warm, eps):
         D = weights(x, eps)
         B = lambda v: matvec(D * rmatvec(v))
-        cg = _cg_solve(B, y, z_warm, cg_tol2, max_cg, m_axis, dtype)
+        cg = _cg_solve(B, y, z_warm, cg_tol2, max_cg, dtype)
         xn = D * rmatvec(cg.z)
         return xn, cg.z, cg.broke
 

@@ -70,7 +70,7 @@ def test_cg_matches_direct_solve():
     rmv = lambda u: jnp.asarray(A).T @ u
     body = lambda v: mv(jnp.asarray(D) * rmv(v))
     out = icg._cg_solve(body, jnp.asarray(y), jnp.zeros(m),
-                        jnp.asarray(1e-24), 200, None, jnp.float64)
+                        jnp.asarray(1e-24), 200, jnp.float64)
     assert not bool(out.broke)
     np.testing.assert_allclose(np.asarray(out.z), np.linalg.solve(B, y),
                                atol=1e-8)
@@ -143,6 +143,32 @@ def test_bad_p_rejected():
         ss.IrlsCg(np.ones((4, 8)), p=1.5)
     with pytest.raises(ValueError, match="p must be"):
         ss.IrlsCg(np.ones((4, 8)), p=0.0)
+
+
+def test_bad_knobs_rejected():
+    # k_sparsity < 1 would trace-crash in top_k; cg_max_iterations = 0
+    # would silently return x = 0 as "converged"
+    with pytest.raises(ValueError, match="k_sparsity"):
+        ss.IrlsCg(np.ones((4, 8)), k_sparsity=0)
+    with pytest.raises(ValueError, match="cg_max_iterations"):
+        ss.IrlsCg(np.ones((4, 8)), cg_max_iterations=0)
+    with pytest.raises(ValueError, match="cg_tolerance"):
+        ss.IrlsCg(np.ones((4, 8)), cg_tolerance=0.0)
+
+
+def test_cg_overflow_breaks_instead_of_nan():
+    # a positive-subnormal curvature passes the pBp > 0 gate but makes
+    # alpha overflow; the breakdown must be flagged (broke=True) with the
+    # iterate left at its last finite value — not exit the loop through a
+    # NaN comparison with broke unset (code-review finding)
+    m = 8
+    y = jnp.ones((m,), jnp.float32)
+    body = lambda v: jnp.float32(1e-39) * v  # B = 1e-39·I
+    out = icg._cg_solve(body, y, jnp.zeros(m, jnp.float32),
+                        jnp.float32(1e-20), 50, jnp.float32)
+    assert bool(out.broke)
+    assert np.isfinite(np.asarray(out.z)).all()
+    assert np.isfinite(float(out.rs))
 
 
 def test_explain():
