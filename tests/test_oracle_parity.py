@@ -98,3 +98,34 @@ def test_f64_iteration_and_error_parity_sweep():
             assert rep.iter == ito, (seed, mode)
             np.testing.assert_allclose(rep.solution_error, erro,
                                        rtol=1e-9, atol=1e-12)
+
+
+def test_irls_cg_matches_oracle():
+    """CG-IRLS vs the dense-inner-solve NumPy oracle: in float64 with a
+    tight inner-CG target the trajectories coincide (same ε schedule,
+    same termination) up to the CG residual — final x to ~1e-6 and the
+    iteration count within one step of the oracle's."""
+    from sparse_solvers_tpu.oracle import irls_cg as oracle_irls_cg
+
+    for seed in range(4):
+        rng = np.random.RandomState(100 + seed)
+        m, n, k = 32, 128, 4
+        A = rng.randn(m, n)
+        A /= np.linalg.norm(A, axis=0)
+        xt = np.zeros(n)
+        xt[rng.choice(n, k, replace=False)] = (
+            rng.choice([-1.0, 1.0], k) * rng.uniform(0.5, 1.5, k))
+        y = A @ xt
+
+        xo, ito, epso, broke_o = oracle_irls_cg.solve(A, y, 1e-8, 60)
+        assert not broke_o
+        xj, rep = ss.IrlsCg(A, cg_tolerance=1e-12).solve(
+            y, tolerance=1e-8, max_iterations=60)
+        assert not rep.spd_failure
+        assert abs(int(rep.iter) - ito) <= 1, (seed, rep.iter, ito)
+        np.testing.assert_allclose(xj, xo, atol=1e-6)
+        # on exactly-k-sparse recoveries the final ε is r_{K+1}(x)/n of
+        # the solution's *zero tail* — numerical dust whose magnitude is
+        # set by the inner solver's residual, not by the algorithm — so
+        # ε parity is absolute-scale only
+        np.testing.assert_allclose(rep.solution_error, epso, atol=1e-8)
