@@ -45,7 +45,23 @@ def main():
         print(f"[native homotopy]  x={np.round(xn, 4)}  iter={itn} "
               f"err={errn:.6f} argmax={np.argmax(xn)}")
 
+    # underdetermined leg (beyond reference): a 4×8 basis-pursuit toy
+    # through the CG-IRLS oracle and the jitted solver
+    from . import irls_cg as oracle_irls_cg
+    Aw = np.random.randn(4, 8).astype(np.float32)
+    Aw /= np.linalg.norm(Aw, axis=0)
+    xw = np.zeros(8, np.float32)
+    xw[5] = 1.0
+    yw = Aw @ xw
+    xc, itc, epsc, brokec = oracle_irls_cg.solve(Aw, yw, 1e-6, 50)
+    print(f"[oracle irls_cg]   x={np.round(xc, 4)}  iter={itc} "
+          f"eps={epsc:.2e} argmax={np.argmax(np.abs(xc))}")
+    xcj, repc = ss.IrlsCg(Aw).solve(yw, tolerance=1e-6, max_iterations=50)
+    print(f"[jax irls_cg]      x={np.round(xcj, 4)}  {repc} "
+          f"argmax={np.argmax(np.abs(xcj))}")
+
     assert np.argmax(xh) == np.argmax(xj) == 2
+    assert np.argmax(np.abs(xc)) == np.argmax(np.abs(xcj)) == 5
 
 
 if __name__ == "__main__":
