@@ -405,6 +405,116 @@ struct IrlsWork {
   }
 };
 
+// CG-IRLS (DDFG basis pursuit for m <= n) — the same iteration as
+// solvers/irls_cg.py (arXiv:1509.04063): inverse weights
+// D = (x^2 + eps^2)^(1 - p/2), warm-started conjugate-gradient solve of
+// (A D A^T) z = y, x = D o (A^T z), eps <- min(eps, r_{K+1}(x)/n),
+// termination on the relative sup-norm change of x (do-while). A CG
+// breakdown (pBp <= 0 / non-finite, or an overflowing step) maps to the
+// jax engine's spd_failure, with the iterate left at its last finite
+// value. No reference analog (its IRLS rejects m < n, irls_test.cpp:53).
+template <typename T>
+struct IrlsCgWork {
+  const T* A;  // row-major m x n
+  int m, n;
+  std::vector<T> D, x, xn, z, r, pv, Bp, tn, srt;
+
+  IrlsCgWork(const T* a, int m_, int n_)
+      : A(a), m(m_), n(n_), D(n_), x(n_), xn(n_), z(m_), r(m_), pv(m_),
+        Bp(m_), tn(n_), srt(n_) {}
+
+  void rmatvec(const T* u, T* out) {  // out = A^T u
+    std::fill(out, out + n, T(0));
+    for (int i = 0; i < m; ++i) axpy(u[i], A + size_t(i) * n, out, n);
+  }
+
+  void bmatvec(const T* v, T* out) {  // out = A (D o (A^T v))
+    rmatvec(v, tn.data());
+    for (int j = 0; j < n; ++j) tn[j] *= D[j];
+    for (int i = 0; i < m; ++i)
+      out[i] = dot(A + size_t(i) * n, tn.data(), n);
+  }
+
+  // CG for (A D A^T) z = y, warm-started at the current z; false on
+  // curvature breakdown (z rolled back to its last finite value)
+  bool cg(const T* y, T tol2, int max_cg) {
+    bmatvec(z.data(), Bp.data());
+    for (int i = 0; i < m; ++i) r[i] = y[i] - Bp[i];
+    pv = r;
+    T rs = dot(r.data(), r.data(), m);
+    for (int it = 0; it < max_cg && rs > tol2; ++it) {
+      bmatvec(pv.data(), Bp.data());
+      T pBp = dot(pv.data(), Bp.data(), m);
+      if (!(std::isfinite(pBp) && pBp > 0)) return false;
+      T alpha = rs / pBp;
+      axpy(alpha, pv.data(), z.data(), m);
+      axpy(-alpha, Bp.data(), r.data(), m);
+      T rs2 = dot(r.data(), r.data(), m);
+      if (!std::isfinite(rs2)) {  // alpha overflowed: roll back, break
+        axpy(-alpha, pv.data(), z.data(), m);
+        axpy(alpha, Bp.data(), r.data(), m);
+        return false;
+      }
+      T beta = rs2 / rs;
+      for (int i = 0; i < m; ++i) pv[i] = r[i] + beta * pv[i];
+      rs = rs2;
+    }
+    return true;
+  }
+
+  int solve(const T* y, T tol, int max_iter, T p, int K, int max_cg,
+            T cg_rel, T* x_out, T* eps_out, int* broke_out) {
+    std::fill(x.begin(), x.end(), T(0));
+    std::fill(z.begin(), z.end(), T(0));
+    T eps = 1;
+    int iter = 0;
+    *broke_out = 0;
+    const T tol2 = cg_rel * cg_rel * dot(y, y, m);
+    const T tiny = std::numeric_limits<T>::min();
+    T change = std::numeric_limits<T>::infinity();
+    do {
+      const T pexp = T(1) - p / 2;
+      for (int j = 0; j < n; ++j)
+        D[j] = std::pow(x[j] * x[j] + eps * eps, pexp);
+      if (!cg(y, tol2, max_cg)) { *broke_out = 1; break; }
+      rmatvec(z.data(), xn.data());
+      for (int j = 0; j < n; ++j) xn[j] *= D[j];
+      T xmax = 0, dmax = 0;
+      for (int j = 0; j < n; ++j) {
+        xmax = std::max(xmax, std::abs(xn[j]));
+        dmax = std::max(dmax, std::abs(xn[j] - x[j]));
+      }
+      change = dmax / std::max(xmax, tiny);
+      for (int j = 0; j < n; ++j) srt[j] = std::abs(xn[j]);
+      int kk = std::min(K, n - 1);  // (K+1)-th largest, 0-based index K
+      std::nth_element(srt.begin(), srt.begin() + kk, srt.end(),
+                       std::greater<T>());
+      eps = std::min(eps, srt[kk] / T(n));
+      x = xn;
+      ++iter;
+    } while (iter < max_iter && change > tol);
+    std::copy(x.begin(), x.end(), x_out);
+    *eps_out = eps;
+    return iter;
+  }
+};
+
+template <typename T>
+int irls_cg_impl(const T* A, int m, int n, const T* y, T tol, int max_iter,
+                 T p, int k_sparsity, int max_cg, T cg_rel, T* x_out,
+                 T* eps_out, int* broke_out) {
+  if (k_sparsity <= 0) k_sparsity = std::max(1, m / 4);
+  if (max_cg <= 0) max_cg = std::min(m, 128);
+  if (!(cg_rel > 0)) {
+    // engine default: tol/10 clamped to [10*eps_mach, sqrt(eps_mach)]
+    const T me = std::numeric_limits<T>::epsilon();
+    cg_rel = std::max(T(10) * me, std::min(std::sqrt(me), tol / 10));
+  }
+  IrlsCgWork<T> w(A, m, n);
+  return w.solve(y, tol, max_iter, p, k_sparsity, max_cg, cg_rel, x_out,
+                 eps_out, broke_out);
+}
+
 template <typename T>
 void transpose_to_colmajor(const T* A, int m, int n, std::vector<T>& At) {
   At.resize(size_t(n) * m);
@@ -520,6 +630,25 @@ void ss_irls_destroy_f64(void* handle) {
   delete static_cast<QRFactors<double>*>(handle);
 }
 
-int ss_native_version() { return 1; }
+// CG-IRLS single solve (m <= n); returns iterations, broke -> the jax
+// engine's spd_failure. k_sparsity <= 0, max_cg <= 0 and cg_rel <= 0
+// select the engine defaults (m/4, min(m,128), tol/10 clamped).
+int ss_irls_cg_solve_f32(const float* A, int m, int n, const float* y,
+                         float tol, int max_iter, float p, int k_sparsity,
+                         int max_cg, float cg_rel, float* x_out,
+                         float* eps_out, int* broke_out) {
+  return irls_cg_impl<float>(A, m, n, y, tol, max_iter, p, k_sparsity,
+                             max_cg, cg_rel, x_out, eps_out, broke_out);
+}
+
+int ss_irls_cg_solve_f64(const double* A, int m, int n, const double* y,
+                         double tol, int max_iter, double p, int k_sparsity,
+                         int max_cg, double cg_rel, double* x_out,
+                         double* eps_out, int* broke_out) {
+  return irls_cg_impl<double>(A, m, n, y, tol, max_iter, p, k_sparsity,
+                              max_cg, cg_rel, x_out, eps_out, broke_out);
+}
+
+int ss_native_version() { return 2; }
 
 }  // extern "C"

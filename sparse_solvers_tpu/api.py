@@ -654,6 +654,10 @@ class IrlsCg:
         [10·machine-eps, √machine-eps] — the inner accuracy sets the
         floor of the outer convergence test).
     precision : MXU contraction precision ("highest" default).
+    engine : "jax", "native" (C++ host backend, csrc/), or "auto"
+        (default) — like the other solvers, problems below the device
+        dispatch-latency floor route to the host engine, which runs the
+        identical iteration in exact FMA arithmetic.
 
     Reports carry the reference IRLS field names (iter, solution_error =
     final ε, spd_failure = inner-CG curvature breakdown — the analog of
@@ -663,11 +667,14 @@ class IrlsCg:
     def __init__(self, A, p: float = 1.0, k_sparsity: int | None = None,
                  cg_max_iterations: int | None = None,
                  cg_tolerance: float | None = None,
-                 precision: str = "highest"):
+                 precision: str = "highest", engine: str = "auto"):
         if precision not in ("highest", "high", "default"):
             raise ValueError(
                 "precision must be 'highest', 'high' or 'default', "
                 f"got {precision!r}")
+        if engine not in ("auto", "jax", "native"):
+            raise ValueError(
+                f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
         if not (0 < p <= 1.0):
             raise ValueError(f"p must be in (0, 1], got {p}")
         if k_sparsity is not None and k_sparsity < 1:
@@ -689,6 +696,8 @@ class IrlsCg:
         self._cg_max = cg_max_iterations
         self._cg_tol = cg_tolerance
         self._precision = precision
+        self._engine = engine
+        _warn_small_problem_jax(engine, self._m, self._n)
         self._cache: dict = {}
 
     @property
@@ -699,9 +708,28 @@ class IrlsCg:
     def dtype(self):
         return self._A.dtype
 
+    def _use_native(self, probe: bool = False) -> bool:
+        if self._engine == "jax":
+            return False
+        from .backend import native as _native
+        if not _native.available(build=not probe):
+            if self._engine == "native":
+                if probe:
+                    return True
+                raise RuntimeError(
+                    "native engine requested but the host backend is "
+                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
+            return False
+        return (self._engine == "native"
+                or self._m * self._n <= Homotopy._NATIVE_AUTO_ELEMS)
+
     def explain(self, batch: int | None = None,
                 max_iterations: int = 100) -> dict:
         """Execution plan report (see Homotopy.explain)."""
+        if self._use_native(probe=True):
+            return {"engine": "native", "mode": "cg",
+                    "backend": "csrc host (C++)",
+                    "factorization_free": True}
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": "cg", "precision": self._precision,
                 "p": self._p,
@@ -734,6 +762,14 @@ class IrlsCg:
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._use_native():
+            from .backend import native as _native
+            xn, it, eps, broke = _native.irls_cg_solve(
+                np.asarray(self._A), np.asarray(y), tol, max_iterations,
+                p=self._p, k_sparsity=self._k,
+                cg_max_iterations=self._cg_max, cg_tolerance=self._cg_tol)
+            return xn, IrlsReport(iter=it, solution_error=eps,
+                                  spd_failure=broke)
         x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
         x, it, err, spd = jax.device_get(
             (x, rep.iter, rep.solution_error, rep.spd_failure))
@@ -745,6 +781,25 @@ class IrlsCg:
         """Batched solve over signals B of shape (batch, m)."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._use_native():
+            from .backend import native as _native
+            from .solvers import irls as _irls_mod
+            Yn = np.asarray(Y)
+            xs, its, errs, spds = [], [], [], []
+            for b in range(Yn.shape[0]):
+                x, it, eps, broke = _native.irls_cg_solve(
+                    np.asarray(self._A), Yn[b], tol, max_iterations,
+                    p=self._p, k_sparsity=self._k,
+                    cg_max_iterations=self._cg_max,
+                    cg_tolerance=self._cg_tol)
+                xs.append(x); its.append(it); errs.append(eps)
+                spds.append(broke)
+            X = (np.stack(xs) if xs
+                 else np.zeros((0, self._n), self.dtype))
+            return X, _irls_mod.IrlsReportArrays(
+                iter=np.asarray(its, np.uint32),
+                solution_error=np.asarray(errs, self.dtype),
+                spd_failure=np.asarray(spds, bool))
         return self._fn(max_iterations, batched=True)(self._A, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,

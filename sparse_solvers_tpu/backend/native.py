@@ -108,6 +108,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p]
     lib.ss_irls_destroy_f64.restype = None
     lib.ss_irls_destroy_f64.argtypes = [ctypes.c_void_p]
+    lib.ss_irls_cg_solve_f32.restype = ctypes.c_int
+    lib.ss_irls_cg_solve_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float,
+        ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, f32p, f32p, i32p]
+    lib.ss_irls_cg_solve_f64.restype = ctypes.c_int
+    lib.ss_irls_cg_solve_f64.argtypes = [
+        f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, f64p, f64p, i32p]
     return lib
 
 
@@ -218,6 +228,37 @@ def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
        errs.ctypes.data_as(p))
     return X, iters, errs
+
+
+def irls_cg_solve(A: np.ndarray, y: np.ndarray, tol: float,
+                  max_iterations: int, p: float = 1.0,
+                  k_sparsity: int | None = None,
+                  cg_max_iterations: int | None = None,
+                  cg_tolerance: float | None = None):
+    """Single CG-IRLS basis-pursuit solve on the host (m <= n); same
+    iteration as solvers/irls_cg.py. Returns (x, iter, eps, broke) —
+    ``broke`` maps to spd_failure. float32 or float64 by A's dtype;
+    None knobs select the engine defaults (csrc irls_cg_impl)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    f64 = A.dtype == np.float64
+    dt, ct = ((np.float64, ctypes.c_double) if f64
+              else (np.float32, ctypes.c_float))
+    Ac = np.ascontiguousarray(A, dt)
+    yc = np.ascontiguousarray(y, dt)
+    x = np.zeros(n, dt)
+    eps = ct()
+    broke = ctypes.c_int()
+    fn = lib.ss_irls_cg_solve_f64 if f64 else lib.ss_irls_cg_solve_f32
+    ptr = ctypes.POINTER(ct)
+    it = fn(Ac.ctypes.data_as(ptr), m, n, yc.ctypes.data_as(ptr),
+            float(tol), int(max_iterations), float(p),
+            int(k_sparsity or 0), int(cg_max_iterations or 0),
+            float(cg_tolerance or 0.0),
+            x.ctypes.data_as(ptr), ctypes.byref(eps), ctypes.byref(broke))
+    return x, it, eps.value, bool(broke.value)
 
 
 class IrlsNative:

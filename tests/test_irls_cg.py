@@ -172,9 +172,11 @@ def test_cg_overflow_breaks_instead_of_nan():
 
 
 def test_explain():
-    plan = ss.IrlsCg(np.ones((4, 8))).explain()
+    plan = ss.IrlsCg(np.ones((4, 8)), engine="jax").explain()
     assert plan["engine"] == "jax"
     assert plan["factorization_free"]
+    auto = ss.IrlsCg(np.ones((4, 8))).explain()
+    assert auto["engine"] in ("jax", "native")
 
 
 def test_jit_composable():
@@ -208,8 +210,8 @@ def test_irls_cg_sharded_matches_single(mesh):
     ])
     X, rep = sh.irls_cg_sharded(mesh, jnp.asarray(A), jnp.asarray(Y),
                                 1e-8, 60)
-    Xs, reps = ss.IrlsCg(A).solve_batch(Y, tolerance=1e-8,
-                                        max_iterations=60)
+    Xs, reps = ss.IrlsCg(A, engine="jax").solve_batch(
+        Y, tolerance=1e-8, max_iterations=60)
     # same algorithm, same arithmetic order per shard — tolerances only
     # absorb the psum reduction-order difference
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-8)
@@ -217,3 +219,29 @@ def test_irls_cg_sharded_matches_single(mesh):
                                   np.asarray(reps.spd_failure))
     np.testing.assert_allclose(np.asarray(rep.solution_error),
                                np.asarray(reps.solution_error), rtol=1e-6)
+
+
+def test_native_engine_matches_jax():
+    # the C++ host engine runs the identical iteration in exact FMA
+    # arithmetic; in f64 both engines track the same trajectory
+    from sparse_solvers_tpu.backend import native as nat
+    if not nat.available():
+        pytest.skip("native backend unavailable")
+    rng = np.random.RandomState(12)
+    A, x_true, y = _cs_problem(rng, 48, 160, 4)
+    xn, repn = ss.IrlsCg(A, engine="native").solve(y, tolerance=1e-8,
+                                                   max_iterations=60)
+    xj, repj = ss.IrlsCg(A, engine="jax").solve(y, tolerance=1e-8,
+                                                max_iterations=60)
+    assert not repn.spd_failure and not repj.spd_failure
+    assert abs(repn.iter - repj.iter) <= 1
+    np.testing.assert_allclose(xn, xj, atol=1e-6)
+    np.testing.assert_allclose(xn, x_true, atol=1e-6)
+    # auto routing: a small problem reports the native engine
+    plan = ss.IrlsCg(A).explain()
+    assert plan["engine"] == "native"
+    # batch loop over the cached matrix matches per-signal solves exactly
+    Xb, repb = ss.IrlsCg(A, engine="native").solve_batch(
+        np.stack([y, y]), tolerance=1e-8, max_iterations=60)
+    np.testing.assert_array_equal(np.asarray(Xb)[0], xn)
+    assert int(np.asarray(repb.iter)[0]) == repn.iter

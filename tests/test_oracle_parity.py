@@ -119,7 +119,7 @@ def test_irls_cg_matches_oracle():
 
         xo, ito, epso, broke_o = oracle_irls_cg.solve(A, y, 1e-8, 60)
         assert not broke_o
-        xj, rep = ss.IrlsCg(A, cg_tolerance=1e-12).solve(
+        xj, rep = ss.IrlsCg(A, cg_tolerance=1e-12, engine="jax").solve(
             y, tolerance=1e-8, max_iterations=60)
         assert not rep.spd_failure
         assert abs(int(rep.iter) - ito) <= 1, (seed, rep.iter, ito)
