@@ -245,3 +245,24 @@ def test_native_engine_matches_jax():
         np.stack([y, y]), tolerance=1e-8, max_iterations=60)
     np.testing.assert_array_equal(np.asarray(Xb)[0], xn)
     assert int(np.asarray(repb.iter)[0]) == repn.iter
+
+
+def test_view_semantics():
+    # non-contiguous inputs work zero-copy-equivalent, like the reference
+    # binding's view tests (bindings/python/tests/test_binding.py:31-68)
+    rng = np.random.RandomState(13)
+    A, _, y = _cs_problem(rng, 24, 64, 3)
+    big = np.zeros((24, 128))
+    big[:, ::2] = A             # strided column view
+    Av = big[:, ::2]
+    assert not Av.flags["C_CONTIGUOUS"]
+    x_ref, rep_ref = ss.IrlsCg(A).solve(y, tolerance=1e-8,
+                                        max_iterations=60)
+    x_v, rep_v = ss.IrlsCg(Av).solve(y, tolerance=1e-8, max_iterations=60)
+    np.testing.assert_array_equal(x_v, x_ref)
+    assert rep_v.iter == rep_ref.iter
+
+    At = np.ascontiguousarray(A.T).T   # transposed (Fortran-order) view
+    assert not At.flags["C_CONTIGUOUS"]
+    x_t, rep_t = ss.IrlsCg(At).solve(y, tolerance=1e-8, max_iterations=60)
+    np.testing.assert_array_equal(x_t, x_ref)
