@@ -10,7 +10,13 @@ Run: python -m sparse_solvers_tpu.oracle.main
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+if os.environ.get("SS_EXAMPLE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
