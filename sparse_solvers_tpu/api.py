@@ -23,8 +23,6 @@ from __future__ import annotations
 import os
 import warnings
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

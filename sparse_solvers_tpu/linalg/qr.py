@@ -16,7 +16,6 @@ For the IRLS hot path the library uses XLA's blocked ``jnp.linalg.qr``
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
