@@ -1,0 +1,80 @@
+"""Recovery phase map — support-recovery rate over the (δ, ρ) plane.
+
+Classic compressed-sensing evidence (Donoho–Tanner phase transition):
+for gaussian ensembles, exact ℓ₁ recovery succeeds with high probability
+below a sharp curve in the undersampling/sparsity plane
+(δ = m/n, ρ = k/m). Both ℓ₁ solvers here — Homotopy (the reference's
+algorithm) and CG-IRLS (beyond reference, the m ≤ n regime) — must trace
+that curve: high recovery rates at low ρ decaying toward the transition.
+This harness records the measured rate per grid cell per solver; it
+validates *algorithmic* correctness across the problem plane rather than
+speed (problems are sized so `engine="auto"` routes to the native host
+backend — no accelerator needed).
+
+Run:   python benchmarks/bench_recovery_map.py [--quick] [--n N] [--trials T]
+Output: one JSON line per (solver, δ, ρ) cell.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _trial(rng, m, n, k, solver_kind, ss):
+    A = rng.randn(m, n).astype(np.float64)
+    A /= np.linalg.norm(A, axis=0)
+    x_true = np.zeros(n)
+    sup = rng.choice(n, k, replace=False)
+    x_true[sup] = rng.choice([-1.0, 1.0], k) * rng.uniform(0.5, 1.5, k)
+    y = A @ x_true
+    if solver_kind == "homotopy":
+        x, rep = ss.Homotopy(A).solve(y, tolerance=1e-7,
+                                      max_iterations=3 * m)
+    else:
+        x, rep = ss.IrlsCg(A).solve(y, tolerance=1e-7, max_iterations=60)
+    top = set(np.argsort(-np.abs(np.asarray(x)))[:k])
+    return top == set(sup)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--trials", type=int, default=20)
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # native-routed anyway
+    jax.config.update("jax_enable_x64", True)  # run the ensembles in f64
+    import sparse_solvers_tpu as ss
+
+    n = 128 if args.quick else args.n
+    trials = 5 if args.quick else args.trials
+    deltas = [0.25, 0.5] if args.quick else [0.125, 0.25, 0.375, 0.5, 0.75]
+    rhos = [0.1, 0.3] if args.quick else [0.1, 0.2, 0.3, 0.4, 0.5]
+
+    for solver_kind in ("homotopy", "irls_cg"):
+        for d in deltas:
+            m = max(4, int(round(d * n)))
+            for r in rhos:
+                k = max(1, int(round(r * m)))
+                rng = np.random.RandomState(hash((solver_kind, m, k)) % 2**31)
+                ok = sum(_trial(rng, m, n, k, solver_kind, ss)
+                         for _ in range(trials))
+                emit(metric="recovery_map", solver=solver_kind, n=n, m=m,
+                     k=k, delta=round(d, 4), rho=round(r, 4),
+                     trials=trials, recovery_rate=round(ok / trials, 4))
+
+
+if __name__ == "__main__":
+    main()
