@@ -67,6 +67,28 @@ def main():
           f"mean path length {np.asarray(reports.iter).mean():.1f}; "
           f"support recovery {100*support_hit:.0f}%")
 
+    # the underdetermined regime shards the other way: columns of a wide
+    # A over the tensor axis, CG-IRLS replicating only m-sized iterates
+    # (one psum per CG step — docs/design.md §4)
+    mw, nw, kw = 96, 1024, 6
+    Aw = rng.randn(mw, nw).astype(np.float32)
+    Aw /= np.linalg.norm(Aw, axis=0)
+    Xw = np.zeros((batch, nw), np.float32)
+    for b in range(batch):
+        sup = rng.choice(nw, kw, replace=False)
+        Xw[b, sup] = rng.choice([-1.0, 1.0], kw) * rng.uniform(0.5, 1.5, kw)
+    Yw = Xw @ Aw.T
+    import jax.numpy as jnp
+    Xc, repc = sh.irls_cg_sharded(mesh, jnp.asarray(Aw), jnp.asarray(Yw),
+                                  tolerance=1e-4, max_iterations=40)
+    Xc = np.asarray(Xc)
+    hit = np.mean([
+        set(np.argsort(-np.abs(Xc[b]))[:kw]) == set(np.flatnonzero(Xw[b]))
+        for b in range(batch)])
+    print(f"column-sharded CG-IRLS {mw}x{nw} (k={kw}): mean outer "
+          f"iterations {np.asarray(repc.iter).mean():.1f}; "
+          f"support recovery {100*hit:.0f}%")
+
 
 if __name__ == "__main__":
     main()
