@@ -6,10 +6,13 @@ below a sharp curve in the undersampling/sparsity plane
 (δ = m/n, ρ = k/m). Both ℓ₁ solvers here — Homotopy (the reference's
 algorithm) and CG-IRLS (beyond reference, the m ≤ n regime) — must trace
 that curve: high recovery rates at low ρ decaying toward the transition.
-This harness records the measured rate per grid cell per solver; it
-validates *algorithmic* correctness across the problem plane rather than
-speed (problems are sized so `engine="auto"` routes to the native host
-backend — no accelerator needed).
+This harness records the measured rate per grid cell per solver, plus
+an `exhausted` count — trials where the solver hit its iteration budget
+without meeting the tolerance (unconverged, distinct from a genuine
+recovery failure past the transition). It validates *algorithmic*
+correctness across the problem plane rather than speed (problems are
+sized so `engine="auto"` routes to the native host backend — no
+accelerator needed).
 
 Run:   python benchmarks/bench_recovery_map.py [--quick] [--n N] [--trials T]
 Output: one JSON line per (solver, δ, ρ) cell.
@@ -21,6 +24,7 @@ import argparse
 import json
 import os
 import sys
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,20 +35,34 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def _seed(solver_kind, m, k):
+    # deterministic across interpreter runs (Python's hash() is salted
+    # per process, which would make the recorded map unreproducible)
+    return zlib.crc32(f"{solver_kind}:{m}:{k}".encode()) % 2**31
+
+
 def _trial(rng, m, n, k, solver_kind, ss):
+    """Returns (recovered, exhausted): exhausted marks a solve that hit
+    the iteration budget without meeting the tolerance — an unconverged
+    trial, not an algorithmic recovery failure."""
     A = rng.randn(m, n).astype(np.float64)
     A /= np.linalg.norm(A, axis=0)
     x_true = np.zeros(n)
     sup = rng.choice(n, k, replace=False)
     x_true[sup] = rng.choice([-1.0, 1.0], k) * rng.uniform(0.5, 1.5, k)
     y = A @ x_true
+    tol = 1e-7
     if solver_kind == "homotopy":
-        x, rep = ss.Homotopy(A).solve(y, tolerance=1e-7,
-                                      max_iterations=3 * m)
+        max_iter = 3 * m
+        x, rep = ss.Homotopy(A).solve(y, tolerance=tol,
+                                      max_iterations=max_iter)
     else:
-        x, rep = ss.IrlsCg(A).solve(y, tolerance=1e-7, max_iterations=60)
+        max_iter = 60
+        x, rep = ss.IrlsCg(A).solve(y, tolerance=tol,
+                                    max_iterations=max_iter)
+    exhausted = rep.iter >= max_iter and not (rep.solution_error <= tol)
     top = set(np.argsort(-np.abs(np.asarray(x)))[:k])
-    return top == set(sup)
+    return top == set(sup), exhausted
 
 
 def main():
@@ -68,12 +86,15 @@ def main():
             m = max(4, int(round(d * n)))
             for r in rhos:
                 k = max(1, int(round(r * m)))
-                rng = np.random.RandomState(hash((solver_kind, m, k)) % 2**31)
-                ok = sum(_trial(rng, m, n, k, solver_kind, ss)
-                         for _ in range(trials))
+                rng = np.random.RandomState(_seed(solver_kind, m, k))
+                outcomes = [_trial(rng, m, n, k, solver_kind, ss)
+                            for _ in range(trials)]
+                ok = sum(rec for rec, _ in outcomes)
+                exhausted = sum(ex for _, ex in outcomes)
                 emit(metric="recovery_map", solver=solver_kind, n=n, m=m,
                      k=k, delta=round(d, 4), rho=round(r, 4),
-                     trials=trials, recovery_rate=round(ok / trials, 4))
+                     trials=trials, recovery_rate=round(ok / trials, 4),
+                     exhausted=exhausted)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,26 @@ def _warn_small_problem_jax(engine: str, m: int, n: int) -> None:
             RuntimeWarning, stacklevel=3)
 
 
+def _route_native(engine: str, m: int, n: int, probe: bool) -> bool:
+    """Shared engine routing for the solver façades.
+
+    ``probe=True`` answers without side effects (no lazy ``make``, no
+    error on a missing build) — ``explain()``'s contract. Routing rule:
+    honor an explicit ``engine="native"``; under ``"auto"``, problems
+    below the device dispatch-latency floor go to the host backend.
+    """
+    from .backend import native as _native  # local: optional build
+    if not _native.available(build=not probe):
+        if engine == "native":
+            if probe:
+                return True  # a solve would attempt (and report) it
+            raise RuntimeError(
+                "native engine requested but the host backend is "
+                "unavailable (build failed or SS_NATIVE_DISABLE=1)")
+        return False
+    return engine == "native" or m * n <= Homotopy._NATIVE_AUTO_ELEMS
+
+
 class Homotopy:
     """Homotopy path-following solver over a fixed sensing matrix A (m×n).
 
@@ -315,21 +335,11 @@ class Homotopy:
         return fn
 
     def _use_native(self, probe: bool = False) -> bool:
-        """``probe=True`` answers without side effects (no lazy `make`,
-        no error on a missing build) — explain()'s contract."""
+        # exact mode is jax-only: the native engine implements the fast
+        # path, not the reference's per-iteration recomputation
         if self._engine == "jax" or self._mode == "exact":
             return False
-        from .backend import native as _native  # local: optional build
-        if not _native.available(build=not probe):
-            if self._engine == "native":
-                if probe:
-                    return True  # a solve would attempt (and report) it
-                raise RuntimeError(
-                    "native engine requested but the host backend is "
-                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
-            return False
-        return (self._engine == "native"
-                or self._m * self._n <= self._NATIVE_AUTO_ELEMS)
+        return _route_native(self._engine, self._m, self._n, probe)
 
     def solve(self, b, tolerance: float | None = None,
               max_iterations: int = 100):
@@ -545,17 +555,7 @@ class Irls:
     def _use_native(self, probe: bool = False) -> bool:
         if self._engine == "jax":
             return False
-        from .backend import native as _native
-        if not _native.available(build=not probe):
-            if self._engine == "native":
-                if probe:
-                    return True
-                raise RuntimeError(
-                    "native engine requested but the host backend is "
-                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
-            return False
-        return (self._engine == "native"
-                or self._m * self._n <= Homotopy._NATIVE_AUTO_ELEMS)
+        return _route_native(self._engine, self._m, self._n, probe)
 
     def solve(self, b, tolerance: float | None = None,
               max_iterations: int = 100):
@@ -709,17 +709,7 @@ class IrlsCg:
     def _use_native(self, probe: bool = False) -> bool:
         if self._engine == "jax":
             return False
-        from .backend import native as _native
-        if not _native.available(build=not probe):
-            if self._engine == "native":
-                if probe:
-                    return True
-                raise RuntimeError(
-                    "native engine requested but the host backend is "
-                    "unavailable (build failed or SS_NATIVE_DISABLE=1)")
-            return False
-        return (self._engine == "native"
-                or self._m * self._n <= Homotopy._NATIVE_AUTO_ELEMS)
+        return _route_native(self._engine, self._m, self._n, probe)
 
     def explain(self, batch: int | None = None,
                 max_iterations: int = 100) -> dict:
@@ -781,12 +771,15 @@ class IrlsCg:
         tol = self._tol(tolerance)
         if self._use_native():
             from .backend import native as _native
-            from .solvers import irls as _irls_mod
+            # one device→host transfer of A for the whole batch (each
+            # read of a device array is a blocking round trip on remote
+            # accelerators)
+            An = np.asarray(self._A)
             Yn = np.asarray(Y)
             xs, its, errs, spds = [], [], [], []
             for b in range(Yn.shape[0]):
                 x, it, eps, broke = _native.irls_cg_solve(
-                    np.asarray(self._A), Yn[b], tol, max_iterations,
+                    An, Yn[b], tol, max_iterations,
                     p=self._p, k_sparsity=self._k,
                     cg_max_iterations=self._cg_max,
                     cg_tolerance=self._cg_tol)
@@ -794,7 +787,7 @@ class IrlsCg:
                 spds.append(broke)
             X = (np.stack(xs) if xs
                  else np.zeros((0, self._n), self.dtype))
-            return X, _irls_mod.IrlsReportArrays(
+            return X, _irls.IrlsReportArrays(
                 iter=np.asarray(its, np.uint32),
                 solution_error=np.asarray(errs, self.dtype),
                 spd_failure=np.asarray(spds, bool))

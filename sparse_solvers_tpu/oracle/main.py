@@ -62,7 +62,14 @@ def main():
     xc, itc, epsc, brokec = oracle_irls_cg.solve(Aw, yw, 1e-6, 50)
     print(f"[oracle irls_cg]   x={np.round(xc, 4)}  iter={itc} "
           f"eps={epsc:.2e} argmax={np.argmax(np.abs(xc))}")
-    xcj, repc = ss.IrlsCg(Aw).solve(yw, tolerance=1e-6, max_iterations=50)
+    # engine pinned like the homotopy leg: "auto" would route this tiny
+    # problem to the native engine and the cross-check would stop
+    # exercising the jitted solver
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # small-problem advisory
+        xcj, repc = ss.IrlsCg(Aw, engine="jax").solve(
+            yw, tolerance=1e-6, max_iterations=50)
     print(f"[jax irls_cg]      x={np.round(xcj, 4)}  {repc} "
           f"argmax={np.argmax(np.abs(xcj))}")
 

@@ -22,6 +22,12 @@ import sparse_solvers_tpu as ss
 from sparse_solvers_tpu.solvers import irls_cg as icg
 from sparse_solvers_tpu.parallel import sharding as sh
 
+# jax-engine semantics are pinned explicitly below (engine="auto" would
+# reroute these small problems to the native host engine and silently
+# drop jitted-solver coverage); silence the small-problem advisory only
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:engine='jax' on a:RuntimeWarning")
+
 
 def _cs_problem(rng, m, n, k, dtype=np.float64):
     """Gaussian compressed-sensing instance with a well-separated
@@ -39,7 +45,7 @@ def _cs_problem(rng, m, n, k, dtype=np.float64):
 def test_recovers_sparse_signal(dtype, atol):
     rng = np.random.RandomState(0)
     A, x_true, y = _cs_problem(rng, 64, 256, 5, dtype)
-    solver = ss.IrlsCg(A)
+    solver = ss.IrlsCg(A, engine="jax")
     x, rep = solver.solve(y, tolerance=1e-8 if dtype == np.float64 else 1e-5,
                           max_iterations=80)
     assert not rep.spd_failure
@@ -52,7 +58,8 @@ def test_first_iterate_is_least_norm_solution():
     # (the DDFG initialization) — pin it against the pseudoinverse.
     rng = np.random.RandomState(1)
     A, _, y = _cs_problem(rng, 20, 50, 3)
-    x, rep = ss.IrlsCg(A).solve(y, tolerance=np.inf, max_iterations=1)
+    x, rep = ss.IrlsCg(A, engine="jax").solve(y, tolerance=np.inf,
+                                              max_iterations=1)
     assert rep.iter == 1
     x_ln = np.linalg.pinv(A) @ y
     np.testing.assert_allclose(x, x_ln, atol=1e-8)
@@ -81,7 +88,8 @@ def test_solution_satisfies_constraint_and_l1_optimality():
     # true sparse solution (it IS the ℓ₁ minimizer here)
     rng = np.random.RandomState(3)
     A, x_true, y = _cs_problem(rng, 48, 200, 4)
-    x, _ = ss.IrlsCg(A).solve(y, tolerance=1e-9, max_iterations=100)
+    x, _ = ss.IrlsCg(A, engine="jax").solve(y, tolerance=1e-9,
+                                            max_iterations=100)
     np.testing.assert_allclose(A @ x, y, atol=1e-6)
     assert np.abs(x).sum() <= np.abs(x_true).sum() + 1e-6
 
@@ -89,8 +97,8 @@ def test_solution_satisfies_constraint_and_l1_optimality():
 def test_nonconvex_p_recovers():
     rng = np.random.RandomState(4)
     A, x_true, y = _cs_problem(rng, 64, 256, 5)
-    x, rep = ss.IrlsCg(A, p=0.9).solve(y, tolerance=1e-8,
-                                       max_iterations=80)
+    x, rep = ss.IrlsCg(A, p=0.9, engine="jax").solve(y, tolerance=1e-8,
+                                                     max_iterations=80)
     assert not rep.spd_failure
     np.testing.assert_allclose(x, x_true, atol=1e-5)
 
@@ -104,7 +112,8 @@ def test_batch_matches_sequential():
     ])
     # same A for all lanes
     A0 = A
-    solver = ss.IrlsCg(A0)
+    # pin jax: this test documents the vmap lane-gating semantics
+    solver = ss.IrlsCg(A0, engine="jax")
     X, rep = solver.solve_batch(Y, tolerance=1e-8, max_iterations=60)
     for i in range(4):
         xi, ri = solver.solve(Y[i], tolerance=1e-8, max_iterations=60)
@@ -120,15 +129,18 @@ def test_f32_tight_tolerance_stops_early():
     # iteration budget instead of jittering at the default-CG floor
     rng = np.random.RandomState(9)
     A, x_true, y = _cs_problem(rng, 64, 256, 5, np.float32)
-    x, rep = ss.IrlsCg(A).solve(y, tolerance=1e-5, max_iterations=80)
+    x, rep = ss.IrlsCg(A, engine="jax").solve(y, tolerance=1e-5,
+                                              max_iterations=80)
     assert rep.iter < 80, rep
     np.testing.assert_allclose(x, x_true, atol=1e-3)
 
 
-def test_empty_batch():
+@pytest.mark.parametrize("engine", ["jax", "auto"])
+def test_empty_batch(engine):
     rng = np.random.RandomState(6)
     A, _, _ = _cs_problem(rng, 16, 32, 2)
-    X, rep = ss.IrlsCg(A).solve_batch(np.zeros((0, 16)), tolerance=1e-6)
+    X, rep = ss.IrlsCg(A, engine=engine).solve_batch(np.zeros((0, 16)),
+                                                     tolerance=1e-6)
     assert X.shape == (0, 32)
     assert np.asarray(rep.iter).shape == (0,)
 
