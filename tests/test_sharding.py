@@ -131,6 +131,81 @@ def _collectives_in_loop_bodies(txt):
         len(re.findall(r"= .*all-reduce\(", comps[c])) for c in seen)
 
 
+def _loop_body_collectives(txt):
+    """Per while-body collective counts from compiled HLO text.
+
+    Returns {body_name: (all_reduce, all_gather, contains_while)} where
+    counts cover the transitive closure of computations each body
+    references, excluding other while bodies — so an outer loop's counts
+    are its per-outer-iteration collectives only, not its inner loop's.
+    """
+    import re
+
+    comps = {}
+    name = None
+    buf = []
+    for l in txt.splitlines():
+        m = re.match(r"\s*(%[\w.\-]+)\s*\(.*\{\s*$", l)
+        if m and name is None:
+            name = m.group(1)
+            buf = []
+            continue
+        if name is not None:
+            if l.strip() == "}":
+                comps[name] = "\n".join(buf)
+                name = None
+            else:
+                buf.append(l)
+
+    bodies = set(re.findall(r"body=(%[\w.\-]+)", txt))
+    assert bodies, "no while bodies found in compiled HLO"
+
+    out = {}
+    for body in bodies:
+        seen = set()
+        frontier = [body]
+        while frontier:
+            c = frontier.pop()
+            if c in seen or c not in comps:
+                continue
+            if c in bodies and c != body:  # don't absorb nested loops
+                continue
+            seen.add(c)
+            for ref in re.findall(r"(%[\w.\-]+)", comps[c]):
+                if ref in comps and ref not in seen:
+                    frontier.append(ref)
+        text = "\n".join(comps[c] for c in seen)
+        out[body] = (len(re.findall(r"= .*all-reduce\(", text)),
+                     len(re.findall(r"= .*all-gather\(", text)),
+                     "while(" in text)
+    return out
+
+
+def test_sharded_irls_cg_loop_collectives(mesh):
+    """Pin the column-sharded CG-IRLS communication contract
+    (parallel/sharding.py irls_cg_sharded docstring): exactly one psum —
+    the m-vector A·(D∘Aᵀz) — per inner CG step; the outer reweighting
+    step adds one all_gather (the global (K+1)-th order statistic for
+    the ε rule) plus a constant CG re-initialization psum. Nothing may
+    scale with the CG iteration count."""
+    rng = np.random.RandomState(0)
+    m, n, batch = 16, 48, 4
+    A = rng.randn(m, n).astype(np.float32)
+    Y = rng.randn(batch, m).astype(np.float32)
+    txt = _compiled_text(
+        lambda a, y: sh.irls_cg_sharded(mesh, a, y, 1e-5, 12),
+        jnp.asarray(A), jnp.asarray(Y))
+    per = _loop_body_collectives(txt)
+    inner = [v for v in per.values() if not v[2]]
+    outer = [v for v in per.values() if v[2]]
+    assert len(inner) == 1 and len(outer) == 1, per
+    ar, ag, _ = inner[0]
+    assert (ar, ag) == (1, 0), f"CG step must be exactly one psum: {per}"
+    ar, ag, _ = outer[0]
+    assert ag == 1, f"outer step must have one eps all_gather: {per}"
+    assert ar <= 2, f"outer-step psums must be constant: {per}"
+
+
 def test_sharded_fast_irls_collective_count(mesh):
     """Fast-mode sharded IRLS needs exactly one reduction per *solve*
     (the psum of Qᵀy) — nothing per iteration (solvers/irls.py
