@@ -78,6 +78,17 @@ def _warn_small_problem_jax(engine: str, m: int, n: int) -> None:
             RuntimeWarning, stacklevel=3)
 
 
+def _check_max_iterations(max_iterations: int) -> int:
+    """The reference's caller contract (homotopy-cpu.cpp:193,
+    irls-cpu.cpp:75: ``assert(max_iter > 0)``) as an edge ValueError —
+    a zero budget has no defined do-while semantics and the engines
+    would diverge on it."""
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}")
+    return max_iterations
+
+
 def _route_native(engine: str, m: int, n: int, probe: bool) -> bool:
     """Shared engine routing for the solver façades.
 
@@ -289,6 +300,7 @@ class Homotopy:
 
     def _fn(self, max_iterations: int, batch: int | None,
             precision: str | None = None):
+        _check_max_iterations(max_iterations)
         """Compiled solve program. ``precision`` overrides the instance
         setting (used by the certified re-solve path)."""
         precision = precision or self._precision
@@ -346,6 +358,7 @@ class Homotopy:
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, HomotopyReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
             k_max = self._k_max or min(self._n, max_iterations + 1)
@@ -380,6 +393,7 @@ class Homotopy:
         """
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
             k_max = self._k_max or min(self._n, max_iterations + 1)
@@ -537,6 +551,7 @@ class Irls:
                 "qr_cached": self._QR_cache is not None}
 
     def _fn(self, max_iterations: int, batched: bool):
+        _check_max_iterations(max_iterations)
         key = (max_iterations, batched)
         fn = self._cache.get(key)
         if fn is None:
@@ -562,6 +577,7 @@ class Irls:
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
             if self._native is None:
@@ -583,6 +599,7 @@ class Irls:
         """Batched solve over signals B of shape (batch, m)."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             # per-signal solves against the cached QR handle — keeps
             # batch ≡ sequential bit-identical on the native engine
@@ -727,6 +744,7 @@ class IrlsCg:
                 "factorization_free": True}
 
     def _fn(self, max_iterations: int, batched: bool):
+        _check_max_iterations(max_iterations)
         from .solvers import irls_cg as _irls_cg
         key = (max_iterations, batched)
         fn = self._cache.get(key)
@@ -750,6 +768,7 @@ class IrlsCg:
         """Solve min‖x‖₁ s.t. Ax = b; returns (x, IrlsReport)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
             xn, it, eps, broke = _native.irls_cg_solve(
@@ -769,6 +788,7 @@ class IrlsCg:
         """Batched solve over signals B of shape (batch, m)."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
             # one device→host transfer of A for the whole batch (each

@@ -6,6 +6,7 @@ binding (binding.cpp:89-111).
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import sparse_solvers_tpu as ss
@@ -88,6 +89,24 @@ def test_signal_length_mismatch():
     solver = ss.Homotopy(np.identity(5, np.float32))
     with pytest.raises(ValueError):
         solver.solve(np.ones(4, np.float32))
+
+
+def test_zero_iteration_budget_rejected():
+    # reference caller contract: assert(max_iter > 0)
+    # (homotopy-cpu.cpp:193, irls-cpu.cpp:75); a zero budget has no
+    # defined do-while semantics and the engines diverge on it
+    A = np.identity(5, np.float32)
+    y = np.eye(5, dtype=np.float32)[2]
+    for solver in (ss.Homotopy(A), ss.Irls(A),
+                   ss.IrlsCg(np.ones((4, 8), np.float32))):
+        b = y if solver.shape[0] == 5 else np.ones(4, np.float32)
+        with pytest.raises(ValueError, match="max_iterations"):
+            solver.solve(b, max_iterations=0)
+        with pytest.raises(ValueError, match="max_iterations"):
+            solver.solve_batch(np.stack([b]), max_iterations=-1)
+        with pytest.raises(ValueError, match="max_iterations"):
+            solver.solve_batch_on_device(jnp.stack([jnp.asarray(b)]),
+                                         1e-3, max_iterations=0)
 
 
 def test_reports_repr_fields():
