@@ -198,10 +198,12 @@ def main():
     # CPU baseline (reference algorithm, NumPy BLAS) — median of the
     # per-solve times: the host is shared, and a mean lets one
     # contended solve swing the vs_baseline denominator by 2x
+    Yh = np.asarray(Y)  # one untimed device->host transfer (Y[b] on the
+    # device array would put a ~27 ms tunnel round trip in each timed solve)
     cpu_times = []
     for b in range(CPU_SOLVES):
         t0 = time.time()
-        cpu_baseline.solve(A, Y[b], TOL, MAX_ITER)
+        cpu_baseline.solve(A, Yh[b], TOL, MAX_ITER)
         cpu_times.append(time.time() - t0)
     cpu_dt = sorted(cpu_times)[len(cpu_times) // 2]
     cpu_solves_per_sec = 1.0 / cpu_dt
