@@ -555,6 +555,33 @@ static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
   for (auto& t : ts) t.join();
 }
 
+// Batched CG-IRLS across the same thread pool; solves are independent and
+// each runs the identical single-solve code path, so batch results are
+// bit-identical to sequential solves regardless of thread count.
+template <typename T>
+static void irls_cg_batch_impl(const T* A, int m, int n, const T* Y,
+                               int batch, T tol, int max_iter, T p,
+                               int k_sparsity, int max_cg, T cg_rel,
+                               int nthreads, T* X_out, int* iters_out,
+                               T* eps_out, int* broke_out) {
+  int nt = nthreads > 0 ? nthreads
+                        : int(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min(nt, batch));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      iters_out[b] = irls_cg_impl<T>(
+          A, m, n, Y + size_t(b) * m, tol, max_iter, p, k_sparsity, max_cg,
+          cg_rel, X_out + size_t(b) * n, eps_out + b, broke_out + b);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nt; ++i) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
 extern "C" {
 
 // Homotopy, single solve. A row-major m x n. Returns iterations.
@@ -649,6 +676,27 @@ int ss_irls_cg_solve_f64(const double* A, int m, int n, const double* y,
                               max_cg, cg_rel, x_out, eps_out, broke_out);
 }
 
-int ss_native_version() { return 2; }
+void ss_irls_cg_solve_batch_f32(const float* A, int m, int n, const float* Y,
+                                int batch, float tol, int max_iter, float p,
+                                int k_sparsity, int max_cg, float cg_rel,
+                                int nthreads, float* X_out, int* iters_out,
+                                float* eps_out, int* broke_out) {
+  irls_cg_batch_impl<float>(A, m, n, Y, batch, tol, max_iter, p, k_sparsity,
+                            max_cg, cg_rel, nthreads, X_out, iters_out,
+                            eps_out, broke_out);
+}
+
+void ss_irls_cg_solve_batch_f64(const double* A, int m, int n,
+                                const double* Y, int batch, double tol,
+                                int max_iter, double p, int k_sparsity,
+                                int max_cg, double cg_rel, int nthreads,
+                                double* X_out, int* iters_out,
+                                double* eps_out, int* broke_out) {
+  irls_cg_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, p, k_sparsity,
+                             max_cg, cg_rel, nthreads, X_out, iters_out,
+                             eps_out, broke_out);
+}
+
+int ss_native_version() { return 3; }
 
 }  // extern "C"

@@ -791,26 +791,19 @@ class IrlsCg:
         _check_max_iterations(max_iterations)
         if self._use_native():
             from .backend import native as _native
-            # one device→host transfer of A for the whole batch (each
-            # read of a device array is a blocking round trip on remote
-            # accelerators)
-            An = np.asarray(self._A)
-            Yn = np.asarray(Y)
-            xs, its, errs, spds = [], [], [], []
-            for b in range(Yn.shape[0]):
-                x, it, eps, broke = _native.irls_cg_solve(
-                    An, Yn[b], tol, max_iterations,
-                    p=self._p, k_sparsity=self._k,
-                    cg_max_iterations=self._cg_max,
-                    cg_tolerance=self._cg_tol)
-                xs.append(x); its.append(it); errs.append(eps)
-                spds.append(broke)
-            X = (np.stack(xs) if xs
-                 else np.zeros((0, self._n), self.dtype))
+            # one device→host transfer each for the whole batch (reads
+            # of device arrays are blocking round trips on remote
+            # accelerators); the batch runs across the host thread pool
+            # with results bit-equal to per-signal solves
+            X, its, errs, spds = _native.irls_cg_solve_batch(
+                np.asarray(self._A), np.asarray(Y), tol, max_iterations,
+                p=self._p, k_sparsity=self._k,
+                cg_max_iterations=self._cg_max,
+                cg_tolerance=self._cg_tol)
             return X, _irls.IrlsReportArrays(
-                iter=np.asarray(its, np.uint32),
-                solution_error=np.asarray(errs, self.dtype),
-                spd_failure=np.asarray(spds, bool))
+                iter=its.astype(np.uint32),
+                solution_error=errs.astype(self.dtype),
+                spd_failure=spds)
         return self._fn(max_iterations, batched=True)(self._A, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,

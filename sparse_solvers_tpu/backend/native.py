@@ -118,6 +118,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, f64p, f64p, i32p]
+    lib.ss_irls_cg_solve_batch_f32.restype = None
+    lib.ss_irls_cg_solve_batch_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_int, f32p, i32p, f32p, i32p]
+    lib.ss_irls_cg_solve_batch_f64.restype = None
+    lib.ss_irls_cg_solve_batch_f64.argtypes = [
+        f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, f64p, i32p, f64p, i32p]
     return lib
 
 
@@ -259,6 +269,43 @@ def irls_cg_solve(A: np.ndarray, y: np.ndarray, tol: float,
             float(cg_tolerance or 0.0),
             x.ctypes.data_as(ptr), ctypes.byref(eps), ctypes.byref(broke))
     return x, it, eps.value, bool(broke.value)
+
+
+def irls_cg_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
+                        max_iterations: int, p: float = 1.0,
+                        k_sparsity: int | None = None,
+                        cg_max_iterations: int | None = None,
+                        cg_tolerance: float | None = None,
+                        nthreads: int = 0):
+    """Threaded batched CG-IRLS on the host; solves are independent and
+    run the identical single-solve code path, so results are bit-equal
+    to per-signal ``irls_cg_solve`` calls regardless of thread count.
+
+    Returns (X (batch, n), iters, eps, broke) arrays."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    f64 = A.dtype == np.float64
+    dt, ct = ((np.float64, ctypes.c_double) if f64
+              else (np.float32, ctypes.c_float))
+    Ac = np.ascontiguousarray(A, dt)
+    Yc = np.ascontiguousarray(Y, dt)
+    batch = Yc.shape[0]
+    X = np.zeros((batch, n), dt)
+    iters = np.zeros(batch, np.int32)
+    eps = np.zeros(batch, dt)
+    broke = np.zeros(batch, np.int32)
+    fn = (lib.ss_irls_cg_solve_batch_f64 if f64
+          else lib.ss_irls_cg_solve_batch_f32)
+    ptr = ctypes.POINTER(ct)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    fn(Ac.ctypes.data_as(ptr), m, n, Yc.ctypes.data_as(ptr), batch,
+       float(tol), int(max_iterations), float(p), int(k_sparsity or 0),
+       int(cg_max_iterations or 0), float(cg_tolerance or 0.0),
+       int(nthreads), X.ctypes.data_as(ptr), iters.ctypes.data_as(i32p),
+       eps.ctypes.data_as(ptr), broke.ctypes.data_as(i32p))
+    return X, iters, eps, broke.astype(bool)
 
 
 class IrlsNative:

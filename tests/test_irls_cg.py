@@ -259,6 +259,27 @@ def test_native_engine_matches_jax():
     assert int(np.asarray(repb.iter)[0]) == repn.iter
 
 
+def test_native_batch_matches_sequential():
+    # the threaded host batch runs the identical single-solve code path
+    # per signal, so results are bit-equal to sequential solves
+    from sparse_solvers_tpu.backend import native as nat
+    if not nat.available():
+        pytest.skip("native backend unavailable")
+    rng = np.random.RandomState(14)
+    A, _, _ = _cs_problem(rng, 32, 96, 3)
+    Y = np.stack([
+        _cs_problem(np.random.RandomState(30 + i), 32, 96, 3)[2]
+        for i in range(8)
+    ])
+    solver = ss.IrlsCg(A, engine="native")
+    X, rep = solver.solve_batch(Y, tolerance=1e-8, max_iterations=60)
+    for i in range(8):
+        xi, ri = solver.solve(Y[i], tolerance=1e-8, max_iterations=60)
+        np.testing.assert_array_equal(np.asarray(X)[i], xi)
+        assert int(np.asarray(rep.iter)[i]) == ri.iter
+        assert bool(np.asarray(rep.spd_failure)[i]) == ri.spd_failure
+
+
 def test_view_semantics():
     # non-contiguous inputs work zero-copy-equivalent, like the reference
     # binding's view tests (bindings/python/tests/test_binding.py:31-68)
