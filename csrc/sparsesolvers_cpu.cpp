@@ -499,17 +499,25 @@ struct IrlsCgWork {
   }
 };
 
+// <=0 / non-positive knobs select the engine defaults (the jax engine's:
+// K = m/4, max_cg = min(m, 128), cg_rel = tol/10 clamped to
+// [10*eps_mach, sqrt(eps_mach)])
+template <typename T>
+void resolve_cg_defaults(int m, T tol, int& k_sparsity, int& max_cg,
+                         T& cg_rel) {
+  if (k_sparsity <= 0) k_sparsity = std::max(1, m / 4);
+  if (max_cg <= 0) max_cg = std::min(m, 128);
+  if (!(cg_rel > 0)) {
+    const T me = std::numeric_limits<T>::epsilon();
+    cg_rel = std::max(T(10) * me, std::min(std::sqrt(me), tol / 10));
+  }
+}
+
 template <typename T>
 int irls_cg_impl(const T* A, int m, int n, const T* y, T tol, int max_iter,
                  T p, int k_sparsity, int max_cg, T cg_rel, T* x_out,
                  T* eps_out, int* broke_out) {
-  if (k_sparsity <= 0) k_sparsity = std::max(1, m / 4);
-  if (max_cg <= 0) max_cg = std::min(m, 128);
-  if (!(cg_rel > 0)) {
-    // engine default: tol/10 clamped to [10*eps_mach, sqrt(eps_mach)]
-    const T me = std::numeric_limits<T>::epsilon();
-    cg_rel = std::max(T(10) * me, std::min(std::sqrt(me), tol / 10));
-  }
+  resolve_cg_defaults(m, tol, k_sparsity, max_cg, cg_rel);
   IrlsCgWork<T> w(A, m, n);
   return w.solve(y, tol, max_iter, p, k_sparsity, max_cg, cg_rel, x_out,
                  eps_out, broke_out);
@@ -555,8 +563,9 @@ static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
   for (auto& t : ts) t.join();
 }
 
-// Batched CG-IRLS across the same thread pool; solves are independent and
-// each runs the identical single-solve code path, so batch results are
+// Batched CG-IRLS across the same thread pool. One workspace per worker
+// (solve() fully re-initializes it), defaults resolved once; each solve
+// runs the identical single-solve iteration, so batch results are
 // bit-identical to sequential solves regardless of thread count.
 template <typename T>
 static void irls_cg_batch_impl(const T* A, int m, int n, const T* Y,
@@ -564,17 +573,20 @@ static void irls_cg_batch_impl(const T* A, int m, int n, const T* Y,
                                int k_sparsity, int max_cg, T cg_rel,
                                int nthreads, T* X_out, int* iters_out,
                                T* eps_out, int* broke_out) {
+  resolve_cg_defaults(m, tol, k_sparsity, max_cg, cg_rel);
   int nt = nthreads > 0 ? nthreads
                         : int(std::thread::hardware_concurrency());
   nt = std::max(1, std::min(nt, batch));
   std::atomic<int> next(0);
   auto worker = [&]() {
+    IrlsCgWork<T> w(A, m, n);
     for (;;) {
       int b = next.fetch_add(1);
       if (b >= batch) return;
-      iters_out[b] = irls_cg_impl<T>(
-          A, m, n, Y + size_t(b) * m, tol, max_iter, p, k_sparsity, max_cg,
-          cg_rel, X_out + size_t(b) * n, eps_out + b, broke_out + b);
+      iters_out[b] = w.solve(Y + size_t(b) * m, tol, max_iter, p,
+                             k_sparsity, max_cg, cg_rel,
+                             X_out + size_t(b) * n, eps_out + b,
+                             broke_out + b);
     }
   };
   std::vector<std::thread> ts;

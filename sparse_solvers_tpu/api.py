@@ -300,9 +300,9 @@ class Homotopy:
 
     def _fn(self, max_iterations: int, batch: int | None,
             precision: str | None = None):
-        _check_max_iterations(max_iterations)
         """Compiled solve program. ``precision`` overrides the instance
         setting (used by the certified re-solve path)."""
+        _check_max_iterations(max_iterations)
         precision = precision or self._precision
         certified = precision == "certified"
         # certified mode: the path itself runs at one-pass ("default")

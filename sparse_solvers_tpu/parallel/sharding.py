@@ -94,6 +94,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     with the next block's local gemv (benchmarks/bench_scaling.py
     records the experiment).
     """
+    from ..api import _check_max_iterations
+    _check_max_iterations(max_iterations)
     if precision not in ("highest", "high", "default", "certified"):
         raise ValueError(
             "precision must be 'highest', 'high', 'default' or "
@@ -172,6 +174,8 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     In mode="fast" the only collective in the whole solve is the single
     psum of rhs = Qᵀy — every iteration is replicated O(n²) work.
     """
+    from ..api import _check_max_iterations
+    _check_max_iterations(max_iterations)
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
@@ -215,6 +219,8 @@ def irls_cg_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     Zero-column padding (to the mesh multiple) is inert: a zero column
     contributes D_j·a_j a_jᵀ = 0 to A D Aᵀ and its x_j = D_j·(Aᵀz)_j = 0.
     """
+    from ..api import _check_max_iterations
+    _check_max_iterations(max_iterations)
     from ..ops.operators import ColShardedOperator
     from ..solvers.irls_cg import solve_irls_cg_core
 

@@ -88,56 +88,20 @@ def _compiled_text(fn, *args):
 
 
 def _collectives_in_loop_bodies(txt):
-    """Count all-reduce ops reachable from while-loop body computations.
-
-    Parses the compiled HLO text into computations, finds each `while`
-    instruction's body=%name, and counts all-reduce instructions in the
-    transitive closure of computations the body references (cond branches
-    etc. live in their own regions).
-    """
-    import re
-
-    comps = {}
-    name = None
-    buf = []
-    for l in txt.splitlines():
-        m = re.match(r"\s*(%[\w.\-]+)\s*\(.*\{\s*$", l)
-        if m and name is None:
-            name = m.group(1)
-            buf = []
-            continue
-        if name is not None:
-            if l.strip() == "}":
-                comps[name] = "\n".join(buf)
-                name = None
-            else:
-                buf.append(l)
-
-    bodies = set(re.findall(r"body=(%[\w.\-]+)", txt))
-    assert bodies, "no while bodies found in compiled HLO"
-
-    seen = set()
-    frontier = list(bodies)
-    while frontier:
-        c = frontier.pop()
-        if c in seen or c not in comps:
-            continue
-        seen.add(c)
-        for ref in re.findall(r"(%[\w.\-]+)", comps[c]):
-            if ref in comps and ref not in seen:
-                frontier.append(ref)
-
-    return sum(
-        len(re.findall(r"= .*all-reduce\(", comps[c])) for c in seen)
+    """Total all-reduce ops reachable from while-loop body computations
+    (sum of each body's exclusive closure — see _loop_body_collectives)."""
+    return sum(ar for ar, _, _ in _loop_body_collectives(txt).values())
 
 
 def _loop_body_collectives(txt):
     """Per while-body collective counts from compiled HLO text.
 
-    Returns {body_name: (all_reduce, all_gather, contains_while)} where
-    counts cover the transitive closure of computations each body
-    references, excluding other while bodies — so an outer loop's counts
-    are its per-outer-iteration collectives only, not its inner loop's.
+    Parses the text into computations, finds each `while` instruction's
+    body=%name, and returns {body_name: (all_reduce, all_gather,
+    contains_while)} where counts cover the transitive closure of
+    computations each body references, excluding other while bodies — so
+    an outer loop's counts are its per-outer-iteration collectives only,
+    not its inner loop's (cond branches live in their own regions).
     """
     import re
 
@@ -290,3 +254,13 @@ def test_homotopy_sharded_certified():
 
     with np.testing.assert_raises(ValueError):
         sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 40, precision="fast")
+    # the sharded entry points enforce the reference's max_iter > 0
+    # contract like the facades (api.py _check_max_iterations)
+    with np.testing.assert_raises(ValueError):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 0)
+    with np.testing.assert_raises(ValueError):
+        sh.irls_cg_sharded(mesh, jnp.asarray(A[:, :64]).T,
+                           jnp.asarray(Y[:, :64]), 1e-2, 0)
+    with np.testing.assert_raises(ValueError):
+        sh.irls_sharded(mesh, jnp.asarray(A), jnp.eye(256, dtype=np.float32),
+                        jnp.asarray(Y), 1e-2, 0)
