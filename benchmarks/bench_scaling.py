@@ -71,7 +71,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (virtual device mesh)")
+    ap.add_argument("--axes", default="row,data,overhead,gram_false,"
+                    "overlap", help="comma-separated axis subset — on a "
+                    "single real chip, 'row,overhead' records the "
+                    "sharded-vs-unsharded overhead without paying the "
+                    "remote compiles of the other legs")
     args = ap.parse_args()
+    axes = set(args.axes.split(","))
 
     import jax
     if args.cpu:
@@ -89,7 +95,7 @@ def main():
     # --- 1. strong scaling over the row axis ---------------------------
     base = None
     d = 1
-    while d <= ndev:
+    while d <= ndev and "row" in axes:
         mesh = sh.make_mesh(n_row=d, n_data=1, devices=jax.devices()[:d])
         dt, _, iters, _, _ = _time_sharded(jax, sh, mesh, A, Y, tol,
                                            max_iter)
@@ -104,7 +110,7 @@ def main():
 
     # --- 2. data-axis scaling ------------------------------------------
     d = 2
-    while d <= ndev:
+    while d <= ndev and "data" in axes:
         mesh = sh.make_mesh(n_row=1, n_data=d, devices=jax.devices()[:d])
         dt, _, _, _, _ = _time_sharded(jax, sh, mesh, A, Y, tol, max_iter)
         sps = batch / dt
@@ -114,53 +120,62 @@ def main():
         d *= 2
 
     # --- 3. sharded-on-1-device vs unsharded batch path ----------------
-    solver = ss.Homotopy(A, engine="jax")
-    Xb, rb = solver.solve_batch(Y, tolerance=tol, max_iterations=max_iter)
-    np.asarray(rb.iter)
-    t0 = time.time()
-    Xb, rb = solver.solve_batch(Y, tolerance=tol, max_iterations=max_iter)
-    np.asarray(rb.iter)
-    dt_plain = time.time() - t0
-    emit(bench="scaling", axis="overhead", platform=platform,
-         unsharded_solves_per_sec=round(batch / dt_plain, 3),
-         sharded_1dev_solves_per_sec=round(base, 3),
-         sharding_overhead=round(dt_plain and (batch / base) / dt_plain, 3))
+    # (requires the row axis for the sharded-1dev base rate)
+    if "overhead" in axes and base is not None:
+        solver = ss.Homotopy(A, engine="jax")
+        Xb, rb = solver.solve_batch(Y, tolerance=tol,
+                                    max_iterations=max_iter)
+        np.asarray(rb.iter)
+        t0 = time.time()
+        Xb, rb = solver.solve_batch(Y, tolerance=tol,
+                                    max_iterations=max_iter)
+        np.asarray(rb.iter)
+        dt_plain = time.time() - t0
+        emit(bench="scaling", axis="overhead", platform=platform,
+             unsharded_solves_per_sec=round(batch / dt_plain, 3),
+             sharded_1dev_solves_per_sec=round(base, 3),
+             sharding_overhead=round(
+                 dt_plain and (batch / base) / dt_plain, 3))
 
     # --- 4. gram=False large-n regime (config-5 proxy) ------------------
-    mg, ng, kg, bg = ((512, 2048, 8, 4) if args.quick
-                      else (4096, 16384, 16, 8))
-    Ag, Yg = _problem(mg, ng, kg, bg, seed=1)
-    mesh = sh.make_mesh(n_row=ndev, n_data=1)
-    dt, Xg, iters, _, _ = _time_sharded(jax, sh, mesh, Ag, Yg, tol,
-                                        2 * kg, gram=False)
-    rec = float(np.max(np.abs(np.asarray(Xg) @ Ag.T - Yg)))
-    emit(bench="scaling", axis="gram_false", platform=platform,
-         devices=ndev, m=mg, n=ng, k=kg, batch=bg,
-         solves_per_sec=round(bg / dt, 3),
-         mean_iterations=float(np.mean(iters)), max_residual=round(rec, 4))
+    if "gram_false" in axes:
+        mg, ng, kg, bg = ((512, 2048, 8, 4) if args.quick
+                          else (4096, 16384, 16, 8))
+        Ag, Yg = _problem(mg, ng, kg, bg, seed=1)
+        mesh = sh.make_mesh(n_row=ndev, n_data=1)
+        dt, Xg, iters, _, _ = _time_sharded(jax, sh, mesh, Ag, Yg, tol,
+                                            2 * kg, gram=False)
+        rec = float(np.max(np.abs(np.asarray(Xg) @ Ag.T - Yg)))
+        emit(bench="scaling", axis="gram_false", platform=platform,
+             devices=ndev, m=mg, n=ng, k=kg, batch=bg,
+             solves_per_sec=round(bg / dt, 3),
+             mean_iterations=float(np.mean(iters)),
+             max_residual=round(rec, 4))
 
     # --- 5. collective-overlap experiment -------------------------------
-    mesh = sh.make_mesh(n_row=min(4, ndev), n_data=1)
-    dt1, X1, _, run1, sargs = _time_sharded(jax, sh, mesh, A, Y, tol,
+    if "overlap" in axes:
+        mesh = sh.make_mesh(n_row=min(4, ndev), n_data=1)
+        dt1, X1, _, run1, sargs = _time_sharded(jax, sh, mesh, A, Y, tol,
+                                                max_iter, gram=False,
+                                                overlap_split=1)
+        dt2, X2, _, run2, _ = _time_sharded(jax, sh, mesh, A, Y, tol,
                                             max_iter, gram=False,
-                                            overlap_split=1)
-    dt2, X2, _, run2, _ = _time_sharded(jax, sh, mesh, A, Y, tol,
-                                        max_iter, gram=False,
-                                        overlap_split=2)
-    same = bool(np.allclose(np.asarray(X1), np.asarray(X2), atol=1e-5))
-    hlo1 = run1.lower(*sargs).compile().as_text()
-    hlo2 = run2.lower(*sargs).compile().as_text()
-    ar1 = hlo1.count("all-reduce")
-    ar2 = hlo2.count("all-reduce")
-    emit(bench="scaling", axis="overlap_split", platform=platform,
-         devices=min(4, ndev),
-         split1_solves_per_sec=round(batch / dt1, 3),
-         split2_solves_per_sec=round(batch / dt2, 3),
-         results_match=same, all_reduce_ops_split1=ar1,
-         all_reduce_ops_split2=ar2,
-         note=("virtual CPU mesh: timings indicative only; real-ICI "
-               "overlap requires >=2 physical chips"
-               if platform == "cpu" else "real devices"))
+                                            overlap_split=2)
+        same = bool(np.allclose(np.asarray(X1), np.asarray(X2),
+                                atol=1e-5))
+        hlo1 = run1.lower(*sargs).compile().as_text()
+        hlo2 = run2.lower(*sargs).compile().as_text()
+        ar1 = hlo1.count("all-reduce")
+        ar2 = hlo2.count("all-reduce")
+        emit(bench="scaling", axis="overlap_split", platform=platform,
+             devices=min(4, ndev),
+             split1_solves_per_sec=round(batch / dt1, 3),
+             split2_solves_per_sec=round(batch / dt2, 3),
+             results_match=same, all_reduce_ops_split1=ar1,
+             all_reduce_ops_split2=ar2,
+             note=("virtual CPU mesh: timings indicative only; real-ICI "
+                   "overlap requires >=2 physical chips"
+                   if platform == "cpu" else "real devices"))
 
 
 if __name__ == "__main__":
