@@ -57,3 +57,22 @@ def test_readme_quickstart_runs_as_written():
     assert int(np.argmax(x)) == 2
     assert float(np.mean(x == 0)) >= 0.8
     assert report.iter >= 1
+
+
+def test_native_disabled_forced_engine_raises(monkeypatch):
+    """SS_NATIVE_DISABLE=1 + engine="native": explain() still reports
+    the native plan (a solve would attempt it — _route_native's probe
+    contract), but the solve itself raises RuntimeError instead of
+    silently degrading to the jax engine."""
+    import numpy as np
+    import sparse_solvers_tpu as ss
+
+    monkeypatch.setenv("SS_NATIVE_DISABLE", "1")
+    A = np.identity(5, np.float32)
+    solver = ss.Homotopy(A, engine="native")
+    assert solver.explain()["engine"] == "native"
+    with pytest.raises(RuntimeError, match="native engine requested"):
+        solver.solve(np.eye(5, dtype=np.float32)[2])
+    # auto quietly degrades to jax on the same problem
+    x, rep = ss.Homotopy(A).solve(np.eye(5, dtype=np.float32)[2])
+    assert rep.solution_error == 0.0
