@@ -109,6 +109,25 @@ def test_zero_iteration_budget_rejected():
                                          1e-3, max_iterations=0)
 
 
+def test_reference_readme_example_verbatim():
+    """The reference README's toy program (README.md:14-33) runs under
+    this package with only the import line changed (docs/migration.md).
+    float64 inputs exercise the dtype-follows-A path (binding.cpp:69-86).
+    """
+    N = 10
+    np.random.seed(101)
+    A = np.random.normal(loc=0.025, scale=0.025, size=(N, N)) + np.identity(N)
+    signal = np.zeros(N)
+    signal[2] = 1
+
+    x, info = ss.Homotopy(A).solve(signal, tolerance=0.1)
+
+    assert np.argmax(x) == 2
+    assert info.solution_error <= 0.1
+    assert 1 - np.count_nonzero(x) / np.double(N) >= 0.5
+    assert 1 <= info.iter <= 100
+
+
 def test_reports_repr_fields():
     # report field names are part of the API (README.md:30-33)
     A = np.identity(4, np.float32)
