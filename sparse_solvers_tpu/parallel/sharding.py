@@ -81,6 +81,12 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     solution_error; lanes whose certificate misses the tolerance
     without exhausting max_iterations trigger one full re-solve at
     "high" (merged per lane), mirroring ``Homotopy.solve_batch``.
+    Like ``solve_batch``, the certified re-solve is a host-side,
+    data-dependent decision and cannot live under an outer ``jax.jit``
+    — call eagerly (the solve itself is already jitted through
+    ``shard_map``), or use precision="high"/"default" under jit and
+    check ``solution_error <= tolerance`` downstream (a clear
+    ValueError replaces the tracer leak otherwise).
 
     ``gram`` (default auto, on while n² fits in 1 GiB/device) builds the
     replicated Gram AᵀA once per call — one psum'd gemm — after which
@@ -149,6 +155,14 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     rep = HomotopyReportArrays(iter=iters, solution_error=errs)
     if certified:
         import numpy as np
+        if isinstance(errs, jax.core.Tracer):
+            raise ValueError(
+                "homotopy_sharded(precision='certified') was called under "
+                "an outer jit trace: the certified re-solve is a host-side "
+                "decision on the per-lane certificates and cannot be "
+                "staged. Call it eagerly (the solve is already compiled "
+                "through shard_map), or use precision='high' under jit "
+                "and check solution_error <= tolerance downstream")
         bad = (~(np.asarray(errs) <= float(tolerance))
                & (np.asarray(iters) < max_iterations))
         if bad.any():
