@@ -594,6 +594,34 @@ static void irls_cg_batch_impl(const T* A, int m, int n, const T* Y,
   for (auto& t : ts) t.join();
 }
 
+// Batched IRLS over a shared const QRFactors handle, same thread-pool
+// shape as the other batches: one IrlsWork per worker (solve() fully
+// re-initializes its weights/eps state), so batch results are
+// bit-identical to sequential per-signal solves regardless of thread
+// count. Y row-major batch x m.
+template <typename T>
+static void irls_batch_impl(const QRFactors<T>& qr, const T* Y, int batch,
+                            T tol, int max_iter, int nthreads, T* X_out,
+                            int* iters_out, T* errs_out, int* spd_out) {
+  int nt = nthreads > 0 ? nthreads
+                        : int(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min(nt, batch));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    IrlsWork<T> w(qr);
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      iters_out[b] = w.solve(Y + size_t(b) * qr.m, tol, max_iter,
+                             X_out + size_t(b) * qr.n, errs_out + b,
+                             spd_out + b);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nt; ++i) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
 extern "C" {
 
 // Homotopy, single solve. A row-major m x n. Returns iterations.
@@ -651,6 +679,15 @@ void ss_irls_destroy_f32(void* handle) {
   delete static_cast<QRFactors<float>*>(handle);
 }
 
+void ss_irls_solve_batch_f32(void* handle, const float* Y, int batch,
+                             float tol, int max_iter, int nthreads,
+                             float* X_out, int* iters_out, float* errs_out,
+                             int* spd_out) {
+  irls_batch_impl<float>(*static_cast<QRFactors<float>*>(handle), Y, batch,
+                         tol, max_iter, nthreads, X_out, iters_out,
+                         errs_out, spd_out);
+}
+
 void* ss_irls_create_f64(const double* A, int m, int n) {
   if (m < n) return nullptr;
   std::vector<double> At;
@@ -667,6 +704,15 @@ int ss_irls_solve_f64(void* handle, const double* y, double tol, int max_iter,
 
 void ss_irls_destroy_f64(void* handle) {
   delete static_cast<QRFactors<double>*>(handle);
+}
+
+void ss_irls_solve_batch_f64(void* handle, const double* Y, int batch,
+                             double tol, int max_iter, int nthreads,
+                             double* X_out, int* iters_out, double* errs_out,
+                             int* spd_out) {
+  irls_batch_impl<double>(*static_cast<QRFactors<double>*>(handle), Y, batch,
+                          tol, max_iter, nthreads, X_out, iters_out,
+                          errs_out, spd_out);
 }
 
 // CG-IRLS single solve (m <= n); returns iterations, broke -> the jax
@@ -709,6 +755,6 @@ void ss_irls_cg_solve_batch_f64(const double* A, int m, int n,
                              eps_out, broke_out);
 }
 
-int ss_native_version() { return 3; }
+int ss_native_version() { return 4; }
 
 }  // extern "C"

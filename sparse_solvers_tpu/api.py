@@ -601,28 +601,25 @@ class Irls:
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
         if self._use_native():
-            # per-signal solves against the cached QR handle — keeps
-            # batch ≡ sequential bit-identical on the native engine
+            # threaded C++ batch over the cached QR handle; one worker
+            # workspace per thread running the identical single-solve
+            # iteration keeps batch ≡ sequential bit-identical
             from .backend import native as _native
             if self._native is None:
                 self._native = _native.IrlsNative(np.asarray(self._A))
             Yn = np.asarray(Y)
-            if Yn.shape[0] == 0:  # np.stack below rejects empty batches
+            if Yn.shape[0] == 0:  # nothing to solve; keep shapes honest
                 return (np.zeros((0, self._n), self.dtype),
                         _irls.IrlsReportArrays(
                             iter=np.zeros(0, np.uint32),
                             solution_error=np.zeros(0, self.dtype),
                             spd_failure=np.zeros(0, bool)))
-            xs, its, errs, spds = [], [], [], []
-            for b in range(Yn.shape[0]):
-                x, it, err, spd = self._native.solve(Yn[b], tol,
-                                                     max_iterations)
-                xs.append(x); its.append(it); errs.append(err)
-                spds.append(spd)
-            return np.stack(xs), _irls.IrlsReportArrays(
-                iter=np.asarray(its, np.uint32),
-                solution_error=np.asarray(errs, self.dtype),
-                spd_failure=np.asarray(spds, bool))
+            X, its, errs, spds = self._native.solve_batch(Yn, tol,
+                                                          max_iterations)
+            return X, _irls.IrlsReportArrays(
+                iter=its.astype(np.uint32),
+                solution_error=errs.astype(self.dtype),
+                spd_failure=spds)
         return self._fn(max_iterations, batched=True)(
             self._Q, self._R, Y, tol)
 
