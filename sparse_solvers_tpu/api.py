@@ -234,14 +234,14 @@ class Homotopy:
         # SS_BATCH_NATIVE=0 disables it.
         native_env = os.environ.get("SS_BATCH_NATIVE")
         # structural requirements (the kernels are f32 and round-trip
-        # indices through f32; the driver needs G); SS_BATCH_NATIVE=1
-        # forces the driver anywhere these hold. The auto default
-        # additionally sticks to the measured regime (lane-aligned n —
-        # the scan kernel pads other widths itself, but only aligned
-        # shapes have recorded TPU wins).
+        # indices through f32); SS_BATCH_NATIVE=1 forces the driver
+        # anywhere these hold. Without a Gram matrix the driver runs
+        # gram-free (on-the-fly Gram rows — the large-n regime). The
+        # auto default additionally sticks to the measured regime
+        # (lane-aligned n — the scan kernel pads other widths itself,
+        # but only aligned shapes have recorded TPU wins).
         eligible = (batch is not None and batch > 0  # b=0: vmapped core
                     and self._mode == "fast"
-                    and self._gram_enabled
                     and self._A.dtype == np.float32
                     and self._n < (1 << 24))
         batch_native = eligible and (
@@ -289,6 +289,8 @@ class Homotopy:
         if batch_native:
             plan["capacity_tiers"] = _homotopy_batch._plan_tiers(
                 k_max, max_iterations, None)
+            if not self._gram_enabled:
+                plan["gram_free"] = True  # on-the-fly Gram rows
             if batch is not None and self._precision in ("default",
                                                          "certified"):
                 from .ops.pallas import kernels as _kern

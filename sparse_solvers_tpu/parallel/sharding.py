@@ -66,7 +66,8 @@ _SHARDED_GRAM_AUTO_BYTES = 1 << 30
 def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      max_iterations: int, k_max: int | None = None,
                      gram: bool | None = None, overlap_split: int = 1,
-                     precision: str = "high"):
+                     precision: str = "high",
+                     batch_native: bool | None = None):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
@@ -99,6 +100,15 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     independent column-block psums so XLA can overlap each collective
     with the next block's local gemv (benchmarks/bench_scaling.py
     records the experiment).
+
+    ``batch_native`` (default auto: on-TPU f32 with lane-aligned n, like
+    ``Homotopy.solve_batch``; SS_BATCH_NATIVE=1/0 forces/forbids) runs
+    the slot-space Pallas throughput driver *inside* the shard_map —
+    lane-local scan/transition kernels replicated over the row axis, the
+    q products psum'd per row shard (solvers/homotopy_batch.py). With
+    ``gram=False`` the driver runs gram-free (on-the-fly Gram rows, the
+    config-5 large-n regime). Off, the vmapped while_loop core carries
+    the solve (the only option for f64).
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
@@ -112,6 +122,14 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     k_max = k_max or min(n, max_iterations + 1)
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    if batch_native is None:
+        import os
+        env = os.environ.get("SS_BATCH_NATIVE")
+        batch_native = (A.dtype == jnp.float32 and n % 128 == 0
+                        and n < (1 << 24)
+                        and (env == "1"
+                             or (env != "0"
+                                 and jax.default_backend() == "tpu")))
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
@@ -125,19 +143,25 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         with blas.precision_scope(path_precision):
             G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
                               ROW_AXIS) if gram else None)
-            op = RowShardedOperator(A_local, ROW_AXIS, G,
-                                    split=overlap_split)
-            # With a replicated Gram and few lanes per device, the γ-scan
-            # product q = AᵀAd comes from Gram-column gathers — zero
-            # collectives per iteration (SURVEY.md §2.4 north star); the
-            # dense two-step (one psum) wins once the local batch is
-            # large.
-            local_batch = Y_local.shape[0]
-            sparse = gram and local_batch * k_max < 2 * A.shape[0]
-            solve = lambda y_local: solve_homotopy_core(
-                op, n, y_local, tolerance, max_iterations, k_max,
-                sparse_matvec=sparse)
-            X, rep = jax.vmap(solve)(Y_local)
+            if batch_native:
+                from ..solvers.homotopy_batch import solve_homotopy_batch
+                X, rep = solve_homotopy_batch(
+                    A_local, G, Y_local, tolerance, max_iterations, k_max,
+                    axis=ROW_AXIS)
+            else:
+                op = RowShardedOperator(A_local, ROW_AXIS, G,
+                                        split=overlap_split)
+                # With a replicated Gram and few lanes per device, the
+                # γ-scan product q = AᵀAd comes from Gram-column gathers —
+                # zero collectives per iteration (SURVEY.md §2.4 north
+                # star); the dense two-step (one psum) wins once the
+                # local batch is large.
+                local_batch = Y_local.shape[0]
+                sparse = gram and local_batch * k_max < 2 * A.shape[0]
+                solve = lambda y_local: solve_homotopy_core(
+                    op, n, y_local, tolerance, max_iterations, k_max,
+                    sparse_matvec=sparse)
+                X, rep = jax.vmap(solve)(Y_local)
         err = rep.solution_error
         if certified:
             # sharded certificate: per-shard partial correlations of the
@@ -170,7 +194,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 mesh, A[:A.shape[0] - pad] if pad else A,
                 Y[:, :Y.shape[1] - pad] if pad else Y,
                 tolerance, max_iterations, k_max=k_max, gram=gram,
-                overlap_split=overlap_split, precision="high")
+                overlap_split=overlap_split, precision="high",
+                batch_native=batch_native)
             sel = jnp.asarray(bad)
             X = jnp.where(sel[:, None], Xh, X)
             rep = HomotopyReportArrays(

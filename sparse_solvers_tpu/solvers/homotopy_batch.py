@@ -153,18 +153,36 @@ def _embed(s: "_BState", K2: int, n: int) -> "_BState":
         kk=s.kk, broke=s.broke)
 
 
-def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
+def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
+                         Y: jnp.ndarray,
                          tolerance, max_iterations: int, k_max: int,
                          use_kernel: bool | None = None,
                          ladder: bool | None = None,
-                         fused_q: bool | None = None):
-    """Fast-mode batched homotopy with a precomputed Gram matrix.
+                         fused_q: bool | None = None,
+                         axis: str | None = None):
+    """Fast-mode batched homotopy — the slot-space throughput driver.
 
-    A: (m, n); G = AᵀA (n, n); Y: (b, m). Returns (X (b, n),
+    A: (m, n); G = AᵀA (n, n) or None; Y: (b, m). Returns (X (b, n),
     HomotopyReportArrays with per-lane arrays). ``use_kernel=False`` runs
     the Pallas kernels in interpret mode (tests / CPU backends);
     ``ladder`` controls the capacity tiers (see _plan_tiers).
-    """
+
+    ``G=None`` runs **gram-free**: the insert's Gram row G[idx, :] is
+    computed on the fly as Aᵀ(A e_idx) with the same (fused) q-product
+    machinery — one extra pass over A per iteration instead of an n×n
+    table in HBM. This is the config-5 regime (n too large for n²
+    bytes); everything else about the path is identical.
+
+    ``axis`` runs the driver **row-sharded inside shard_map**: A is the
+    local row shard (m_local, n), Y the matching (b_local, m_local)
+    shard, and every product that reduces over rows (the init
+    correlation Aᵀy, the q products, the gram-free diag/rows) ends in
+    one ``lax.psum`` over ``axis`` — AᵀA = Σ_shards A_sᵀA_s, so partial
+    per-shard products sum exactly. The (b, K) slot state, the γ scan
+    and the transition kernel are replicated across the row axis (they
+    are identical deterministic functions of the psum'd q), which is the
+    same replication contract as the sharded vmapped core
+    (parallel/sharding.py)."""
     n = A.shape[1]
     if Y.shape[0] == 0:
         # empty batch: the Pallas kernels' block shapes cannot be built
@@ -182,7 +200,7 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         cap = None if t == len(tiers) - 1 else Kt - 1
         init, body, lane_live = make_stepper(
             A, G, Y, tolerance, max_iterations, Kt, use_kernel, it_cap=cap,
-            fused_q=fused_q)
+            fused_q=fused_q, axis=axis)
         st = init if state is None else _embed(state, Kt, n)
         state = lax.while_loop(lambda s, _live=lane_live: jnp.any(_live(s)),
                                body, st)
@@ -198,12 +216,13 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
 
 def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                  use_kernel: bool | None = None, it_cap: int | None = None,
-                 fused_q: bool | None = None):
+                 fused_q: bool | None = None, axis: str | None = None):
     """Build (initial state, body, lane_live) for the batch driver —
     exposed so tests can step the iteration eagerly. ``it_cap`` freezes
     lanes at an iteration bound (the capacity-ladder phase boundary:
     such lanes resume unchanged in the next tier's loop). ``fused_q``
-    controls the one-pass bf16 q-product kernel (None = auto)."""
+    controls the one-pass bf16 q-product kernel (None = auto). ``G=None``
+    = gram-free, ``axis`` = row-shard psum axis (see solve_homotopy_batch)."""
     b, _ = Y.shape
     n = A.shape[1]
     K = k_max
@@ -218,7 +237,10 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         use_kernel = jax.default_backend() == "tpu"
     interp = not use_kernel
     bidx = jnp.arange(b)
-    gdiag = jnp.diagonal(G)
+    psum = (lambda v: _lax.psum(v, axis)) if axis is not None else (
+        lambda v: v)
+    gdiag = jnp.diagonal(G) if G is not None else psum(
+        jnp.sum(A * A, axis=0))
 
     # One-pass q product: at DEFAULT MXU precision the two-gemm q is
     # HBM-bound on two reads of A; the fused kernel streams a bf16 copy
@@ -231,8 +253,15 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                    and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
     A16 = A.astype(jnp.bfloat16) if fused_q else None
 
+    def qprod(D):
+        """q = AᵀA D (psum'd over the row shards when sharded)."""
+        if fused_q:
+            return psum(_kern.normal_matvec_fused_bf16(A16, D,
+                                                       interpret=interp))
+        return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+
     # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
-    C0 = blas.xgemm(Y, A)                       # c0 = Aᵀy per lane
+    C0 = psum(blas.xgemm(Y, A))                 # c0 = Aᵀy per lane
     idx0 = jnp.argmax(jnp.abs(C0), axis=1).astype(jnp.int32)
     c_inf0 = jnp.abs(_take1(C0, idx0))
     vtv0 = jnp.take(gdiag, idx0)
@@ -268,13 +297,10 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         live = lane_live(s)
 
         # q = AᵀA d: scatter the slot direction, then either one fused
-        # bf16 pass over A or two MXU gemms
+        # bf16 pass over A or two MXU gemms (psum'd per row shard)
         D = jnp.zeros((b, n), dtype).at[bidx[:, None], s.indices].set(
             s.d_act, mode="drop")
-        if fused_q:
-            q = _kern.normal_matvec_fused_bf16(A16, D, interpret=interp)
-        else:
-            q = blas.xgemm(blas.xgemm(D, A, trans_b=True), A)
+        q = qprod(D)
 
         gamma_raw, idx = _scan.find_max_gamma_fused(
             q, s.c, s.mask, s.c_inf, s.x_act, s.d_act, s.indices,
@@ -293,16 +319,25 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
         gamma = jnp.where(live & ~empty, gamma_raw, jnp.array(0, dtype))
 
         # insert's Gram column over the live slots (online_inverse.h:
-        # 217-218): one contiguous row of G + one (b,K) point gather
-        row = jnp.take(G, idx, axis=0)
+        # 217-218): one contiguous row of G + one (b,K) point gather.
+        # Gram-free: the row is Aᵀ(A e_idx) — the identical q-product
+        # machinery fed a one-hot direction (one extra pass over A; at
+        # config-5 scale the n² table cannot exist)
+        if G is not None:
+            row = jnp.take(G, idx, axis=0)
+        else:
+            E = jnp.zeros((b, n), dtype).at[bidx, idx].set(1)
+            row = qprod(E)
         safe = jnp.minimum(s.indices, n - 1)
         u1 = jnp.where(s.indices < n,
                        jnp.take_along_axis(row, safe, axis=1),
                        jnp.array(0, dtype))
         # vtv = G[idx, idx] read from the already-fetched row (a separate
         # gdiag gather kept a loop-invariant carry that XLA copied into
-        # VMEM every iteration)
-        vtv = _take1(row, idx)
+        # VMEM every iteration). Gram-free: the row is a path-precision
+        # product, but the diagonal ‖A e_idx‖² feeds the insert's
+        # degeneracy guard — read it from the exact f32 gdiag instead
+        vtv = _take1(row, idx) if G is not None else jnp.take(gdiag, idx)
         # c′ at the toggled coordinate — the inserted slot's correlation
         cnew = _take1(s.c, idx) - gamma * _take1(q, idx)
 
