@@ -510,6 +510,7 @@ class Irls:
                 f"supported); got {self._m}x{self._n}"
             )
         self._QR_cache = None
+        self._Rinv_cache = None
         self._cache: dict = {}
 
     def _qr(self):
@@ -533,6 +534,35 @@ class Irls:
         return self._qr()[1]
 
     @property
+    def _Rinv(self):
+        """R⁻¹, cached on device for the batched fast path: applying it
+        is one (b,n)×(n,n) MXU gemm per Newton step, where a batched
+        back-substitution is a length-n dependency chain the MXU cannot
+        pipeline across lanes (solvers/irls.py _newton_fast). Computed
+        once by triangular solve against I (exact algebra; fp trajectory
+        differs in the last bits — parity pinned in tests/test_batch.py)."""
+        if self._Rinv_cache is None:
+            R = self._R
+            eye = jnp.eye(self._n, dtype=R.dtype)
+            Rinv = jax.jit(_blas.xtrsm, static_argnames="lower")(
+                R, eye, lower=False)
+            if isinstance(Rinv, jax.core.Tracer):
+                return Rinv  # traced under an outer jit: never cache
+            self._Rinv_cache = Rinv
+        return self._Rinv_cache
+
+    def _newton_gemm(self, batched: bool) -> bool:
+        """Whether the batched fast path applies the cached R⁻¹ by gemm.
+        Default: on-TPU batched solves (the MXU formulation); SS_IRLS_GEMM
+        =1/0 forces/forbids it anywhere (tests run it on CPU)."""
+        if not batched or self._mode != "fast":
+            return False
+        env = os.environ.get("SS_IRLS_GEMM")
+        if env in ("0", "1"):
+            return env == "1"
+        return jax.default_backend() == "tpu"
+
+    @property
     def shape(self):
         return (self._m, self._n)
 
@@ -546,26 +576,35 @@ class Irls:
         if self._use_native(probe=True):
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
-        return {"engine": "jax", "backend": jax.default_backend(),
+        plan = {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode,
                 "formulation": ("vmapped IRLS iteration" if batch is not None
                                 else "IRLS iteration"),
                 "qr_cached": self._QR_cache is not None}
+        if self._newton_gemm(batched=batch is not None):
+            plan["newton"] = "gemm(R^-1), cached inverse"
+        return plan
 
     def _fn(self, max_iterations: int, batched: bool):
         _check_max_iterations(max_iterations)
-        key = (max_iterations, batched)
+        gemm = self._newton_gemm(batched)
+        key = (max_iterations, batched, gemm)
         fn = self._cache.get(key)
         if fn is None:
-            def core(Q, R, y, tol):
+            def core(Q, R, y, tol, r_inv=None):
                 with _blas.precision_scope(self._precision):
                     return _irls.solve_irls(Q, R, y, tol,
                                             max_iterations=max_iterations,
-                                            mode=self._mode)
-            run = core
+                                            mode=self._mode, r_inv=r_inv)
             if batched:
-                run = jax.vmap(core, in_axes=(None, None, 0, None))
-            fn = jax.jit(run)
+                run = jax.vmap(core, in_axes=(None, None, 0, None, None))
+            else:
+                run = core
+            jfn = jax.jit(run)
+            if gemm:
+                fn = lambda Q, R, y, tol: jfn(Q, R, y, tol, self._Rinv)
+            else:
+                fn = lambda Q, R, y, tol: jfn(Q, R, y, tol, None)
             self._cache[key] = fn
         return fn
 

@@ -70,7 +70,7 @@ def _newton(qop, R, y, w, dtype):
     return xn, isspd
 
 
-def _newton_fast(R, rhs, w, dtype):
+def _newton_fast(R, rhs, w, dtype, r_inv=None):
     """Closed-form Newton step exploiting Q's orthonormality.
 
     Because QᵀQ = I, the reference's step collapses algebraically:
@@ -81,18 +81,29 @@ def _newton_fast(R, rhs, w, dtype):
     the dense Cholesky of diag(w) + O(eps) off-diagonal noise amplifies
     that noise by 1/min(w) as the weights spread.
 
+    ``r_inv`` selects the *batched-throughput* application of R⁻¹: a
+    matvec against the explicitly-inverted triangle (cached once per
+    sensing matrix), which vmap turns into one (b,n)×(n,n) MXU gemm —
+    a back-substitution is a length-n dependency chain the MXU cannot
+    pipeline across lanes. Algebraically identical, fp trajectory
+    differs in the last bits (tests pin iteration parity at the
+    reference tolerance regime).
+
     The reference's spd_failure corresponds to a Cholesky pivot
     √w_j ≤ machine-eps, i.e. min(w) ≤ eps² (cholesky_decomposition.h:
     80-83 with linalg/cholesky.py's pivot criterion).
     """
     eps = jnp.finfo(dtype).eps
     isspd = jnp.min(w) > eps * eps
-    xn = blas.xtrsm(R, rhs / w, lower=False)
+    if r_inv is not None:
+        xn = blas.xgemv(r_inv, rhs / w)
+    else:
+        xn = blas.xtrsm(R, rhs / w, lower=False)
     return xn, isspd
 
 
 def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-               max_iterations: int, *, mode: str = "fast"):
+               max_iterations: int, *, mode: str = "fast", r_inv=None):
     """Run IRLS given the economy QR of A; returns (x, IrlsReportArrays).
 
     Pure function of device arrays — jit/vmap-safe (Q, R broadcast across
@@ -100,21 +111,25 @@ def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
     """
     from ..ops.operators import DenseOperator
     return solve_irls_core(DenseOperator(Q), R, y, tolerance, max_iterations,
-                           mode=mode)
+                           mode=mode, r_inv=r_inv)
 
 
 def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-                    max_iterations: int, *, mode: str = "fast"):
+                    max_iterations: int, *, mode: str = "fast", r_inv=None):
     """IRLS loop over an abstract Q operator (dense or row-sharded).
 
     mode="fast" (default) uses the algebraically collapsed Newton step
     (see _newton_fast): one rmatvec per *solve* and an O(n²) triangular
     solve per iteration — and, in the sharded case, zero collectives per
     iteration. mode="exact" reproduces the reference's dense
-    gemm+Cholesky step per iteration.
+    gemm+Cholesky step per iteration. ``r_inv`` (fast mode only) applies
+    a precomputed R⁻¹ instead of back-substitution — the batched MXU
+    formulation (see _newton_fast).
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    if r_inv is not None and mode != "fast":
+        raise ValueError("r_inv is a fast-mode option")
     fast = mode == "fast"
     n = R.shape[0]
     dtype = qop.dtype
@@ -142,7 +157,7 @@ def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
 
     def body(s: _LoopState) -> _LoopState:
         if fast:
-            xn, isspd = _newton_fast(R, rhs, s.w, dtype)
+            xn, isspd = _newton_fast(R, rhs, s.w, dtype, r_inv=r_inv)
         else:
             xn, isspd = _newton(qop, R, y, s.w, dtype)
 
