@@ -37,7 +37,12 @@ def main():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
     import numpy as np
-    from sparse_solvers_tpu.parallel import sharding as sh
+    from sparse_solvers_tpu.parallel import distributed, sharding as sh
+
+    # multi-host pods: one unconditional call joins the JAX distributed
+    # runtime (a no-op on a single host — parallel/distributed.py); the
+    # mesh below then spans the *global* device list
+    distributed.initialize()
 
     m, n, k, batch = 1024, 2048, 16, 64
     rng = np.random.RandomState(0)
@@ -66,6 +71,18 @@ def main():
     print(f"{batch} solves of {m}x{n} (k={k}) across {n_dev} devices; "
           f"mean path length {np.asarray(reports.iter).mean():.1f}; "
           f"support recovery {100*support_hit:.0f}%")
+
+    # the same solve through the slot-space Pallas throughput driver
+    # (auto-selected on real TPU meshes; forced here so the demo also
+    # exercises it on the CPU mesh, in interpret mode), gram-free as the
+    # very-large-n regime would run it
+    Xb, repb = sh.homotopy_sharded(mesh, Ad, Yd, tolerance=1e-2,
+                                   max_iterations=4 * k,
+                                   batch_native=True, gram=False)
+    agree = np.allclose(np.asarray(Xb), X, atol=1e-5)
+    print(f"batch-native sharded driver (gram-free): mean path length "
+          f"{np.asarray(repb.iter).mean():.1f}; matches vmapped core: "
+          f"{agree}")
 
     # the underdetermined regime shards the other way: columns of a wide
     # A over the tensor axis, CG-IRLS replicating only m-sized iterates

@@ -43,14 +43,25 @@ def is_initialized() -> bool:
 
 # Environment variables that mark a managed multi-host launch where
 # jax.distributed.initialize() can autodetect its cluster configuration
-# (TPU pod runtime / Cloud TPU metadata, or an explicit coordinator).
+# (an explicit coordinator address). Deliberately conservative:
+# single-host tooling flags (TPU_SKIP_MDS_QUERY, a one-entry
+# TPU_WORKER_HOSTNAMES) must not trigger a coordinator hunt.
 _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
-    "TPU_SKIP_MDS_QUERY",
 )
+
+
+def _cluster_detected() -> bool:
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        return True
+    # the Cloud TPU pod runtime lists every worker host; one entry is a
+    # single-host machine, not a pod
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([w for w in workers.split(",") if w.strip()]) > 1:
+        return True
+    return int(os.environ.get("JAX_NUM_PROCESSES", "1") or "1") > 1
 
 
 def initialize(coordinator_address: str | None = None,
@@ -78,8 +89,7 @@ def initialize(coordinator_address: str | None = None,
                 or num_processes is not None or process_id is not None
                 or bool(kwargs))
     if not explicit:
-        if int(os.environ.get("JAX_NUM_PROCESSES", "1") or "1") <= 1 and \
-                not any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        if not _cluster_detected():
             return False
         jax.distributed.initialize()
         return True
