@@ -11,7 +11,7 @@ from __future__ import annotations
 LIB_NAME = "sparse-solvers-tpu"
 
 VERSION_MAJOR = 0
-VERSION_MINOR = 1
+VERSION_MINOR = 2
 VERSION_PATCH = 0
 
 
