@@ -11,7 +11,10 @@ framework's scaling design evidence (VERDICT round-1 item 3):
   5. the collective-overlap experiment: `overlap_split` issues one psum
      per correlation column block so XLA can overlap each collective
      with the next block's local gemv; results must be identical and the
-     compiled HLO shows the split collectives.
+     compiled HLO shows the split collectives;
+  6. (round 3, axis "batch_native") the slot-space Pallas driver inside
+     shard_map — 1-device-mesh vs full-mesh rates and cross-mesh result
+     parity, gram and gram-free.
 
 On this workspace the mesh is 8 virtual CPU devices
 (``--cpu`` + XLA_FLAGS=--xla_force_host_platform_device_count=8): the
@@ -72,7 +75,7 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (virtual device mesh)")
     ap.add_argument("--axes", default="row,data,overhead,gram_false,"
-                    "overlap", help="comma-separated axis subset — on a "
+                    "batch_native,overlap", help="comma-separated axis subset — on a "
                     "single real chip, 'row,overhead' records the "
                     "sharded-vs-unsharded overhead without paying the "
                     "remote compiles of the other legs")
@@ -151,6 +154,30 @@ def main():
              solves_per_sec=round(bg / dt, 3),
              mean_iterations=float(np.mean(iters)),
              max_residual=round(rec, 4))
+
+    # --- 4b. slot-space Pallas driver inside shard_map -------------------
+    # (round-3: the throughput driver runs sharded; this records its
+    # sharded-vs-unsharded overhead on 1 device and its row-axis run on
+    # the full mesh, gram and gram-free)
+    if "batch_native" in axes:
+        for gram_flag, label in ((True, "gram"), (False, "gram_free")):
+            mesh1 = sh.make_mesh(n_row=1, n_data=1,
+                                 devices=jax.devices()[:1])
+            dt1, X1, it1, _, _ = _time_sharded(
+                jax, sh, mesh1, A, Y, tol, max_iter,
+                batch_native=True, gram=gram_flag)
+            meshN = sh.make_mesh(n_row=ndev, n_data=1)
+            dtN, XN, itN, _, _ = _time_sharded(
+                jax, sh, meshN, A, Y, tol, max_iter,
+                batch_native=True, gram=gram_flag)
+            same = bool(np.allclose(np.asarray(X1), np.asarray(XN),
+                                    atol=1e-5))
+            emit(bench="scaling", axis=f"batch_native_{label}",
+                 platform=platform, devices_full_mesh=ndev,
+                 sharded_1dev_solves_per_sec=round(batch / dt1, 3),
+                 sharded_ndev_solves_per_sec=round(batch / dtN, 3),
+                 results_match_across_meshes=same,
+                 mean_iterations=float(np.mean(it1)))
 
     # --- 5. collective-overlap experiment -------------------------------
     if "overlap" in axes:

@@ -183,6 +183,16 @@ def _f32(a):
     return np.ascontiguousarray(a, dtype=np.float32)
 
 
+def _check_batch(Y: np.ndarray, m: int) -> None:
+    """The C ABI reads batch·m floats with no bounds information — a
+    mis-shaped Y would be an out-of-bounds heap read, so the shape
+    contract is enforced here for every batch entry point (the api layer
+    validates via ndview, but these helpers are public)."""
+    if Y.ndim != 2 or Y.shape[1] != m:
+        raise ValueError(
+            f"batch signals must have shape (batch, {m}); got {Y.shape}")
+
+
 def homotopy_solve(A: np.ndarray, y: np.ndarray, tol: float,
                    max_iterations: int, k_max: int):
     """Single homotopy solve on the host. Returns (x, iter, solution_error).
@@ -233,6 +243,7 @@ def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
               else (np.float32, ctypes.c_float))
     Ac = np.ascontiguousarray(A, dt)
     Yc = np.ascontiguousarray(Y, dt)
+    _check_batch(Yc, m)
     batch = Yc.shape[0]
     X = np.zeros((batch, n), dt)
     iters = np.zeros(batch, np.int32)
@@ -299,6 +310,7 @@ def irls_cg_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
               else (np.float32, ctypes.c_float))
     Ac = np.ascontiguousarray(A, dt)
     Yc = np.ascontiguousarray(Y, dt)
+    _check_batch(Yc, m)
     batch = Yc.shape[0]
     X = np.zeros((batch, n), dt)
     iters = np.zeros(batch, np.int32)
@@ -361,6 +373,7 @@ class IrlsNative:
         bit-equal to per-signal ``solve`` calls regardless of thread
         count. Returns (X (batch, n), iters, errs, spd) arrays."""
         Yc = np.ascontiguousarray(Y, self._dt)
+        _check_batch(Yc, self._m)
         batch = Yc.shape[0]
         X = np.zeros((batch, self._n), self._dt)
         iters = np.zeros(batch, np.int32)

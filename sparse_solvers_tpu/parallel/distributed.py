@@ -61,7 +61,14 @@ def _cluster_detected() -> bool:
     workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     if len([w for w in workers.split(",") if w.strip()]) > 1:
         return True
-    return int(os.environ.get("JAX_NUM_PROCESSES", "1") or "1") > 1
+    try:
+        return int(os.environ.get("JAX_NUM_PROCESSES", "1") or "1") > 1
+    except ValueError:
+        # non-numeric launcher value ("auto", ...) — not a usable marker
+        # for best-effort detection; explicit initialize() arguments are
+        # the supported path there (this call must never crash a
+        # single-host program, it is documented as unconditional)
+        return False
 
 
 def initialize(coordinator_address: str | None = None,

@@ -125,11 +125,21 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if batch_native is None:
         import os
         env = os.environ.get("SS_BATCH_NATIVE")
-        batch_native = (A.dtype == jnp.float32 and n % 128 == 0
-                        and n < (1 << 24)
-                        and (env == "1"
-                             or (env != "0"
-                                 and jax.default_backend() == "tpu")))
+        # same auto rule as Homotopy._plan: structural requirements (f32
+        # kernels, f32-roundtripped indices) always hold; SS_BATCH_NATIVE=1
+        # forces the driver anywhere they do (the scan kernel pads
+        # unaligned n itself); the auto default sticks to the measured
+        # regime (lane-aligned n, on TPU) and keeps the zero-collective
+        # Gram-gather vmapped core where the gathered-column traffic is
+        # below two passes over A (the `sparse` heuristic, with the
+        # per-device local batch)
+        local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
+        sparse = gram and local_batch * k_max < 2 * A.shape[0] and k_max < n
+        structural = A.dtype == jnp.float32 and n < (1 << 24)
+        batch_native = structural and (
+            env == "1"
+            or (env != "0" and not sparse and n % 128 == 0
+                and jax.default_backend() == "tpu"))
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 

@@ -96,7 +96,13 @@ def _newton_fast(R, rhs, w, dtype, r_inv=None):
     eps = jnp.finfo(dtype).eps
     isspd = jnp.min(w) > eps * eps
     if r_inv is not None:
-        xn = blas.xgemv(r_inv, rhs / w)
+        # full-f32 contraction regardless of the instance precision knob:
+        # the back-substitution this replaces is always full precision
+        # (triangular_solve has no MXU precision level), so a "default"
+        # precision instance must not silently degrade its Newton solve
+        # to a one-pass bf16 product
+        with blas.precision_scope("highest"):
+            xn = blas.xgemv(r_inv, rhs / w)
     else:
         xn = blas.xtrsm(R, rhs / w, lower=False)
     return xn, isspd

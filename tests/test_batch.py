@@ -76,29 +76,23 @@ def test_batch_lane_divergence():
         assert iters[b] == rep_seq.iter
 
 
-def test_irls_batch_gemm_newton_matches_trsm():
+def test_irls_batch_gemm_newton_matches_trsm(monkeypatch):
     """SS_IRLS_GEMM=1 applies the cached R⁻¹ by gemm in the batched fast
     path (the MXU formulation, default on TPU) — algebraically identical
     to the back-substitution step; iteration counts match and solutions
     agree at the reference property tolerance (solvers/irls.py
     _newton_fast)."""
-    import os
     rng = np.random.RandomState(13)
     m, n, batch, k = 60, 30, 8, 3
     A, Y = _problem(rng, m, n, batch, k)
     A, Y = A.astype(np.float32), Y.astype(np.float32)
     solver = ss.Irls(A, engine="jax")
-    os.environ["SS_IRLS_GEMM"] = "1"
-    try:
-        assert "gemm" in solver.explain(batch=batch)["newton"]
-        Xg, rg = solver.solve_batch(Y, tolerance=0.01, max_iterations=50)
-    finally:
-        os.environ["SS_IRLS_GEMM"] = "0"
-    try:
-        assert "newton" not in solver.explain(batch=batch)
-        Xt, rt = solver.solve_batch(Y, tolerance=0.01, max_iterations=50)
-    finally:
-        del os.environ["SS_IRLS_GEMM"]
+    monkeypatch.setenv("SS_IRLS_GEMM", "1")
+    assert "gemm" in solver.explain(batch=batch)["newton"]
+    Xg, rg = solver.solve_batch(Y, tolerance=0.01, max_iterations=50)
+    monkeypatch.setenv("SS_IRLS_GEMM", "0")
+    assert "newton" not in solver.explain(batch=batch)
+    Xt, rt = solver.solve_batch(Y, tolerance=0.01, max_iterations=50)
     iters = np.asarray(rg.iter)
     assert iters.max() > 1  # a fixture that actually iterates
     np.testing.assert_array_equal(iters, np.asarray(rt.iter))

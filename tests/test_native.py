@@ -198,3 +198,21 @@ def test_irls_api_batch_routes_threaded_native():
     # empty batch keeps its shape contract without touching the backend
     X0, rep0b = solver.solve_batch(np.zeros((0, 80), np.float32))
     assert X0.shape == (0, 40) and rep0b.iter.shape == (0,)
+
+
+def test_batch_entry_points_reject_misshaped_signals():
+    """The C ABI reads batch*m floats with no bounds info — public batch
+    helpers must reject 1-D or wrong-width Y instead of reading out of
+    bounds (review finding)."""
+    A, _, y = _problem(64, 32, 1, seed=2)
+    h = native.IrlsNative(A)
+    with pytest.raises(ValueError):
+        h.solve_batch(y, 1e-3, 10)  # 1-D vector
+    with pytest.raises(ValueError):
+        h.solve_batch(np.zeros((3, 63), np.float32), 1e-3, 10)
+    with pytest.raises(ValueError):
+        native.homotopy_solve_batch(A, y, 1e-3, 10, 33)
+    Aw = A.T.copy()  # 32 x 64 for CG
+    with pytest.raises(ValueError):
+        native.irls_cg_solve_batch(Aw, np.zeros((2, 63), np.float32),
+                                   1e-3, 10)
