@@ -32,15 +32,23 @@ def main():
     import sparse_solvers_tpu as ss
     from bench import make_problem
 
-    M, N, K, B = 4096, 8192, 64, 256
-    TOL, MAX_ITER = 1e-2, 128
-    KMAX = (3 * K) // 2  # match bench.py's capacity
+    # shape overrides profile other regimes (SS_PROFILE_GRAM=0 +
+    # SS_PROFILE_M/N/... = the gram-free large-n driver)
+    M = int(os.environ.get("SS_PROFILE_M", 4096))
+    N = int(os.environ.get("SS_PROFILE_N", 8192))
+    K = int(os.environ.get("SS_PROFILE_K", 64))
+    B = int(os.environ.get("SS_PROFILE_B", 256))
+    TOL, MAX_ITER = 1e-2, int(os.environ.get("SS_PROFILE_MAX_ITER", 128))
+    KMAX = int(os.environ.get("SS_PROFILE_KMAX", (3 * K) // 2))
+    GRAM = os.environ.get("SS_PROFILE_GRAM") != "0"
     # SS_PROFILE_PRECISION=default|certified re-ranks the phases in the
     # one-pass regime (the bench.py headline since the certified mode)
     PRECISION = os.environ.get("SS_PROFILE_PRECISION")
     A, Y = make_problem(M, N, K, B)
-    solver = ss.Homotopy(A, k_max=KMAX, precision=PRECISION)
+    solver = ss.Homotopy(A, k_max=KMAX, precision=PRECISION, gram=GRAM)
     Y = jax.device_put(Y)
+    if not GRAM:
+        os.environ["SS_BATCH_NATIVE"] = "1"  # profile the gram-free driver
 
     X, rep = solver.solve_batch(Y, tolerance=TOL, max_iterations=MAX_ITER)
     iters = np.asarray(rep.iter)
@@ -112,9 +120,12 @@ def main():
     # roofline evidence) is never overwritten by a re-profiling run
     fname = ("profile_headline.json" if not PRECISION
              else f"profile_headline_{PRECISION}.json")
+    if not GRAM:
+        fname = fname.replace(".json", "_gramfree.json")
     with open(os.path.join(repo, "benchmarks", "results", fname), "w") as f:
         json.dump({"config": {"m": M, "n": N, "k": K, "b": B,
                               "max_iter": MAX_ITER, "k_max": KMAX,
+                              "gram": GRAM,
                               "precision": PRECISION or "high"},
                    "iters_mean": float(iters.mean()),
                    "iters_max": int(iters.max()),

@@ -216,15 +216,27 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
-                 tolerance, max_iterations: int, mode: str = "fast"):
+                 tolerance, max_iterations: int, mode: str = "fast",
+                 newton: str | None = None):
     """Row-sharded, batch-sharded IRLS solve given the economy QR of A.
 
     Q: (m, n) row-sharded; R: (n, n) replicated; Y: (batch, m).
     In mode="fast" the only collective in the whole solve is the single
     psum of rhs = Qᵀy — every iteration is replicated O(n²) work.
+
+    ``newton`` (fast mode; default auto = "gemm" on TPU, "trsm"
+    elsewhere) selects the Newton application like the unsharded batched
+    path: "gemm" inverts the replicated R once per call and applies it
+    as one MXU gemm per iteration across the local lanes (solvers/
+    irls.py _newton_fast — full-f32, algebraically identical).
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
+    if newton not in (None, "trsm", "gemm"):
+        raise ValueError(f"newton must be 'trsm' or 'gemm', got {newton!r}")
+    if newton is None:
+        newton = "gemm" if jax.default_backend() == "tpu" else "trsm"
+    use_rinv = mode == "fast" and newton == "gemm"
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
@@ -235,10 +247,14 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
     def run(Q_local, R_rep, Y_local):
+        from ..ops import blas
         qop = RowShardedOperator(Q_local, ROW_AXIS)
+        r_inv = (blas.xtrsm(R_rep, jnp.eye(R_rep.shape[0], dtype=R_rep.dtype),
+                            lower=False) if use_rinv else None)
         solve = lambda y_local: solve_irls_core(
-            qop, R_rep, y_local, tolerance, max_iterations, mode=mode)
-        X, rep = jax.vmap(solve)(Y_local)
+            qop, R_rep, y_local, tolerance, max_iterations, mode=mode,
+            r_inv=r_inv)
+        X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
         return X, (rep.iter, rep.solution_error, rep.spd_failure)
 
     X, (iters, errs, spd) = run(Q, R, Y)

@@ -354,3 +354,21 @@ def test_homotopy_sharded_batch_native_certified(mesh):
                                np.max(np.abs(c), axis=-1),
                                rtol=1e-5, atol=1e-7)
     assert np.all(np.asarray(rc.solution_error) <= 1e-2)
+
+
+def test_irls_sharded_gemm_newton_matches_trsm(mesh):
+    """irls_sharded(newton="gemm") — the replicated R inverted once per
+    call, applied as one MXU gemm per iteration — matches the trsm form
+    at the reference tolerance with identical iteration counts."""
+    rng = np.random.RandomState(17)
+    A, Y = _problem(rng, 48, 24, 8, 3)
+    A, Y = A.astype(np.float32), Y.astype(np.float32)
+    Q, R = np.linalg.qr(A)
+    Qd, Yd = sh.shard_inputs(mesh, Q.astype(np.float32), Y)
+    Rj = jnp.asarray(R.astype(np.float32))
+    Xg, rg = sh.irls_sharded(mesh, Qd, Rj, Yd, 0.001, 50, newton="gemm")
+    Xt, rt = sh.irls_sharded(mesh, Qd, Rj, Yd, 0.001, 50, newton="trsm")
+    np.testing.assert_array_equal(np.asarray(rg.iter), np.asarray(rt.iter))
+    np.testing.assert_allclose(np.asarray(Xg), np.asarray(Xt), atol=1e-4)
+    with pytest.raises(ValueError):
+        sh.irls_sharded(mesh, Qd, Rj, Yd, 0.001, 50, newton="cholesky")
