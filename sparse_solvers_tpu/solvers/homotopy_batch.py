@@ -260,6 +260,26 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                                                        interpret=interp))
         return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
 
+    # Gram-free row product: G[idx, :] = Aᵀ(A e_idx). Feeding a one-hot
+    # through qprod would pay two full gemm passes; but the first pass
+    # with a one-hot is exactly a column pick of A — one contiguous row
+    # gather from a transposed copy — leaving ONE gemm (b,m)×(m,n).
+    # Numerically identical to the one-hot form: a one-hot contraction
+    # selects single addends (and at bf16-split precisions reassembles
+    # A's non-overlapping mantissa pieces exactly), so the second gemm
+    # sees bit-equal inputs either way.
+    if G is None:
+        AT16 = A16.T if fused_q else None
+        AT = None if fused_q else A.T
+
+        def gram_row(idx):
+            if fused_q:
+                V = jnp.take(AT16, idx, axis=0)          # (b, m) bf16
+                return psum(jnp.matmul(
+                    V, A16, preferred_element_type=jnp.float32))
+            V = jnp.take(AT, idx, axis=0)                # (b, m)
+            return psum(blas.xgemm(V, A))
+
     # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
     C0 = psum(blas.xgemm(Y, A))                 # c0 = Aᵀy per lane
     idx0 = jnp.argmax(jnp.abs(C0), axis=1).astype(jnp.int32)
@@ -320,14 +340,13 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
 
         # insert's Gram column over the live slots (online_inverse.h:
         # 217-218): one contiguous row of G + one (b,K) point gather.
-        # Gram-free: the row is Aᵀ(A e_idx) — the identical q-product
-        # machinery fed a one-hot direction (one extra pass over A; at
-        # config-5 scale the n² table cannot exist)
+        # Gram-free: the row is Aᵀ(A e_idx) — a column pick of A + ONE
+        # gemm (see gram_row above; at config-5 scale the n² table
+        # cannot exist)
         if G is not None:
             row = jnp.take(G, idx, axis=0)
         else:
-            E = jnp.zeros((b, n), dtype).at[bidx, idx].set(1)
-            row = qprod(E)
+            row = gram_row(idx)
         safe = jnp.minimum(s.indices, n - 1)
         u1 = jnp.where(s.indices < n,
                        jnp.take_along_axis(row, safe, axis=1),
