@@ -260,25 +260,30 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                                                        interpret=interp))
         return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
 
-    # Gram-free row product: G[idx, :] = Aᵀ(A e_idx). Feeding a one-hot
-    # through qprod would pay two full gemm passes; but the first pass
-    # with a one-hot is exactly a column pick of A — one contiguous row
-    # gather from a transposed copy — leaving ONE gemm (b,m)×(m,n).
-    # Numerically identical to the one-hot form: a one-hot contraction
-    # selects single addends (and at bf16-split precisions reassembles
-    # A's non-overlapping mantissa pieces exactly), so the second gemm
-    # sees bit-equal inputs either way.
+    # Gram-free insert column: the transition consumes ONLY the K live
+    # entries u1[j] = (AᵀA)[ind_j, idx] = ⟨A e_ind_j, A e_idx⟩ (plus the
+    # diagonal, read from the exact gdiag). Materializing the full
+    # (b, n) Gram row Aᵀ(A e_idx) would pay a b·m·n gemm per iteration
+    # (profiled at 384 µs + a 102 µs point gather at the config-5 bench
+    # shape); the direct form is two contiguous row gathers from a
+    # transposed copy — (b, m) for the inserted column, (b, K, m) for
+    # the active columns — and a b·K·m batched dot: ~25× fewer MACs.
+    # Same products, same f32 accumulation of the same (bf16) inputs;
+    # only the MXU tiling order differs.
     if G is None:
-        AT16 = A16.T if fused_q else None
-        AT = None if fused_q else A.T
+        ATx = A16.T if fused_q else A.T              # (n, m) copy
 
-        def gram_row(idx):
-            if fused_q:
-                V = jnp.take(AT16, idx, axis=0)          # (b, m) bf16
-                return psum(jnp.matmul(
-                    V, A16, preferred_element_type=jnp.float32))
-            V = jnp.take(AT, idx, axis=0)                # (b, m)
-            return psum(blas.xgemm(V, A))
+        def gram_u1(idx, indices):
+            V = jnp.take(ATx, idx, axis=0)           # (b, m)
+            # sentinel slots (index n) gather zero rows -> u1 = 0 there,
+            # matching the gram path's masked gather
+            C = jnp.take(ATx, indices, axis=0, mode="fill",
+                         fill_value=0)               # (b, K, m)
+            u1 = jnp.einsum(
+                "bkm,bm->bk", C, V,
+                precision=(None if fused_q else blas.current_precision()),
+                preferred_element_type=jnp.float32)
+            return psum(u1).astype(dtype)
 
     # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
     C0 = psum(blas.xgemm(Y, A))                 # c0 = Aᵀy per lane
@@ -340,23 +345,23 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
 
         # insert's Gram column over the live slots (online_inverse.h:
         # 217-218): one contiguous row of G + one (b,K) point gather.
-        # Gram-free: the row is Aᵀ(A e_idx) — a column pick of A + ONE
-        # gemm (see gram_row above; at config-5 scale the n² table
-        # cannot exist)
+        # Gram-free: u1 computed directly over the live slots (see
+        # gram_u1 above; at config-5 scale the n² table cannot exist),
+        # with vtv = ‖A e_idx‖² from the exact f32 gdiag (it feeds the
+        # insert's degeneracy guard)
         if G is not None:
             row = jnp.take(G, idx, axis=0)
+            safe = jnp.minimum(s.indices, n - 1)
+            u1 = jnp.where(s.indices < n,
+                           jnp.take_along_axis(row, safe, axis=1),
+                           jnp.array(0, dtype))
+            # vtv read from the already-fetched row (a separate gdiag
+            # gather kept a loop-invariant carry that XLA copied into
+            # VMEM every iteration)
+            vtv = _take1(row, idx)
         else:
-            row = gram_row(idx)
-        safe = jnp.minimum(s.indices, n - 1)
-        u1 = jnp.where(s.indices < n,
-                       jnp.take_along_axis(row, safe, axis=1),
-                       jnp.array(0, dtype))
-        # vtv = G[idx, idx] read from the already-fetched row (a separate
-        # gdiag gather kept a loop-invariant carry that XLA copied into
-        # VMEM every iteration). Gram-free: the row is a path-precision
-        # product, but the diagonal ‖A e_idx‖² feeds the insert's
-        # degeneracy guard — read it from the exact f32 gdiag instead
-        vtv = _take1(row, idx) if G is not None else jnp.take(gdiag, idx)
+            u1 = gram_u1(idx, s.indices)
+            vtv = jnp.take(gdiag, idx)
         # c′ at the toggled coordinate — the inserted slot's correlation
         cnew = _take1(s.c, idx) - gamma * _take1(q, idx)
 
