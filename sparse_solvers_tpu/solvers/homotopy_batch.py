@@ -271,7 +271,12 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     # Same products, same f32 accumulation of the same (bf16) inputs;
     # only the MXU tiling order differs.
     if G is None:
-        ATx = A16.T if fused_q else A.T              # (n, m) copy
+        # at DEFAULT (one-pass) precision the dot's inputs are bf16
+        # either way, so gather from a bf16 transposed copy — half the
+        # gather traffic and no post-gather convert pass
+        _one_pass = (blas.current_precision() == _lax.Precision.DEFAULT)
+        ATx = (A16.T if fused_q
+               else (A.astype(jnp.bfloat16).T if _one_pass else A.T))
 
         def gram_u1(idx, indices):
             V = jnp.take(ATx, idx, axis=0)           # (b, m)
@@ -281,7 +286,8 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                          fill_value=0)               # (b, K, m)
             u1 = jnp.einsum(
                 "bkm,bm->bk", C, V,
-                precision=(None if fused_q else blas.current_precision()),
+                precision=(None if ATx.dtype == jnp.bfloat16
+                           else blas.current_precision()),
                 preferred_element_type=jnp.float32)
             return psum(u1).astype(dtype)
 
