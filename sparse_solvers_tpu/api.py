@@ -213,6 +213,40 @@ class Homotopy:
     def dtype(self):
         return self._A.dtype
 
+    def update_column(self, j: int, col) -> None:
+        """Replace column j of the sensing matrix in place (device).
+
+        The serving-loop gallery-churn operation (BASELINE config 4's
+        face-recognition workload: columns are gallery entries). The
+        cached Gram matrix is updated incrementally — one Aᵀ·col product
+        writes the changed row/column — instead of the O(mn²) rebuild,
+        and the compiled executables are shape-keyed so they all stay
+        valid. No reference analog: its solver holds a const view of A
+        (policies.h:42), so callers there rebuild the solver.
+        """
+        if not (0 <= j < self._n):
+            raise ValueError(f"column index {j} out of range [0, {self._n})")
+        v = jnp.asarray(ndview.as_vector(col, dtype=self.dtype,
+                                         size=self._m))
+        with_g = self._G_cache is not None
+        fn = self._cache.get(("colupd", with_g))
+        if fn is None:
+            def upd(A, v, j, G=None):
+                A2 = A.at[:, j].set(v)
+                if G is None:
+                    return A2, None
+                # new Gram row/col: g = Aᵀ_new v (the already-updated
+                # column makes the diagonal land as vᵀv)
+                g = _blas.xgemv(A2, v, trans=True)
+                return A2, G.at[:, j].set(g).at[j, :].set(g)
+            fn = jax.jit(upd)  # one dispatch per churn op
+            self._cache[("colupd", with_g)] = fn
+        if with_g:
+            self._A, self._G_cache = fn(jnp.asarray(self._A), v, j,
+                                        self._G_cache)
+        else:
+            self._A, _ = fn(jnp.asarray(self._A), v, j)
+
     def _plan(self, max_iterations: int, batch: int | None):
         """Routing decisions for a jax-engine solve of this shape —
         (k_max, sparse_matvec, batch_native). Shared by the compiled-
@@ -760,6 +794,20 @@ class IrlsCg:
     @property
     def dtype(self):
         return self._A.dtype
+
+    def update_column(self, j: int, col) -> None:
+        """Replace column j of the sensing matrix in place (gallery
+        churn, see Homotopy.update_column). CG-IRLS is factorization-
+        free, so nothing else needs updating."""
+        if not (0 <= j < self._n):
+            raise ValueError(f"column index {j} out of range [0, {self._n})")
+        v = jnp.asarray(ndview.as_vector(col, dtype=self.dtype,
+                                         size=self._m))
+        fn = self._cache.get(("colupd",))
+        if fn is None:
+            fn = jax.jit(lambda A, v, j: A.at[:, j].set(v))
+            self._cache[("colupd",)] = fn
+        self._A = fn(jnp.asarray(self._A), v, j)
 
     def _use_native(self, probe: bool = False) -> bool:
         if self._engine == "jax":

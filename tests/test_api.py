@@ -255,3 +255,59 @@ def test_irls_precision_knob():
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_homotopy_update_column_matches_rebuild():
+    """update_column (serving gallery churn): the incrementally updated
+    device A and Gram row/col must give the same solves as a freshly
+    constructed solver on the updated matrix — same iteration counts,
+    reference-tolerance agreement (the Gram row is recomputed with the
+    same contraction settings, so only ulp-level accumulation order can
+    differ)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(8)
+    m, n, k = 48, 96, 4
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    s = ss.Homotopy(A, engine="jax")
+    _ = s._G  # force the Gram cache so the incremental path runs
+    new_col = rng.randn(m).astype(np.float32)
+    new_col /= np.linalg.norm(new_col)
+    s.update_column(5, new_col)
+
+    A2 = A.copy(); A2[:, 5] = new_col
+    s2 = ss.Homotopy(A2, engine="jax")
+    x0 = np.zeros(n, np.float32)
+    x0[[5, 17, 40, 63]] = [1.0, 0.7, 0.5, 0.9]
+    y = A2 @ x0
+    xa, ra = s.solve(y, tolerance=1e-3, max_iterations=60)
+    xb, rb = s2.solve(y, tolerance=1e-3, max_iterations=60)
+    assert ra.iter == rb.iter
+    np.testing.assert_allclose(xa, xb, atol=1e-5)
+    # the updated Gram really is AᵀA of the updated matrix
+    np.testing.assert_allclose(np.asarray(s._G), A2.T @ A2, atol=1e-5)
+    with np.testing.assert_raises(ValueError):
+        s.update_column(n, new_col)
+    with np.testing.assert_raises(ValueError):
+        s.update_column(0, new_col[:-1])
+
+
+def test_irls_cg_update_column():
+    """IrlsCg.update_column: factorization-free, so the update is just
+    the device matrix write; solves match a fresh solver exactly."""
+    rng = np.random.RandomState(9)
+    m, n = 24, 96
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    s = ss.IrlsCg(A, engine="jax")
+    new_col = rng.randn(m).astype(np.float32)
+    new_col /= np.linalg.norm(new_col)
+    s.update_column(7, new_col)
+    A2 = A.copy(); A2[:, 7] = new_col
+    x0 = np.zeros(n, np.float32); x0[[7, 30]] = [1.0, 0.6]
+    y = A2 @ x0
+    xa, ra = s.solve(y, tolerance=1e-5, max_iterations=60)
+    xb, rb = ss.IrlsCg(A2, engine="jax").solve(y, tolerance=1e-5,
+                                               max_iterations=60)
+    assert ra.iter == rb.iter
+    np.testing.assert_array_equal(xa, xb)
