@@ -261,28 +261,16 @@ class Homotopy:
                   and k_max < self._n)
         # Batch-native driver (slot-space state + fused Pallas scan and
         # transition kernels, solvers/homotopy_batch.py) — the default
-        # throughput path on TPU for fast-mode dense batches with a Gram
-        # matrix. Off-TPU the kernels would run in interpret mode (orders
-        # of magnitude slower), so other backends keep the vmapped core;
-        # SS_BATCH_NATIVE=1 forces the driver anywhere (tests),
-        # SS_BATCH_NATIVE=0 disables it.
-        native_env = os.environ.get("SS_BATCH_NATIVE")
-        # structural requirements (the kernels are f32 and round-trip
-        # indices through f32); SS_BATCH_NATIVE=1 forces the driver
-        # anywhere these hold. Without a Gram matrix the driver runs
-        # gram-free (on-the-fly Gram rows — the large-n regime). The
-        # auto default additionally sticks to the measured regime
-        # (lane-aligned n — the scan kernel pads other widths itself,
-        # but only aligned shapes have recorded TPU wins).
-        eligible = (batch is not None and batch > 0  # b=0: vmapped core
-                    and self._mode == "fast"
-                    and self._A.dtype == np.float32
-                    and self._n < (1 << 24))
-        batch_native = eligible and (
-            native_env == "1"
-            or (native_env != "0" and not sparse
-                and self._n % 128 == 0
-                and jax.default_backend() == "tpu"))
+        # throughput path on TPU for fast-mode batches. Off-TPU the
+        # kernels would run in interpret mode (orders of magnitude
+        # slower), so other backends keep the vmapped core;
+        # routing shared with homotopy_sharded (homotopy_batch.
+        # route_batch_native — review finding: the two copies had
+        # drifted). Without a Gram matrix the driver runs gram-free
+        # (on-the-fly active-set Gram entries — the large-n regime).
+        batch_native = (self._mode == "fast"
+                        and _homotopy_batch.route_batch_native(
+                            batch, self._n, self._A.dtype, sparse))
         return k_max, sparse, batch_native
 
     def explain(self, batch: int | None = None,

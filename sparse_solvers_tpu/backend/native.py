@@ -193,6 +193,13 @@ def _check_batch(Y: np.ndarray, m: int) -> None:
             f"batch signals must have shape (batch, {m}); got {Y.shape}")
 
 
+def _check_vector(y: np.ndarray, m: int) -> None:
+    """Same bounds contract for the single-solve entry points: the C ABI
+    reads m floats from the pointer."""
+    if y.ndim != 1 or y.shape[0] != m:
+        raise ValueError(f"signal must have shape ({m},); got {y.shape}")
+
+
 def homotopy_solve(A: np.ndarray, y: np.ndarray, tol: float,
                    max_iterations: int, k_max: int):
     """Single homotopy solve on the host. Returns (x, iter, solution_error).
@@ -204,6 +211,7 @@ def homotopy_solve(A: np.ndarray, y: np.ndarray, tol: float,
     if lib is None:
         raise RuntimeError("native backend unavailable")
     m, n = A.shape
+    _check_vector(np.asarray(y), m)
     if A.dtype == np.float64:
         A64 = np.ascontiguousarray(A, np.float64)
         y64 = np.ascontiguousarray(y, np.float64)
@@ -277,6 +285,7 @@ def irls_cg_solve(A: np.ndarray, y: np.ndarray, tol: float,
               else (np.float32, ctypes.c_float))
     Ac = np.ascontiguousarray(A, dt)
     yc = np.ascontiguousarray(y, dt)
+    _check_vector(yc, m)
     x = np.zeros(n, dt)
     eps = ct()
     broke = ctypes.c_int()
@@ -352,6 +361,7 @@ class IrlsNative:
 
     def solve(self, y: np.ndarray, tol: float, max_iterations: int):
         yc = np.ascontiguousarray(y, self._dt)
+        _check_vector(yc, self._m)
         x = np.zeros(self._n, self._dt)
         err = self._ct()
         spd = ctypes.c_int()

@@ -31,9 +31,16 @@ import jax
 from . import sharding as _sharding
 
 
+# set by initialize() on a successful join, so idempotency survives even
+# if the private-layout probe below stops working on a future JAX
+_initialized_here = False
+
+
 def is_initialized() -> bool:
     """Whether the JAX distributed runtime has been initialized in this
     process (single-host single-process programs never need it)."""
+    if _initialized_here:
+        return True
     try:
         from jax._src import distributed as _dist
         return _dist.global_state.client is not None
@@ -95,14 +102,17 @@ def initialize(coordinator_address: str | None = None,
     explicit = (coordinator_address is not None
                 or num_processes is not None or process_id is not None
                 or bool(kwargs))
+    global _initialized_here
     if not explicit:
         if not _cluster_detected():
             return False
         jax.distributed.initialize()
+        _initialized_here = True
         return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id, **kwargs)
+    _initialized_here = True
     return True
 
 

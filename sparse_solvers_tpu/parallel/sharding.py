@@ -122,24 +122,27 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     k_max = k_max or min(n, max_iterations + 1)
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    if batch_native and overlap_split > 1:
+        raise ValueError(
+            "overlap_split > 1 splits the vmapped core's correlation "
+            "psums; the batch-native driver has no per-correlation psum "
+            "to split — use one or the other")
     if batch_native is None:
-        import os
-        env = os.environ.get("SS_BATCH_NATIVE")
-        # same auto rule as Homotopy._plan: structural requirements (f32
-        # kernels, f32-roundtripped indices) always hold; SS_BATCH_NATIVE=1
-        # forces the driver anywhere they do (the scan kernel pads
-        # unaligned n itself); the auto default sticks to the measured
-        # regime (lane-aligned n, on TPU) and keeps the zero-collective
-        # Gram-gather vmapped core where the gathered-column traffic is
-        # below two passes over A (the `sparse` heuristic, with the
-        # per-device local batch)
-        local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
-        sparse = gram and local_batch * k_max < 2 * A.shape[0] and k_max < n
-        structural = A.dtype == jnp.float32 and n < (1 << 24)
-        batch_native = structural and (
-            env == "1"
-            or (env != "0" and not sparse and n % 128 == 0
-                and jax.default_backend() == "tpu"))
+        if overlap_split > 1:
+            # the overlap experiment is a vmapped-core construct — the
+            # driver would silently drop it (review finding)
+            batch_native = False
+        else:
+            # the rule shared with Homotopy._plan (homotopy_batch.
+            # route_batch_native), with the `sparse` heuristic on the
+            # per-device lane count: the zero-collective Gram-gather
+            # vmapped core keeps small local batches
+            from ..solvers.homotopy_batch import route_batch_native
+            local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
+            sparse = (gram and local_batch * k_max < 2 * A.shape[0]
+                      and k_max < n)
+            batch_native = route_batch_native(local_batch, n, A.dtype,
+                                              sparse)
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 

@@ -91,6 +91,36 @@ def _take1(M, idx):
     return jnp.take_along_axis(M, idx[:, None], axis=1)[:, 0]
 
 
+def route_batch_native(lanes: int | None, n: int, dtype, sparse: bool) -> bool:
+    """THE routing rule for this driver, shared by ``Homotopy._plan`` and
+    ``homotopy_sharded`` so the copies cannot drift (review finding).
+
+    Structural requirements (the Pallas kernels are f32 and round-trip
+    candidate positions through f32): positive lane count, float32,
+    n < 2²⁴. ``SS_BATCH_NATIVE=1`` forces the driver anywhere those hold
+    (the scan kernel pads unaligned n itself); ``=0`` forbids it. The
+    auto default additionally sticks to the measured-win regime:
+    lane-aligned n, on TPU, and not in the ``sparse`` regime the caller
+    computed (where the gather-based vmapped core's traffic is below two
+    passes over A per product)."""
+    import os
+
+    import numpy as _np
+
+    structural = (lanes is not None and lanes > 0
+                  and _np.dtype(dtype) == _np.float32 and n < (1 << 24))
+    if not structural:
+        return False
+    env = os.environ.get("SS_BATCH_NATIVE")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    import jax
+    return (not sparse and n % 128 == 0
+            and jax.default_backend() == "tpu")
+
+
 def _plan_tiers(k_max: int, max_iterations: int, ladder) -> list[int]:
     """Capacity ladder: after ``i`` iterations a lane holds at most
     ``i + 1`` support members (≤1 insert per iteration,

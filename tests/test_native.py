@@ -216,3 +216,15 @@ def test_batch_entry_points_reject_misshaped_signals():
     with pytest.raises(ValueError):
         native.irls_cg_solve_batch(Aw, np.zeros((2, 63), np.float32),
                                    1e-3, 10)
+
+
+def test_single_solve_entry_points_reject_misshaped_signals():
+    """Single-solve helpers share the batch entry points' bounds contract
+    (review finding): the C ABI reads m floats from the pointer."""
+    A, _, y = _problem(64, 32, 1, seed=4)
+    with pytest.raises(ValueError):
+        native.homotopy_solve(A, y[:-1], 1e-3, 10, 33)
+    with pytest.raises(ValueError):
+        native.IrlsNative(A).solve(y[:-1], 1e-3, 10)
+    with pytest.raises(ValueError):
+        native.irls_cg_solve(A.T.copy(), np.zeros(63, np.float32), 1e-3, 10)

@@ -372,3 +372,31 @@ def test_irls_sharded_gemm_newton_matches_trsm(mesh):
     np.testing.assert_allclose(np.asarray(Xg), np.asarray(Xt), atol=1e-4)
     with pytest.raises(ValueError):
         sh.irls_sharded(mesh, Qd, Rj, Yd, 0.001, 50, newton="cholesky")
+
+
+def test_homotopy_sharded_overlap_split_keeps_vmapped_core(mesh):
+    """overlap_split is a vmapped-core construct (split correlation
+    psums); auto routing must not silently drop it into the driver, and
+    combining it with an explicit batch_native is an error (review
+    finding)."""
+    rng = np.random.RandomState(2)
+    A, Y = _problem(rng, 32, 128, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+    import os
+    os.environ["SS_BATCH_NATIVE"] = "1"  # would force the driver...
+    try:
+        txt = _compiled_text(
+            lambda a, y: sh.homotopy_sharded(mesh, a, y, 1e-2, 8,
+                                             gram=False, overlap_split=2),
+            Ad, Yd)
+    finally:
+        del os.environ["SS_BATCH_NATIVE"]
+    # ...but overlap_split keeps the vmapped core: the compiled program
+    # contains no slot-space driver kernels (XLA may merge the split
+    # psums at this width, so the kernel names are the reliable marker)
+    assert "find_max_gamma_fused" not in txt
+    assert _collectives_in_loop_bodies(txt) >= 1
+    with pytest.raises(ValueError):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=True,
+                            overlap_split=2)
