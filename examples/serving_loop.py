@@ -74,6 +74,20 @@ def main():
           f"({total/dt:.0f} solves/s pipelined); "
           f"{failed}/{total} lanes failed certification")
 
+    # gallery churn: swap one dictionary column in place — the cached
+    # Gram updates incrementally and every compiled executable stays
+    # valid, so the serving loop keeps running without a re-warmup
+    new_col = np.random.RandomState(99).randn(m).astype(np.float32)
+    new_col /= np.linalg.norm(new_col)
+    solver.update_column(7, new_col)
+    A[:, 7] = new_col  # keep the host copy in sync for the probe below
+    y = jax.device_put(np.outer(np.ones(1, np.float32),
+                                A @ np.eye(n, dtype=np.float32)[7]))
+    Xc, repc = solver.solve_batch_on_device(y, tol, max_iter)
+    hit = int(np.argmax(np.asarray(Xc)[0]))
+    print(f"after update_column(7): probe for the new gallery entry "
+          f"recovers column {hit} (expected 7), no recompile")
+
 
 if __name__ == "__main__":
     main()
