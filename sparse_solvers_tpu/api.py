@@ -408,6 +408,53 @@ class Homotopy:
             x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
         return x, HomotopyReport(iter=int(it), solution_error=float(err))
 
+    def solve_path(self, b, tolerance: float | None = None,
+                   max_iterations: int = 100):
+        """The LARS/LASSO regularization path (beyond reference).
+
+        The homotopy loop already visits every breakpoint of
+        min ½‖y−Ax‖² + λ‖x‖₁ as λ decreases from ‖Aᵀy‖∞ to the
+        tolerance; this records them instead of returning only the
+        endpoint. Returns ``(lambdas, Xs, HomotopyReport)`` with
+        ``lambdas`` of shape (T,) strictly from the path (λ₀ = ‖Aᵀy‖∞,
+        x₀ = 0) and ``Xs`` of shape (T, n), T = report.iter + 1 — the
+        classic model-selection sweep for one compiled solve's cost plus
+        a compact (max_iterations+1, k_max) slot-space history.
+        Runs on the jax engine; ``precision="certified"`` paths record
+        at parity-grade "high" precision (the per-breakpoint iterates
+        are the product here — a one-pass trajectory would certify only
+        the endpoint).
+        """
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
+        k_max, sparse, _ = self._plan(max_iterations, None)
+        precision = ("high" if self._precision == "certified"
+                     else self._precision)
+        key = ("path", max_iterations, k_max, sparse, precision)
+        fn = self._cache.get(key)
+        if fn is None:
+            def run(A, G, y, tol):
+                op = _operators.DenseOperator(A, G)
+                with _blas.precision_scope(precision):
+                    return _homotopy.solve_homotopy_core(
+                        op, self._n, y, tol, max_iterations, k_max,
+                        mode=self._mode, sparse_matvec=sparse,
+                        record_path=True)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        x, rep, (hv, hi, hl) = fn(self._A, self._G, y, tol)
+        x, it, err, hv, hi, hl = jax.device_get(
+            (x, rep.iter, rep.solution_error, hv, hi, hl))
+        T = int(it) + 1
+        Xs = np.zeros((T, self._n), self.dtype)
+        hv, hi = hv[:T], hi[:T]
+        valid = hi < self._n
+        rows = np.broadcast_to(np.arange(T)[:, None], hi.shape)
+        Xs[rows[valid], hi[valid]] = hv[valid]
+        return (hl[:T], Xs,
+                HomotopyReport(iter=int(it), solution_error=float(err)))
+
     def solve_batch(self, B, tolerance: float | None = None,
                     max_iterations: int = 100):
         """Batched solve over signals B of shape (batch, m).

@@ -78,6 +78,11 @@ class _LoopState(NamedTuple):
     c_act: jnp.ndarray  # (k_max,) active correlations in slot order (fast)
     d_act: jnp.ndarray  # (k_max,) direction over slots (fast mode)
     broke: jnp.ndarray
+    # regularization-path history (record_path only; (1,1)/(1,) dummies
+    # otherwise): per-breakpoint slot values, slot indices, and λ = ‖c‖∞
+    hist_v: jnp.ndarray
+    hist_i: jnp.ndarray
+    hist_l: jnp.ndarray
 
 
 def _sign_deadzone(v: jnp.ndarray, tol) -> jnp.ndarray:
@@ -186,7 +191,7 @@ def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
                         max_iterations: int, k_max: int, *,
                         mode: str = "fast", sparse_matvec: bool = False,
-                        use_gk: bool = False):
+                        use_gk: bool = False, record_path: bool = False):
     """Homotopy path loop over an abstract sensing operator.
 
     ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
@@ -197,6 +202,15 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     slot-space Gram-companion recurrence instead of the correlation
     gather; measured slower under vmap (docs/design.md §8) and kept for
     the batch-native Pallas kernel, which holds the companion in VMEM.
+
+    ``record_path`` (static) additionally records the LARS/LASSO
+    regularization path the loop already follows: after breakpoint t the
+    iterate x_t minimizes ½‖y−Ax‖² + λ_t‖x‖₁ with λ_t = ‖Aᵀ(y−Ax_t)‖∞
+    (the loop's own c_inf). The history is kept compactly in slot space
+    ((max_iterations+1, k_max) values + indices and the λ sequence) and
+    returned as a third element: (x, report, (hist_v, hist_i, hist_l)).
+    No reference analog — its loop visits the same breakpoints but only
+    returns the endpoint (homotopy-cpu.cpp:274).
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
@@ -234,10 +248,21 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
         c_act0 = jnp.zeros((1,), dtype)
         d_act0 = jnp.zeros((1,), dtype)
 
+    if record_path:
+        # row 0 = the λ-max end of the path (x = 0, λ0 = ‖Aᵀy‖∞)
+        hist_v0 = jnp.zeros((max_iterations + 1, k_max), dtype)
+        hist_i0 = jnp.full((max_iterations + 1, k_max), n, jnp.int32)
+        hist_l0 = jnp.zeros((max_iterations + 1,), dtype).at[0].set(c_inf0)
+    else:  # pytree-shaped dummies, machinery off
+        hist_v0 = jnp.zeros((1, 1), dtype)
+        hist_i0 = jnp.zeros((1, 1), jnp.int32)
+        hist_l0 = jnp.zeros((1,), dtype)
+
     init = _LoopState(
         it=jnp.uint32(0), x=x0, c=c0, c_inf=c_inf0, direction=d0,
         inv=inv0, gk=gk0, c_act=c_act0, d_act=d_act0,
         broke=jnp.bool_(False),
+        hist_v=hist_v0, hist_i=hist_i0, hist_l=hist_l0,
     )
 
     def compute_q(s: _LoopState):
@@ -338,17 +363,32 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
             d1 = _update_direction(inv1, c1, tol, n, dtype)
         c_inf1 = jnp.max(jnp.abs(c1))
 
+        c_inf_out = jnp.where(empty, s.c_inf, c_inf1)
+        if record_path:
+            row = jnp.int32(it)
+            vals = jnp.take(x1, inv1.indices, mode="fill", fill_value=0)
+            hist_v = lax.dynamic_update_slice(s.hist_v, vals[None, :],
+                                              (row, jnp.int32(0)))
+            hist_i = lax.dynamic_update_slice(s.hist_i,
+                                              inv1.indices[None, :],
+                                              (row, jnp.int32(0)))
+            hist_l = lax.dynamic_update_slice(
+                s.hist_l, c_inf_out[None], (row,))
+        else:
+            hist_v, hist_i, hist_l = s.hist_v, s.hist_i, s.hist_l
+
         return _LoopState(
             it=it,
             x=x1,
             c=c1,
-            c_inf=jnp.where(empty, s.c_inf, c_inf1),
+            c_inf=c_inf_out,
             direction=d1,
             inv=inv1,
             gk=gk1,
             c_act=c_act1,
             d_act=d_act1,
             broke=empty,
+            hist_v=hist_v, hist_i=hist_i, hist_l=hist_l,
         )
 
     def cond(s: _LoopState):
@@ -359,4 +399,6 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
 
     final = lax.while_loop(cond, body, init)
     report = HomotopyReportArrays(iter=final.it, solution_error=final.c_inf)
+    if record_path:
+        return final.x, report, (final.hist_v, final.hist_i, final.hist_l)
     return final.x, report

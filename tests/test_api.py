@@ -311,3 +311,32 @@ def test_irls_cg_update_column():
                                                max_iterations=60)
     assert ra.iter == rb.iter
     np.testing.assert_array_equal(xa, xb)
+
+
+def test_solve_path_regularization_breakpoints():
+    """solve_path (beyond reference): records the LARS/LASSO breakpoints
+    the loop already visits. Contract: lambda strictly decreases from
+    ‖Aᵀy‖∞; every breakpoint satisfies its own KKT identity
+    ‖Aᵀ(y−Ax_t)‖∞ = λ_t; the final row equals solve()."""
+    rng = np.random.RandomState(3)
+    m, n, k = 64, 128, 5
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    x0 = np.zeros(n, np.float32)
+    x0[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    y = A @ x0
+
+    s = ss.Homotopy(A, engine="jax")
+    lambdas, Xs, rep = s.solve_path(y, tolerance=1e-3, max_iterations=60)
+    assert len(lambdas) == rep.iter + 1 == Xs.shape[0]
+    assert np.all(np.diff(lambdas) < 1e-6)
+    assert np.abs(Xs[0]).max() == 0.0
+    np.testing.assert_allclose(lambdas[0], np.max(np.abs(A.T @ y)),
+                               rtol=1e-6)
+    for t in range(len(lambdas)):
+        np.testing.assert_allclose(
+            np.max(np.abs(A.T @ (y - A @ Xs[t]))), lambdas[t],
+            rtol=1e-4, atol=1e-6)
+    xf, repf = s.solve(y, tolerance=1e-3, max_iterations=60)
+    assert repf.iter == rep.iter
+    np.testing.assert_allclose(Xs[-1], xf, atol=1e-6)
