@@ -17,6 +17,7 @@ Mesh axes:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -61,6 +62,63 @@ def _pad_vec(y, pad):
 # Replicated Gram matrices above this size are not built automatically in
 # the sharded solver (n² bytes *per device*).
 _SHARDED_GRAM_AUTO_BYTES = 1 << 30
+
+
+@functools.lru_cache(maxsize=128)
+def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
+                         batch_native: bool, overlap_split: int,
+                         max_iterations: int, k_max: int, certified: bool):
+    """Build (and cache) the jitted shard_map'd homotopy solve for one
+    static configuration. Caching at module level makes repeated *eager*
+    ``homotopy_sharded`` calls amortized like the construct-once
+    unsharded API — without it every serving call re-traced the
+    shard_map. ``tolerance`` is a traced argument (no recompiles across
+    tolerances); jit itself re-specializes per input shape."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
+             out_specs=(P(DATA_AXIS, None),
+                        (P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(A_local, Y_local, tol):
+        from ..ops import blas
+        n = A_local.shape[1]  # row shards keep every column (global n)
+        m_global = A_local.shape[0] * mesh.shape[ROW_AXIS]
+        with blas.precision_scope(path_precision):
+            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                              ROW_AXIS) if gram else None)
+            if batch_native:
+                from ..solvers.homotopy_batch import solve_homotopy_batch
+                X, rep = solve_homotopy_batch(
+                    A_local, G, Y_local, tol, max_iterations, k_max,
+                    axis=ROW_AXIS)
+            else:
+                op = RowShardedOperator(A_local, ROW_AXIS, G,
+                                        split=overlap_split)
+                # With a replicated Gram and few lanes per device, the
+                # γ-scan product q = AᵀAd comes from Gram-column gathers —
+                # zero collectives per iteration (SURVEY.md §2.4 north
+                # star); the dense two-step (one psum) wins once the
+                # local batch is large.
+                local_batch = Y_local.shape[0]
+                sparse = gram and local_batch * k_max < 2 * m_global
+                solve = lambda y_local: solve_homotopy_core(
+                    op, n, y_local, tol, max_iterations, k_max,
+                    sparse_matvec=sparse)
+                X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
+        err = rep.solution_error
+        if certified:
+            # sharded certificate: per-shard partial correlations of the
+            # returned solutions, one psum over the row axis, at "high"
+            # precision (the solver's own convergence criterion)
+            with blas.precision_scope("high"):
+                r_loc = Y_local - blas.xgemm(X, A_local, trans_b=True)
+                c_part = blas.xgemm(r_loc, A_local)
+            c = jax.lax.psum(c_part, ROW_AXIS)
+            err = jnp.max(jnp.abs(c), axis=-1).astype(err.dtype)
+        return X, (rep.iter, err)
+
+    return jax.jit(run)
 
 
 def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
@@ -146,48 +204,10 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS)),
-             out_specs=(P(DATA_AXIS, None),
-                        (P(DATA_AXIS), P(DATA_AXIS))),
-             check_vma=False)
-    def run(A_local, Y_local):
-        from ..ops import blas
-        with blas.precision_scope(path_precision):
-            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
-                              ROW_AXIS) if gram else None)
-            if batch_native:
-                from ..solvers.homotopy_batch import solve_homotopy_batch
-                X, rep = solve_homotopy_batch(
-                    A_local, G, Y_local, tolerance, max_iterations, k_max,
-                    axis=ROW_AXIS)
-            else:
-                op = RowShardedOperator(A_local, ROW_AXIS, G,
-                                        split=overlap_split)
-                # With a replicated Gram and few lanes per device, the
-                # γ-scan product q = AᵀAd comes from Gram-column gathers —
-                # zero collectives per iteration (SURVEY.md §2.4 north
-                # star); the dense two-step (one psum) wins once the
-                # local batch is large.
-                local_batch = Y_local.shape[0]
-                sparse = gram and local_batch * k_max < 2 * A.shape[0]
-                solve = lambda y_local: solve_homotopy_core(
-                    op, n, y_local, tolerance, max_iterations, k_max,
-                    sparse_matvec=sparse)
-                X, rep = jax.vmap(solve)(Y_local)
-        err = rep.solution_error
-        if certified:
-            # sharded certificate: per-shard partial correlations of the
-            # returned solutions, one psum over the row axis, at "high"
-            # precision (the solver's own convergence criterion)
-            with blas.precision_scope("high"):
-                r_loc = Y_local - blas.xgemm(X, A_local, trans_b=True)
-                c_part = blas.xgemm(r_loc, A_local)
-            c = jax.lax.psum(c_part, ROW_AXIS)
-            err = jnp.max(jnp.abs(c), axis=-1).astype(err.dtype)
-        return X, (rep.iter, err)
-
-    X, (iters, errs) = run(A, Y)
+    fn = _homotopy_sharded_fn(mesh, path_precision, bool(gram),
+                              bool(batch_native), overlap_split,
+                              max_iterations, k_max, certified)
+    X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.homotopy import HomotopyReportArrays
     rep = HomotopyReportArrays(iter=iters, solution_error=errs)
     if certified:
