@@ -263,27 +263,36 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
+    fn = _irls_sharded_fn(mesh, mode, use_rinv, max_iterations)
+    X, (iters, errs, spd) = fn(Q, R, Y, jnp.asarray(tolerance, Q.dtype))
+    from ..solvers.irls import IrlsReportArrays
+    return X, IrlsReportArrays(iter=iters, solution_error=errs,
+                               spd_failure=spd)
+
+
+@functools.lru_cache(maxsize=128)
+def _irls_sharded_fn(mesh: Mesh, mode: str, use_rinv: bool,
+                     max_iterations: int):
+    """Cached jitted shard_map'd IRLS solve (see _homotopy_sharded_fn)."""
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(ROW_AXIS, None), P(None, None),
-                       P(DATA_AXIS, ROW_AXIS)),
+                       P(DATA_AXIS, ROW_AXIS), P()),
              out_specs=(P(DATA_AXIS, None),
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
-    def run(Q_local, R_rep, Y_local):
+    def run(Q_local, R_rep, Y_local, tol):
         from ..ops import blas
         qop = RowShardedOperator(Q_local, ROW_AXIS)
         r_inv = (blas.xtrsm(R_rep, jnp.eye(R_rep.shape[0], dtype=R_rep.dtype),
                             lower=False) if use_rinv else None)
         solve = lambda y_local: solve_irls_core(
-            qop, R_rep, y_local, tolerance, max_iterations, mode=mode,
+            qop, R_rep, y_local, tol, max_iterations, mode=mode,
             r_inv=r_inv)
         X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
         return X, (rep.iter, rep.solution_error, rep.spd_failure)
 
-    X, (iters, errs, spd) = run(Q, R, Y)
-    from ..solvers.irls import IrlsReportArrays
-    return X, IrlsReportArrays(iter=iters, solution_error=errs,
-                               spd_failure=spd)
+    return jax.jit(run)
 
 
 def irls_cg_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
@@ -309,37 +318,50 @@ def irls_cg_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
-    from ..ops.operators import ColShardedOperator
-    from ..solvers.irls_cg import solve_irls_cg_core
 
     m, n = A.shape
     n_dev = mesh.shape[ROW_AXIS]
     pad = (-n) % n_dev
     if pad:
         A = jnp.pad(A, ((0, 0), (0, pad)))
-    n_local = (n + pad) // n_dev
+
+    fn = _irls_cg_sharded_fn(mesh, n, max_iterations, p, k_sparsity,
+                             cg_max_iterations, cg_tolerance)
+    X, (iters, errs, spd) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
+    if pad:
+        X = X[:, :n]
+    from ..solvers.irls import IrlsReportArrays
+    return X, IrlsReportArrays(iter=iters, solution_error=errs,
+                               spd_failure=spd)
+
+
+@functools.lru_cache(maxsize=128)
+def _irls_cg_sharded_fn(mesh: Mesh, n: int, max_iterations: int, p: float,
+                        k_sparsity: int | None, cg_max_iterations: int | None,
+                        cg_tolerance: float | None):
+    """Cached jitted shard_map'd CG-IRLS solve (see _homotopy_sharded_fn).
+    ``n`` is the true (unpadded) column count; padded shapes are read off
+    the local shard."""
+    from ..ops.operators import ColShardedOperator
+    from ..solvers.irls_cg import solve_irls_cg_core
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, ROW_AXIS), P(DATA_AXIS, None)),
+             in_specs=(P(None, ROW_AXIS), P(DATA_AXIS, None), P()),
              out_specs=(P(DATA_AXIS, ROW_AXIS),
                         (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
-    def run(A_local, Y_local):
+    def run(A_local, Y_local, tol):
+        m, n_local = A_local.shape
         op = ColShardedOperator(A_local, ROW_AXIS)
         solve = lambda y: solve_irls_cg_core(
-            op.matvec, op.rmatvec, m, n, y, tolerance, max_iterations,
+            op.matvec, op.rmatvec, m, n, y, tol, max_iterations,
             p=p, k_sparsity=k_sparsity, cg_max_iterations=cg_max_iterations,
             cg_tolerance=cg_tolerance, dtype=A_local.dtype,
             n_local=n_local, n_axis=ROW_AXIS)
         X, rep = jax.vmap(solve)(Y_local)
         return X, (rep.iter, rep.solution_error, rep.spd_failure)
 
-    X, (iters, errs, spd) = run(A, Y)
-    if pad:
-        X = X[:, :n]
-    from ..solvers.irls import IrlsReportArrays
-    return X, IrlsReportArrays(iter=iters, solution_error=errs,
-                               spd_failure=spd)
+    return jax.jit(run)
 
 
 def shard_inputs(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray):
