@@ -28,8 +28,9 @@ import sparse_solvers_tpu as ss
 
 
 def main():
-    args = [int(a) for a in sys.argv[1:4]] or [128, 256, 6]
-    m, n, k = (args + [128, 256, 6])[:3]
+    args = [int(a) for a in sys.argv[1:4]]
+    defaults = [128, 256, 6]
+    m, n, k = args + defaults[len(args):]
     rng = np.random.RandomState(0)
     A = rng.randn(m, n).astype(np.float32)
     A /= np.linalg.norm(A, axis=0)

@@ -80,13 +80,14 @@ def main():
     new_col = np.random.RandomState(99).randn(m).astype(np.float32)
     new_col /= np.linalg.norm(new_col)
     solver.update_column(7, new_col)
-    A[:, 7] = new_col  # keep the host copy in sync for the probe below
-    y = jax.device_put(np.outer(np.ones(1, np.float32),
-                                A @ np.eye(n, dtype=np.float32)[7]))
-    Xc, repc = solver.solve_batch_on_device(y, tol, max_iter)
+    # probe with the SAME batch shape the loop serves: the compiled
+    # program (keyed on shape and plan) is genuinely reused — a
+    # different batch size would be a fresh jit specialization
+    probe = jax.device_put(np.tile(new_col, (batch, 1)))
+    Xc, repc = solver.solve_batch_on_device(probe, tol, max_iter)
     hit = int(np.argmax(np.asarray(Xc)[0]))
     print(f"after update_column(7): probe for the new gallery entry "
-          f"recovers column {hit} (expected 7), no recompile")
+          f"recovers column {hit} (expected 7), same compiled program")
 
 
 if __name__ == "__main__":

@@ -323,18 +323,24 @@ class Homotopy:
         return plan
 
     def _fn(self, max_iterations: int, batch: int | None,
-            precision: str | None = None):
+            precision: str | None = None, record_path: bool = False):
         """Compiled solve program. ``precision`` overrides the instance
-        setting (used by the certified re-solve path)."""
+        setting (used by the certified re-solve path); ``record_path``
+        (single-signal only) runs the core with breakpoint recording and
+        returns (x, report, histories) — the solve_path entry."""
         _check_max_iterations(max_iterations)
         precision = precision or self._precision
         certified = precision == "certified"
+        if record_path and (certified or batch is not None):
+            raise ValueError(
+                "record_path is a single-signal core option at a concrete "
+                "precision (solve_path resolves certified to 'high')")
         # certified mode: the path itself runs at one-pass ("default")
         # precision; the certificate below restores trust in the result
         path_precision = "default" if certified else precision
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
         key = (max_iterations, k_max, batch is not None, sparse,
-               batch_native, precision)
+               batch_native, precision, record_path)
         fn = self._cache.get(key)
         if fn is None:
             if batch_native:
@@ -348,7 +354,8 @@ class Homotopy:
                     with _blas.precision_scope(path_precision):
                         return _homotopy.solve_homotopy_core(
                             op, self._n, y, tol, max_iterations, k_max,
-                            mode=self._mode, sparse_matvec=sparse)
+                            mode=self._mode, sparse_matvec=sparse,
+                            record_path=record_path)
                 path = core
                 if batch is not None:
                     path = jax.vmap(core, in_axes=(None, None, 0, None))
@@ -415,11 +422,16 @@ class Homotopy:
         The homotopy loop already visits every breakpoint of
         min ½‖y−Ax‖² + λ‖x‖₁ as λ decreases from ‖Aᵀy‖∞ to the
         tolerance; this records them instead of returning only the
-        endpoint. Returns ``(lambdas, Xs, HomotopyReport)`` with
-        ``lambdas`` of shape (T,) strictly from the path (λ₀ = ‖Aᵀy‖∞,
-        x₀ = 0) and ``Xs`` of shape (T, n), T = report.iter + 1 — the
-        classic model-selection sweep for one compiled solve's cost plus
-        a compact (max_iterations+1, k_max) slot-space history.
+        endpoint. Returns ``(lambdas, Xs, HomotopyReport)``: λ_t is the
+        loop's own ‖Aᵀ(y−Ax_t)‖∞ at each committed breakpoint (λ₀ =
+        ‖Aᵀy‖∞ at x₀ = 0; a break iteration commits nothing and its
+        duplicate row is trimmed), and ``Xs[t]`` satisfies that KKT
+        identity exactly. λ decreases monotonically on well-posed
+        instances; on adversarial ones the reference's initial-direction
+        quirk (sign(‖c‖∞)=+1 even for a negative max correlation,
+        homotopy-cpu.cpp:223-227) can transiently raise it — recorded
+        as-is. One compiled solve's cost plus a compact
+        (max_iterations+1, k_max) slot-space history.
         Runs on the jax engine; ``precision="certified"`` paths record
         at parity-grade "high" precision (the per-breakpoint iterates
         are the product here — a one-pass trajectory would certify only
@@ -428,21 +440,10 @@ class Homotopy:
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
-        k_max, sparse, _ = self._plan(max_iterations, None)
         precision = ("high" if self._precision == "certified"
                      else self._precision)
-        key = ("path", max_iterations, k_max, sparse, precision)
-        fn = self._cache.get(key)
-        if fn is None:
-            def run(A, G, y, tol):
-                op = _operators.DenseOperator(A, G)
-                with _blas.precision_scope(precision):
-                    return _homotopy.solve_homotopy_core(
-                        op, self._n, y, tol, max_iterations, k_max,
-                        mode=self._mode, sparse_matvec=sparse,
-                        record_path=True)
-            fn = jax.jit(run)
-            self._cache[key] = fn
+        fn = self._fn(max_iterations, batch=None, precision=precision,
+                      record_path=True)
         x, rep, (hv, hi, hl) = fn(self._A, self._G, y, tol)
         x, it, err, hv, hi, hl = jax.device_get(
             (x, rep.iter, rep.solution_error, hv, hi, hl))
@@ -452,7 +453,13 @@ class Homotopy:
         valid = hi < self._n
         rows = np.broadcast_to(np.arange(T)[:, None], hi.shape)
         Xs[rows[valid], hi[valid]] = hv[valid]
-        return (hl[:T], Xs,
+        lam = hl[:T]
+        # a break-terminated path's final iteration commits nothing and
+        # records a duplicate of the previous breakpoint (see the core's
+        # record_path note) — trim it so lambdas stay strictly decreasing
+        if T >= 2 and lam[-1] == lam[-2] and np.array_equal(Xs[-1], Xs[-2]):
+            lam, Xs = lam[:-1], Xs[:-1]
+        return (lam, Xs,
                 HomotopyReport(iter=int(it), solution_error=float(err)))
 
     def solve_batch(self, B, tolerance: float | None = None,

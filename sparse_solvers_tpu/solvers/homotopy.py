@@ -366,11 +366,18 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
         c_inf_out = jnp.where(empty, s.c_inf, c_inf1)
         if record_path:
             row = jnp.int32(it)
-            vals = jnp.take(x1, inv1.indices, mode="fill", fill_value=0)
+            # a break iteration (empty) commits nothing: γ was clamped to
+            # 0 and the reference breaks BEFORE touching the support —
+            # but the toggle above already ran (vmap executes both
+            # sides), so the recorded row must come from the PRE-toggle
+            # support. It then duplicates the previous breakpoint
+            # exactly; solve_path trims the trailing duplicate.
+            rec_idx = jnp.where(empty, s.inv.indices, inv1.indices)
+            vals = jnp.take(x1, rec_idx, mode="fill", fill_value=0)
             hist_v = lax.dynamic_update_slice(s.hist_v, vals[None, :],
                                               (row, jnp.int32(0)))
             hist_i = lax.dynamic_update_slice(s.hist_i,
-                                              inv1.indices[None, :],
+                                              rec_idx[None, :],
                                               (row, jnp.int32(0)))
             hist_l = lax.dynamic_update_slice(
                 s.hist_l, c_inf_out[None], (row,))

@@ -197,11 +197,12 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
     the Pallas kernels in interpret mode (tests / CPU backends);
     ``ladder`` controls the capacity tiers (see _plan_tiers).
 
-    ``G=None`` runs **gram-free**: the insert's Gram row G[idx, :] is
-    computed on the fly as Aᵀ(A e_idx) with the same (fused) q-product
-    machinery — one extra pass over A per iteration instead of an n×n
-    table in HBM. This is the config-5 regime (n too large for n²
-    bytes); everything else about the path is identical.
+    ``G=None`` runs **gram-free**: the insert's K live Gram entries
+    u1[j] = ⟨A e_ind_j, A e_idx⟩ are computed on the fly — two
+    contiguous row gathers from a transposed copy plus a b·K·m batched
+    dot (see gram_u1 below) — instead of an n×n table in HBM. This is
+    the config-5 regime (n too large for n² bytes); everything else
+    about the path is identical.
 
     ``axis`` runs the driver **row-sharded inside shard_map**: A is the
     local row shard (m_local, n), Y the matching (b_local, m_local)

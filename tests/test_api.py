@@ -329,7 +329,7 @@ def test_solve_path_regularization_breakpoints():
     s = ss.Homotopy(A, engine="jax")
     lambdas, Xs, rep = s.solve_path(y, tolerance=1e-3, max_iterations=60)
     assert len(lambdas) == rep.iter + 1 == Xs.shape[0]
-    assert np.all(np.diff(lambdas) < 1e-6)
+    assert np.all(np.diff(lambdas) < 0)  # strictly decreasing
     assert np.abs(Xs[0]).max() == 0.0
     np.testing.assert_allclose(lambdas[0], np.max(np.abs(A.T @ y)),
                                rtol=1e-6)
@@ -340,3 +340,33 @@ def test_solve_path_regularization_breakpoints():
     xf, repf = s.solve(y, tolerance=1e-3, max_iterations=60)
     assert repf.iter == rep.iter
     np.testing.assert_allclose(Xs[-1], xf, atol=1e-6)
+
+
+def test_solve_path_break_terminated_records_committed_breakpoints():
+    """A break-terminated path (empty-set break: the single active
+    member's removal candidate wins) must record only COMMITTED
+    breakpoints — the break iteration changes nothing and its duplicate
+    row is trimmed, so the final path row still equals solve()'s x and
+    every row keeps its KKT identity (review finding: the pre-fix code
+    recorded the post-toggle, emptied support)."""
+    rng = np.random.RandomState(0)
+    m, n = 16, 3
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    y = (-A[:, 0] + 0.4 * A[:, 1]).astype(np.float32)
+    s = ss.Homotopy(A, engine="jax")
+    lambdas, Xs, rep = s.solve_path(y, tolerance=1e-3, max_iterations=30)
+    xf, repf = s.solve(y, tolerance=1e-3, max_iterations=30)
+    assert rep.iter == repf.iter
+    np.testing.assert_allclose(Xs[-1], xf, atol=1e-6)
+    # the break iteration's duplicate row was trimmed
+    assert len(lambdas) == rep.iter
+    # NOTE no monotonicity assert: on this adversarial fixture the
+    # reference's initial-direction quirk (sign(|c|_inf) = +1 with a
+    # negative max correlation, homotopy-cpu.cpp:223-227) moves x the
+    # wrong way first and lambda transiently INCREASES — recorded as-is.
+    # The KKT identity still holds at every recorded breakpoint:
+    for t in range(len(lambdas)):
+        np.testing.assert_allclose(
+            np.max(np.abs(A.T @ (y - A @ Xs[t]))), lambdas[t],
+            rtol=1e-4, atol=1e-6)
