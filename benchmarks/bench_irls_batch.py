@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--m", type=int, default=None)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -55,6 +58,9 @@ def main():
         m, n, batch, max_iter = 256, 128, 32, 50
     else:
         m, n, batch, max_iter = 2048, 1024, 256, 50
+    m = args.m or m
+    n = args.n or n
+    batch = args.batch or batch
     tol = 1e-3
     # IRLS's contract regime is ~1-sparse detection (docs/algorithms.md
     # §2); additive noise keeps the reweighting iterating for several

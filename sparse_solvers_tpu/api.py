@@ -628,15 +628,15 @@ class Irls:
         return self._Rinv_cache
 
     def _newton_gemm(self, batched: bool) -> bool:
-        """Whether the batched fast path applies the cached R⁻¹ by gemm.
-        Default: on-TPU batched solves (the MXU formulation); SS_IRLS_GEMM
-        =1/0 forces/forbids it anywhere (tests run it on CPU)."""
+        """Whether the batched fast path applies the cached R⁻¹ by gemm
+        (SS_IRLS_GEMM=1 opt-in). Measured on v5e (benchmarks/results/
+        irls_batch_v5e.jsonl): XLA's blocked triangular solve batches
+        across lanes well — gemm vs trsm is within ±5 % at 2048×1024 and
+        4096×2048 — so the default stays on the back-substitution whose
+        fp trajectory matches single solves and earlier rounds exactly."""
         if not batched or self._mode != "fast":
             return False
-        env = os.environ.get("SS_IRLS_GEMM")
-        if env in ("0", "1"):
-            return env == "1"
-        return jax.default_backend() == "tpu"
+        return os.environ.get("SS_IRLS_GEMM") == "1"
 
     @property
     def shape(self):

@@ -247,18 +247,19 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     In mode="fast" the only collective in the whole solve is the single
     psum of rhs = Qᵀy — every iteration is replicated O(n²) work.
 
-    ``newton`` (fast mode; default auto = "gemm" on TPU, "trsm"
-    elsewhere) selects the Newton application like the unsharded batched
-    path: "gemm" inverts the replicated R once per call and applies it
-    as one MXU gemm per iteration across the local lanes (solvers/
-    irls.py _newton_fast — full-f32, algebraically identical).
+    ``newton`` (fast mode; default "trsm" — measured within ±5 % of
+    "gemm" on v5e, and trsm keeps the fp trajectory of single solves)
+    selects the Newton application like the unsharded batched path:
+    "gemm" inverts the replicated R once per call and applies it as one
+    MXU gemm per iteration across the local lanes (solvers/irls.py
+    _newton_fast — full-f32, algebraically identical).
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
     if newton not in (None, "trsm", "gemm"):
         raise ValueError(f"newton must be 'trsm' or 'gemm', got {newton!r}")
     if newton is None:
-        newton = "gemm" if jax.default_backend() == "tpu" else "trsm"
+        newton = "trsm"
     use_rinv = mode == "fast" and newton == "gemm"
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
