@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--m", type=int, default=None)
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--driver-only", action="store_true",
+                    help="skip the vmapped-core comparison leg")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +76,11 @@ def main():
     else:
         # Gram would be 16 GiB — the regime the driver exists for
         m, n, k, batch, max_iter = 2048, 65536, 16, 256, 40
+    m = args.m or m
+    n = args.n or n
+    k = args.k or k
+    batch = args.batch or batch
+    max_iter = max(max_iter, 2 * k + 8)
     tol = 1e-2
     gib = n * n * 4 / (1 << 30)
     A, X0, Y = make_sparse_problem(m, n, k, batch, seed=0)
@@ -94,8 +105,10 @@ def main():
         finally:
             del os.environ["SS_BATCH_NATIVE"]
 
-    for name, run in (("gram_free_driver", run_driver),
-                      ("vmapped_core_fallback", run_core)):
+    cases = [("gram_free_driver", run_driver)]
+    if not args.driver_only:
+        cases.append(("vmapped_core_fallback", run_core))
+    for name, run in cases:
         holder = {}
 
         def call(run=run, holder=holder):
