@@ -228,3 +228,36 @@ def test_single_solve_entry_points_reject_misshaped_signals():
         native.IrlsNative(A).solve(y[:-1], 1e-3, 10)
     with pytest.raises(ValueError):
         native.irls_cg_solve(A.T.copy(), np.zeros(63, np.float32), 1e-3, 10)
+
+
+def test_fuzz_engine_parity_homotopy():
+    """Randomized sweep: the native C++ engine and the jax engine run
+    the identical fast-path algorithm, so across random shapes,
+    sparsities, noise levels and tolerances their iteration counts must
+    agree and solutions match at the reference property tolerance
+    (ties can fork trajectories only on degenerate ensembles, which the
+    unit-norm well-conditioned draws here avoid)."""
+    rng = np.random.RandomState(123)
+    forks = 0
+    trials = 24
+    for t in range(trials):
+        m = int(rng.choice([24, 48, 96]))
+        n = int(rng.choice([16, 64, 160]))
+        k = int(rng.randint(1, max(2, min(m, n) // 6)))
+        tol = float(rng.choice([1e-2, 1e-3]))
+        A = rng.randn(m, n).astype(np.float32)
+        A /= np.linalg.norm(A, axis=0)
+        x_true = np.zeros(n, np.float32)
+        x_true[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1.0, k)
+        y = (A @ x_true).astype(np.float32)
+        x_n, it_n, err_n = native.homotopy_solve(A, y, tol, 80,
+                                                 min(n, 81))
+        x_j, rep_j = ss.Homotopy(A, engine="jax").solve(
+            y, tolerance=tol, max_iterations=80)
+        if it_n != rep_j.iter:
+            forks += 1  # ulp-tie fork: allow rare, require recovery
+            assert err_n <= tol or rep_j.solution_error <= tol, (t, m, n, k)
+            continue
+        np.testing.assert_allclose(x_n, x_j, atol=5e-4,
+                                   err_msg=f"trial {t} {m}x{n} k={k}")
+    assert forks <= trials // 8, f"{forks}/{trials} trajectory forks"
