@@ -331,14 +331,16 @@ class Homotopy:
         _check_max_iterations(max_iterations)
         precision = precision or self._precision
         certified = precision == "certified"
-        if record_path and (certified or batch is not None):
+        if record_path and certified:
             raise ValueError(
-                "record_path is a single-signal core option at a concrete "
-                "precision (solve_path resolves certified to 'high')")
+                "record_path needs a concrete precision "
+                "(solve_path resolves certified to 'high')")
         # certified mode: the path itself runs at one-pass ("default")
         # precision; the certificate below restores trust in the result
         path_precision = "default" if certified else precision
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
+        # breakpoint recording lives in the while-loop core only
+        batch_native = batch_native and not record_path
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native, precision, record_path)
         fn = self._cache.get(key)
@@ -447,20 +449,33 @@ class Homotopy:
         x, rep, (hv, hi, hl) = fn(self._A, self._G, y, tol)
         x, it, err, hv, hi, hl = jax.device_get(
             (x, rep.iter, rep.solution_error, hv, hi, hl))
-        T = int(it) + 1
-        Xs = np.zeros((T, self._n), self.dtype)
-        hv, hi = hv[:T], hi[:T]
-        valid = hi < self._n
-        rows = np.broadcast_to(np.arange(T)[:, None], hi.shape)
-        Xs[rows[valid], hi[valid]] = hv[valid]
-        lam = hl[:T]
-        # a break-terminated path's final iteration commits nothing and
-        # records a duplicate of the previous breakpoint (see the core's
-        # record_path note) — trim it so lambdas stay strictly decreasing
-        if T >= 2 and lam[-1] == lam[-2] and np.array_equal(Xs[-1], Xs[-2]):
-            lam, Xs = lam[:-1], Xs[:-1]
+        lam, Xs = densify_path(hl, hv, hi, int(it), self._n)
         return (lam, Xs,
                 HomotopyReport(iter=int(it), solution_error=float(err)))
+
+    def solve_path_batch(self, B, tolerance: float | None = None,
+                         max_iterations: int = 100):
+        """Batched regularization paths (see ``solve_path``) over signals
+        B of shape (batch, m), sharing one compiled program.
+
+        Returns ``(lambdas, values, indices, reports)`` in the compact
+        slot-space history form — dense (batch, T, n) sweeps would be
+        enormous, so lane ``l``'s breakpoint ``t`` holds solution values
+        ``values[l, t, j]`` at columns ``indices[l, t, j]`` (sentinel n =
+        empty slot), with ``lambdas[l, t]`` its λ; rows beyond
+        ``reports.iter[l]`` are padding. ``densify_path(lambdas[l],
+        values[l], indices[l], int(reports.iter[l]), n)`` reconstructs
+        one lane's dense (T, n) path (and trims the duplicate row of a
+        break-terminated lane)."""
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
+        precision = ("high" if self._precision == "certified"
+                     else self._precision)
+        fn = self._fn(max_iterations, batch=Y.shape[0], precision=precision,
+                      record_path=True)
+        X, rep, (hv, hi, hl) = fn(self._A, self._G, Y, tol)
+        return hl, hv, hi, rep
 
     def solve_batch(self, B, tolerance: float | None = None,
                     max_iterations: int = 100):
@@ -947,6 +962,31 @@ class IrlsCg:
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)
                 if tolerance is None else float(tolerance))
+
+
+def densify_path(lambdas, values, indices, iters: int, n: int):
+    """Reconstruct one dense regularization path from the compact
+    slot-space history (``Homotopy.solve_path`` / ``solve_path_batch``).
+
+    lambdas: (H,), values/indices: (H, k_max) with sentinel index n for
+    empty slots; ``iters`` the lane's report.iter. Returns
+    (lambdas (T,), Xs (T, n)) with the break-terminated duplicate row
+    trimmed (see solvers/homotopy.py record_path)."""
+    lambdas = np.asarray(lambdas)
+    values = np.asarray(values)
+    indices = np.asarray(indices)
+    T = int(iters) + 1
+    Xs = np.zeros((T, n), values.dtype)
+    hv, hi = values[:T], indices[:T]
+    valid = hi < n
+    rows = np.broadcast_to(np.arange(T)[:, None], hi.shape)
+    Xs[rows[valid], hi[valid]] = hv[valid]
+    lam = lambdas[:T]
+    # a break-terminated path's final iteration commits nothing and
+    # records a duplicate of the previous breakpoint — trim it
+    if T >= 2 and lam[-1] == lam[-2] and np.array_equal(Xs[-1], Xs[-2]):
+        lam, Xs = lam[:-1], Xs[:-1]
+    return lam, Xs
 
 
 def reconstruct_signal(A, x):

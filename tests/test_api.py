@@ -370,3 +370,30 @@ def test_solve_path_break_terminated_records_committed_breakpoints():
         np.testing.assert_allclose(
             np.max(np.abs(A.T @ (y - A @ Xs[t]))), lambdas[t],
             rtol=1e-4, atol=1e-6)
+
+
+def test_solve_path_batch_matches_single_paths():
+    """solve_path_batch returns compact per-lane histories; densify_path
+    on each lane reconstructs exactly the single-signal solve_path."""
+    rng = np.random.RandomState(6)
+    m, n, k, b = 64, 128, 4, 3
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = np.zeros((b, m), np.float32)
+    for i in range(b):
+        x0 = np.zeros(n, np.float32)
+        x0[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+        Y[i] = A @ x0
+    s = ss.Homotopy(A, engine="jax")
+    hl, hv, hi, rep = s.solve_path_batch(Y, tolerance=1e-3,
+                                         max_iterations=40)
+    iters = np.asarray(rep.iter)
+    for i in range(b):
+        lam_b, Xs_b = ss.densify_path(hl[i], hv[i], hi[i], int(iters[i]), n)
+        lam_s, Xs_s, rep_s = s.solve_path(Y[i], tolerance=1e-3,
+                                          max_iterations=40)
+        assert rep_s.iter == iters[i]
+        # vmapped vs single programs differ in accumulation order; the
+        # final lambda sits at convergence noise level (~1e-7)
+        np.testing.assert_allclose(lam_b, lam_s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(Xs_b, Xs_s, atol=1e-6)
