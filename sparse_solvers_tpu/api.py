@@ -247,11 +247,14 @@ class Homotopy:
         else:
             self._A, _ = fn(jnp.asarray(self._A), v, j)
 
-    def _plan(self, max_iterations: int, batch: int | None):
+    def _plan(self, max_iterations: int, batch: int | None,
+              record_path: bool = False):
         """Routing decisions for a jax-engine solve of this shape —
         (k_max, sparse_matvec, batch_native). Shared by the compiled-
         program cache and by ``explain`` so the report cannot drift from
-        the executed path."""
+        the executed path (pass ``record_path=True`` when planning a
+        solve_path/solve_path_batch call: breakpoint recording lives in
+        the while-loop core, so the batch driver is off there)."""
         k_max = self._k_max or min(self._n, max_iterations + 1)
         # Sparse (gather-based) A·d only wins while the gathered column
         # traffic (batch·k_max columns) is below a couple of full passes
@@ -269,6 +272,7 @@ class Homotopy:
         # drifted). Without a Gram matrix the driver runs gram-free
         # (on-the-fly active-set Gram entries — the large-n regime).
         batch_native = (self._mode == "fast"
+                        and not record_path
                         and _homotopy_batch.route_batch_native(
                             batch, self._n, self._A.dtype, sparse))
         return k_max, sparse, batch_native
@@ -338,9 +342,8 @@ class Homotopy:
         # certified mode: the path itself runs at one-pass ("default")
         # precision; the certificate below restores trust in the result
         path_precision = "default" if certified else precision
-        k_max, sparse, batch_native = self._plan(max_iterations, batch)
-        # breakpoint recording lives in the while-loop core only
-        batch_native = batch_native and not record_path
+        k_max, sparse, batch_native = self._plan(max_iterations, batch,
+                                                 record_path=record_path)
         key = (max_iterations, k_max, batch is not None, sparse,
                batch_native, precision, record_path)
         fn = self._cache.get(key)
@@ -475,7 +478,12 @@ class Homotopy:
         fn = self._fn(max_iterations, batch=Y.shape[0], precision=precision,
                       record_path=True)
         X, rep, (hv, hi, hl) = fn(self._A, self._G, Y, tol)
-        return hl, hv, hi, rep
+        # ONE fused device->host transfer: per-lane densify_path reads
+        # would otherwise each pay a blocking ~27 ms tunnel round trip
+        hl, hv, hi, it, err = jax.device_get(
+            (hl, hv, hi, rep.iter, rep.solution_error))
+        return hl, hv, hi, _homotopy.HomotopyReportArrays(
+            iter=it, solution_error=err)
 
     def solve_batch(self, B, tolerance: float | None = None,
                     max_iterations: int = 100):
@@ -626,12 +634,15 @@ class Irls:
 
     @property
     def _Rinv(self):
-        """R⁻¹, cached on device for the batched fast path: applying it
-        is one (b,n)×(n,n) MXU gemm per Newton step, where a batched
-        back-substitution is a length-n dependency chain the MXU cannot
-        pipeline across lanes (solvers/irls.py _newton_fast). Computed
-        once by triangular solve against I (exact algebra; fp trajectory
-        differs in the last bits — parity pinned in tests/test_batch.py)."""
+        """R⁻¹, cached on device for the opt-in gemm Newton step
+        (SS_IRLS_GEMM=1): applying it is one (b,n)×(n,n) MXU gemm per
+        batched step. Measured within ±5 % of the default batched
+        back-substitution on v5e (XLA's blocked trsm batches across
+        lanes well — benchmarks/results/irls_batch_v5e.jsonl), so it is
+        kept as an alternative formulation rather than the default.
+        Computed once by triangular solve against I (exact algebra; fp
+        trajectory differs in the last bits — parity pinned in
+        tests/test_batch.py)."""
         if self._Rinv_cache is None:
             R = self._R
             eye = jnp.eye(self._n, dtype=R.dtype)

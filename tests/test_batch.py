@@ -78,7 +78,7 @@ def test_batch_lane_divergence():
 
 def test_irls_batch_gemm_newton_matches_trsm(monkeypatch):
     """SS_IRLS_GEMM=1 applies the cached R⁻¹ by gemm in the batched fast
-    path (the MXU formulation, default on TPU) — algebraically identical
+    path (opt-in alternative formulation) — algebraically identical
     to the back-substitution step; iteration counts match and solutions
     agree at the reference property tolerance (solvers/irls.py
     _newton_fast)."""
