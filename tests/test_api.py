@@ -397,3 +397,23 @@ def test_solve_path_batch_matches_single_paths():
         # final lambda sits at convergence noise level (~1e-7)
         np.testing.assert_allclose(lam_b, lam_s, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(Xs_b, Xs_s, atol=1e-6)
+
+
+def test_solve_path_float64():
+    """The path recording is dtype-generic: f64 paths carry the KKT
+    identity at f64 resolution."""
+    rng = np.random.RandomState(2)
+    m, n, k = 48, 96, 3
+    A = rng.randn(m, n)
+    A /= np.linalg.norm(A, axis=0)
+    x0 = np.zeros(n)
+    x0[rng.choice(n, k, replace=False)] = rng.uniform(0.4, 1, k)
+    y = A @ x0
+    s = ss.Homotopy(A, engine="jax")
+    lambdas, Xs, rep = s.solve_path(y, tolerance=1e-9, max_iterations=40)
+    assert Xs.dtype == np.float64
+    for t in range(len(lambdas)):
+        np.testing.assert_allclose(
+            np.max(np.abs(A.T @ (y - A @ Xs[t]))), lambdas[t],
+            rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(Xs[-1][x0 > 0], x0[x0 > 0], atol=1e-7)

@@ -400,3 +400,33 @@ def test_homotopy_sharded_overlap_split_keeps_vmapped_core(mesh):
     with pytest.raises(ValueError):
         sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=True,
                             overlap_split=2)
+
+
+def test_homotopy_sharded_data_parallel_only():
+    """Pure data-parallel mesh (row=1, data=8) — the production serving
+    shape: A and G replicated, lanes split across devices, zero
+    collectives in the solve. Must match the single-device batch solve
+    exactly, with the batch-native driver engaging under the force."""
+    import os
+    rng = np.random.RandomState(12)
+    m, n, k, b = 48, 128, 4, 16
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    mesh = sh.make_mesh(n_row=1, n_data=8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    os.environ["SS_BATCH_NATIVE"] = "1"
+    try:
+        X, rep = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 40,
+                                     batch_native=True)
+        Xs, rs = ss.Homotopy(A).solve_batch(Y, tolerance=1e-3,
+                                            max_iterations=40)
+    finally:
+        del os.environ["SS_BATCH_NATIVE"]
+    np.testing.assert_array_equal(np.asarray(rep.iter), np.asarray(rs.iter))
+    # the sharded entry builds G inside precision_scope("high"), the api
+    # comparator at the blas default - identical paths, ~1e-5 fp skew
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-4)
