@@ -11,7 +11,7 @@ Public surface mirrors the reference Python package ``sparsesolvers``
 (reference: bindings/python/sparsesolvers/binding.cpp:114-148).
 """
 
-from .api import (Homotopy, Irls, IrlsCg, densify_path,
+from .api import (Homotopy, Irls, IrlsCg, densify_batch, densify_path,
                   reconstruct_signal, norm_l1)
 from .reports import HomotopyReport, IrlsReport
 from .utils.config import version
@@ -22,6 +22,7 @@ __all__ = [
     "IrlsCg",
     "HomotopyReport",
     "IrlsReport",
+    "densify_batch",
     "densify_path",
     "reconstruct_signal",
     "norm_l1",

@@ -252,9 +252,11 @@ class Homotopy:
         """Routing decisions for a jax-engine solve of this shape —
         (k_max, sparse_matvec, batch_native). Shared by the compiled-
         program cache and by ``explain`` so the report cannot drift from
-        the executed path (pass ``record_path=True`` when planning a
-        solve_path/solve_path_batch call: breakpoint recording lives in
-        the while-loop core, so the batch driver is off there)."""
+        the executed path. ``record_path`` solves (solve_path /
+        solve_path_batch) route like ordinary solves: the batch driver
+        records breakpoint histories in its own slot space, so batched
+        path extraction runs at throughput-path speed (single-signal
+        record_path keeps the while-loop core — there is no batch)."""
         k_max = self._k_max or min(self._n, max_iterations + 1)
         # Sparse (gather-based) A·d only wins while the gathered column
         # traffic (batch·k_max columns) is below a couple of full passes
@@ -272,7 +274,6 @@ class Homotopy:
         # drifted). Without a Gram matrix the driver runs gram-free
         # (on-the-fly active-set Gram entries — the large-n regime).
         batch_native = (self._mode == "fast"
-                        and not record_path
                         and _homotopy_batch.route_batch_native(
                             batch, self._n, self._A.dtype, sparse))
         return k_max, sparse, batch_native
@@ -327,11 +328,15 @@ class Homotopy:
         return plan
 
     def _fn(self, max_iterations: int, batch: int | None,
-            precision: str | None = None, record_path: bool = False):
+            precision: str | None = None, record_path: bool = False,
+            dense: bool = True):
         """Compiled solve program. ``precision`` overrides the instance
         setting (used by the certified re-solve path); ``record_path``
-        (single-signal only) runs the core with breakpoint recording and
-        returns (x, report, histories) — the solve_path entry."""
+        runs with breakpoint recording and returns (x, report,
+        histories) — the solve_path/solve_path_batch entry; ``dense=
+        False`` (batch-native only) returns the compact slot-space
+        solution ((values, indices), report) without the (b, n)
+        scatter."""
         _check_max_iterations(max_iterations)
         precision = precision or self._precision
         certified = precision == "certified"
@@ -345,14 +350,15 @@ class Homotopy:
         k_max, sparse, batch_native = self._plan(max_iterations, batch,
                                                  record_path=record_path)
         key = (max_iterations, k_max, batch is not None, sparse,
-               batch_native, precision, record_path)
+               batch_native, precision, record_path, dense)
         fn = self._cache.get(key)
         if fn is None:
             if batch_native:
                 def path(A, G, y, tol):
                     with _blas.precision_scope(path_precision):
                         return _homotopy_batch.solve_homotopy_batch(
-                            A, G, y, tol, max_iterations, k_max)
+                            A, G, y, tol, max_iterations, k_max,
+                            dense=dense, record_path=record_path)
             else:
                 def core(A, G, y, tol):
                     op = _operators.DenseOperator(A, G)
@@ -360,7 +366,7 @@ class Homotopy:
                         return _homotopy.solve_homotopy_core(
                             op, self._n, y, tol, max_iterations, k_max,
                             mode=self._mode, sparse_matvec=sparse,
-                            record_path=record_path)
+                            record_path=record_path, compact=not dense)
                 path = core
                 if batch is not None:
                     path = jax.vmap(core, in_axes=(None, None, 0, None))
@@ -372,9 +378,15 @@ class Homotopy:
                 # so a separate cert program would dominate the
                 # certificate itself
                 def run(A, G, y, tol):
-                    x, rep = path(A, G, y, tol)
+                    out, rep = path(A, G, y, tol)
+                    # compact output: densify on device for the
+                    # certificate only (the transfer saving of
+                    # dense=False is device→host, not device compute)
+                    x = (out if dense else
+                         _homotopy_batch.densify_batch(out[0], out[1],
+                                                       self._n))
                     err = _certified_error(A, x, y)
-                    return x, rep._replace(
+                    return out, rep._replace(
                         solution_error=err.astype(rep.solution_error.dtype))
             else:
                 run = path
@@ -486,11 +498,21 @@ class Homotopy:
             iter=it, solution_error=err)
 
     def solve_batch(self, B, tolerance: float | None = None,
-                    max_iterations: int = 100):
+                    max_iterations: int = 100, dense: bool = True):
         """Batched solve over signals B of shape (batch, m).
 
         Returns (X of shape (batch, n), HomotopyReportArrays pytree with
         per-lane iter/solution_error arrays).
+
+        ``dense=False`` returns ``(values, indices, report)`` — the
+        compact slot-space solution: per lane, ``values[l, j]`` at
+        column ``indices[l, j]`` (sentinel n = empty slot), shapes
+        (batch, k_max). The batch driver holds exactly this state, so
+        the (batch, n) scatter AND its dense device→host transfer are
+        skipped — at the gram-free config-5 scale (n = 131072, b = 128)
+        that is 64 MiB of transfer for ~16 K actual nonzeros (north-star
+        CSR ask, BASELINE.json). ``densify_batch(values, indices, n)``
+        reconstructs the dense X exactly.
         """
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
@@ -501,9 +523,13 @@ class Homotopy:
             X, iters, errs = _native.homotopy_solve_batch(
                 np.asarray(self._A), np.asarray(Y), tol,
                 max_iterations, k_max)
-            return X, _homotopy.HomotopyReportArrays(
+            rep = _homotopy.HomotopyReportArrays(
                 iter=iters.astype(np.uint32), solution_error=errs)
-        X, rep = self._fn(max_iterations, batch=Y.shape[0])(
+            if not dense:
+                vals, idxs = _compact_from_dense(X, k_max)
+                return vals, idxs, rep
+            return X, rep
+        X, rep = self._fn(max_iterations, batch=Y.shape[0], dense=dense)(
             self._A, self._G, Y, tol)
         if self._precision == "certified":
             # lanes whose high-precision certificate misses the tolerance
@@ -524,14 +550,20 @@ class Homotopy:
                 np.asarray(rep.iter) < max_iterations)
             if bad.any():
                 Xh, reph = self._fn(max_iterations, batch=Y.shape[0],
-                                    precision="high")(
+                                    precision="high", dense=dense)(
                     self._A, self._G, Y, tol)
                 sel = jnp.asarray(bad)
-                X = jnp.where(sel[:, None], Xh, X)
+                if dense:
+                    X = jnp.where(sel[:, None], Xh, X)
+                else:
+                    X = (jnp.where(sel[:, None], Xh[0], X[0]),
+                         jnp.where(sel[:, None], Xh[1], X[1]))
                 rep = type(rep)(
                     iter=jnp.where(sel, reph.iter, rep.iter),
                     solution_error=jnp.where(sel, reph.solution_error,
                                              rep.solution_error))
+        if not dense:
+            return X[0], X[1], rep
         return X, rep
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
@@ -547,7 +579,8 @@ class Homotopy:
             self._A, self._G, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
-                              max_iterations: int = 100):
+                              max_iterations: int = 100,
+                              dense: bool = True):
         """Jit-composable batched solve over device arrays.
 
         Y: (batch, m) device array; tolerance may be a traced scalar.
@@ -555,6 +588,8 @@ class Homotopy:
         device→host transfer — composes under an outer ``jax.jit`` /
         ``shard_map`` (the serving-loop entry point; ``solve_batch``
         wraps this plus host-side conversion and engine routing).
+        ``dense=False`` returns ((values, indices), report) — the
+        compact slot-space solution (see ``solve_batch``).
 
         Under precision="certified" the per-lane solution_error is the
         fused high-precision certificate; the automatic re-solve of
@@ -562,7 +597,7 @@ class Homotopy:
         cannot live under jit) — check ``solution_error <= tolerance``
         per lane downstream.
         """
-        return self._fn(max_iterations, batch=Y.shape[0])(
+        return self._fn(max_iterations, batch=Y.shape[0], dense=dense)(
             self._A, self._G, Y, tolerance)
 
     def _tol(self, tolerance):
@@ -973,6 +1008,30 @@ class IrlsCg:
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)
                 if tolerance is None else float(tolerance))
+
+
+def _compact_from_dense(X, k_max: int):
+    """Host-side compact (values, indices) form of a dense batch
+    solution — the native engine's ``dense=False`` leg. Each lane's
+    nonzero coordinates (≤ k_max by the active-set capacity) padded
+    with the sentinel n; scatter(values, indices) == X by construction
+    (a zero-valued active coordinate contributes nothing either way)."""
+    X = np.asarray(X)
+    b, n = X.shape
+    vals = np.zeros((b, k_max), X.dtype)
+    idxs = np.full((b, k_max), n, np.int32)
+    for lane in range(b):
+        nz = np.flatnonzero(X[lane])[:k_max]
+        vals[lane, : len(nz)] = X[lane, nz]
+        idxs[lane, : len(nz)] = nz
+    return vals, idxs
+
+
+def densify_batch(values, indices, n: int):
+    """Scatter a compact slot-space batch solution (``solve_batch(...,
+    dense=False)``) back to the dense (batch, n) form — see
+    solvers/homotopy_batch.densify_batch."""
+    return np.asarray(_homotopy_batch.densify_batch(values, indices, n))
 
 
 def densify_path(lambdas, values, indices, iters: int, n: int):

@@ -67,17 +67,20 @@ _SHARDED_GRAM_AUTO_BYTES = 1 << 30
 @functools.lru_cache(maxsize=128)
 def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                          batch_native: bool, overlap_split: int,
-                         max_iterations: int, k_max: int, certified: bool):
+                         max_iterations: int, k_max: int, certified: bool,
+                         dense: bool = True, overlap_blocks: int = 1):
     """Build (and cache) the jitted shard_map'd homotopy solve for one
     static configuration. Caching at module level makes repeated *eager*
     ``homotopy_sharded`` calls amortized like the construct-once
     unsharded API — without it every serving call re-traced the
     shard_map. ``tolerance`` is a traced argument (no recompiles across
     tolerances); jit itself re-specializes per input shape."""
+    out_spec = (P(DATA_AXIS, None) if dense
+                else (P(DATA_AXIS, None), P(DATA_AXIS, None)))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
-             out_specs=(P(DATA_AXIS, None),
+             out_specs=(out_spec,
                         (P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
     def run(A_local, Y_local, tol):
@@ -91,7 +94,8 @@ def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                 from ..solvers.homotopy_batch import solve_homotopy_batch
                 X, rep = solve_homotopy_batch(
                     A_local, G, Y_local, tol, max_iterations, k_max,
-                    axis=ROW_AXIS)
+                    axis=ROW_AXIS, dense=dense,
+                    overlap_blocks=overlap_blocks)
             else:
                 op = RowShardedOperator(A_local, ROW_AXIS, G,
                                         split=overlap_split)
@@ -104,15 +108,19 @@ def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                 sparse = gram and local_batch * k_max < 2 * m_global
                 solve = lambda y_local: solve_homotopy_core(
                     op, n, y_local, tol, max_iterations, k_max,
-                    sparse_matvec=sparse)
+                    sparse_matvec=sparse, compact=not dense)
                 X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
         err = rep.solution_error
         if certified:
             # sharded certificate: per-shard partial correlations of the
             # returned solutions, one psum over the row axis, at "high"
-            # precision (the solver's own convergence criterion)
+            # precision (the solver's own convergence criterion).
+            # Compact output densifies locally for the certificate only
+            # (the saving of dense=False is the host transfer).
+            from ..solvers.homotopy_batch import densify_batch
+            Xd = X if dense else densify_batch(X[0], X[1], n)
             with blas.precision_scope("high"):
-                r_loc = Y_local - blas.xgemm(X, A_local, trans_b=True)
+                r_loc = Y_local - blas.xgemm(Xd, A_local, trans_b=True)
                 c_part = blas.xgemm(r_loc, A_local)
             c = jax.lax.psum(c_part, ROW_AXIS)
             err = jnp.max(jnp.abs(c), axis=-1).astype(err.dtype)
@@ -125,12 +133,29 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      max_iterations: int, k_max: int | None = None,
                      gram: bool | None = None, overlap_split: int = 1,
                      precision: str = "high",
-                     batch_native: bool | None = None):
+                     batch_native: bool | None = None,
+                     dense: bool = True,
+                     overlap_blocks: int | None = None):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
     Y: (batch, m) — batch over "data", m over "row".
     Returns (X: (batch, n) sharded over "data", reports pytree).
+    ``dense=False`` returns ``(values, indices, reports)`` — the compact
+    slot-space solution, shapes (batch, k_max) with sentinel index n
+    (see ``Homotopy.solve_batch``); the (batch, n) scatter and its
+    device→host transfer are skipped.
+
+    ``overlap_blocks`` (batch-native driver only; default auto: 4 when
+    the row axis is actually sharded and n ≥ 512, else 1) splits each
+    iteration's q = AᵀA d into that many independent column-block
+    products, each ending in its own psum, so XLA's async collectives
+    overlap block j's all-reduce with block j+1's local MXU gemm — the
+    north-star "overlap collective with next matvec tile" applied to
+    the throughput driver (the vmapped core's analog is
+    ``overlap_split``). Exact: identical per-element products and psum
+    trees (tests pin both the HLO collective structure and exactness
+    vs the unsplit driver). Pass 1 to disable.
 
     ``precision`` follows the api's MXU settings ("highest"/"high"/
     "default"/"certified"). Under "certified" the path runs at one-pass
@@ -201,12 +226,22 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                       and k_max < n)
             batch_native = route_batch_native(local_batch, n, A.dtype,
                                               sparse)
+    if overlap_blocks is None:
+        # auto: overlap only when there is a psum to hide (row axis
+        # actually sharded) and enough columns for ≥128-lane blocks
+        overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
+                                and n >= 512) else 1)
+    if overlap_blocks > 1 and not batch_native:
+        raise ValueError(
+            "overlap_blocks splits the batch-native driver's q psum; "
+            "the vmapped core's analog is overlap_split")
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
     fn = _homotopy_sharded_fn(mesh, path_precision, bool(gram),
                               bool(batch_native), overlap_split,
-                              max_iterations, k_max, certified)
+                              max_iterations, k_max, certified,
+                              dense=dense, overlap_blocks=overlap_blocks)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.homotopy import HomotopyReportArrays
     rep = HomotopyReportArrays(iter=iters, solution_error=errs)
@@ -223,18 +258,26 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         bad = (~(np.asarray(errs) <= float(tolerance))
                & (np.asarray(iters) < max_iterations))
         if bad.any():
-            Xh, rh = homotopy_sharded(
+            out_h = homotopy_sharded(
                 mesh, A[:A.shape[0] - pad] if pad else A,
                 Y[:, :Y.shape[1] - pad] if pad else Y,
                 tolerance, max_iterations, k_max=k_max, gram=gram,
                 overlap_split=overlap_split, precision="high",
-                batch_native=batch_native)
+                batch_native=batch_native, dense=dense,
+                overlap_blocks=overlap_blocks)
+            rh = out_h[-1]
             sel = jnp.asarray(bad)
-            X = jnp.where(sel[:, None], Xh, X)
+            if dense:
+                X = jnp.where(sel[:, None], out_h[0], X)
+            else:
+                X = (jnp.where(sel[:, None], out_h[0], X[0]),
+                     jnp.where(sel[:, None], out_h[1], X[1]))
             rep = HomotopyReportArrays(
                 iter=jnp.where(sel, rh.iter, rep.iter),
                 solution_error=jnp.where(sel, rh.solution_error,
                                          rep.solution_error))
+    if not dense:
+        return X[0], X[1], rep
     return X, rep
 
 

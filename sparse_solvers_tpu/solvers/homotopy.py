@@ -191,7 +191,8 @@ def solve_homotopy(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
                         max_iterations: int, k_max: int, *,
                         mode: str = "fast", sparse_matvec: bool = False,
-                        use_gk: bool = False, record_path: bool = False):
+                        use_gk: bool = False, record_path: bool = False,
+                        compact: bool = False):
     """Homotopy path loop over an abstract sensing operator.
 
     ``op`` supplies matvec/rmatvec/gram_column (ops/operators.py) — dense on
@@ -211,6 +212,11 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     returned as a third element: (x, report, (hist_v, hist_i, hist_l)).
     No reference analog — its loop visits the same breakpoints but only
     returns the endpoint (homotopy-cpu.cpp:274).
+
+    ``compact`` (static, exclusive with record_path's third element)
+    returns ((values, indices), report) — the k_max-slot active-set
+    solution with sentinel index n — instead of the dense (n,) x; the
+    north-star CSR-style output (api solve_batch dense=False).
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
@@ -408,4 +414,11 @@ def solve_homotopy_core(op, n: int, y: jnp.ndarray, tolerance,
     report = HomotopyReportArrays(iter=final.it, solution_error=final.c_inf)
     if record_path:
         return final.x, report, (final.hist_v, final.hist_i, final.hist_l)
+    if compact:
+        # slot-space solution (values at active indices, sentinel n) —
+        # the loop's own active-set state, so scatter(values, indices)
+        # reproduces final.x exactly (api solve_batch dense=False)
+        vals = jnp.take(final.x, final.inv.indices, mode="fill",
+                        fill_value=0)
+        return (vals, final.inv.indices), report
     return final.x, report

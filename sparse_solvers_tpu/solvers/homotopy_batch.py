@@ -189,7 +189,10 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
                          use_kernel: bool | None = None,
                          ladder: bool | None = None,
                          fused_q: bool | None = None,
-                         axis: str | None = None):
+                         axis: str | None = None,
+                         dense: bool = True,
+                         record_path: bool = False,
+                         overlap_blocks: int = 1):
     """Fast-mode batched homotopy — the slot-space throughput driver.
 
     A: (m, n); G = AᵀA (n, n) or None; Y: (b, m). Returns (X (b, n),
@@ -213,17 +216,55 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
     and the transition kernel are replicated across the row axis (they
     are identical deterministic functions of the psum'd q), which is the
     same replication contract as the sharded vmapped core
-    (parallel/sharding.py)."""
+    (parallel/sharding.py).
+
+    ``dense=False`` skips the final (b, n) scatter and returns the
+    driver's own compact slot-space solution ``((values, indices),
+    report)`` — values (b, k_max) at columns indices (b, k_max), with
+    sentinel ``n`` marking empty slots. This is the CSR-style output the
+    north star asks for (BASELINE.json): at config-5 scale
+    (n = 131072, b = 128) the dense form is a 64 MiB device→host
+    transfer for ~16 K actual nonzeros; the compact form moves
+    2·b·k_max values. ``densify_batch`` reconstructs the dense X
+    exactly.
+
+    ``record_path=True`` additionally records the LARS/LASSO breakpoint
+    history the loop already visits (see solvers/homotopy.py
+    ``record_path``) and returns it as a third element
+    ``(hist_v (b, T, k_max), hist_i (b, T, k_max), hist_l (b, T))``
+    with T = max_iterations + 1 — the same compact slot-space form as
+    the vmapped core's, lane-for-lane (tests/test_batch_native.py).
+    The history carries live outside the driver's state so the
+    ``record_path=False`` trace — the headline program — is unchanged.
+
+    ``overlap_blocks`` > 1 (sharded only) splits each iteration's
+    q = AᵀA d into that many independent column-block products, each
+    ending in its own ``psum`` — block j's all-reduce overlaps with
+    block j+1's local gemm (the north-star "overlap collective with
+    next matvec tile", SURVEY.md §2.4). The per-element products are
+    identical (each q element is still one dot over the local rows
+    followed by the same psum tree), so the path is exact vs the
+    unsplit driver."""
     n = A.shape[1]
+    T = max_iterations + 1
     if Y.shape[0] == 0:
         # empty batch: the Pallas kernels' block shapes cannot be built
         # for b=0 (and there is nothing to solve)
-        return (jnp.zeros((0, n), A.dtype),
-                HomotopyReportArrays(
-                    iter=jnp.zeros((0,), jnp.uint32),
-                    solution_error=jnp.zeros((0,), A.dtype)))
+        report = HomotopyReportArrays(
+            iter=jnp.zeros((0,), jnp.uint32),
+            solution_error=jnp.zeros((0,), A.dtype))
+        out = (jnp.zeros((0, n), A.dtype) if dense else
+               (jnp.zeros((0, k_max), A.dtype),
+                jnp.full((0, k_max), n, jnp.int32)))
+        if record_path:
+            return out, report, (jnp.zeros((0, T, k_max), A.dtype),
+                                 jnp.full((0, T, k_max), n, jnp.int32),
+                                 jnp.zeros((0, T), A.dtype))
+        return out, report
     tiers = _plan_tiers(k_max, max_iterations, ladder)
-    state = None
+    b = Y.shape[0]
+    bidx = jnp.arange(b)
+    state = hist = None
     for t, Kt in enumerate(tiers):
         # non-final tiers stop before any lane could need slot Kt: with
         # it < Kt−1 every lane's support is ≤ it+1 ≤ Kt−1 < Kt, so the
@@ -231,33 +272,86 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
         cap = None if t == len(tiers) - 1 else Kt - 1
         init, body, lane_live = make_stepper(
             A, G, Y, tolerance, max_iterations, Kt, use_kernel, it_cap=cap,
-            fused_q=fused_q, axis=axis)
+            fused_q=fused_q, axis=axis, overlap_blocks=overlap_blocks)
         st = init if state is None else _embed(state, Kt, n)
-        state = lax.while_loop(lambda s, _live=lane_live: jnp.any(_live(s)),
-                               body, st)
+        if not record_path:
+            state = lax.while_loop(
+                lambda s, _live=lane_live: jnp.any(_live(s)), body, st)
+            continue
+        # breakpoint history (slot space, like the core's): row 0 is the
+        # λ-max end of the path (x = 0, λ0 = ‖Aᵀy‖∞); each live lane's
+        # iteration writes its post-transition slot state at row it+1.
+        # Frozen lanes are dropped by the sentinel row T (mode="drop"),
+        # matching the vmapped core where batching masks their updates.
+        if hist is None:
+            hist = (jnp.zeros((b, T, Kt), A.dtype),
+                    jnp.full((b, T, Kt), n, jnp.int32),
+                    jnp.zeros((b, T), A.dtype).at[:, 0].set(st.c_inf))
+        else:
+            p = Kt - hist[0].shape[2]
+            hist = (jnp.pad(hist[0], ((0, 0), (0, 0), (0, p))),
+                    jnp.pad(hist[1], ((0, 0), (0, 0), (0, p)),
+                            constant_values=n),
+                    hist[2])
+
+        def rec_body(carry, _body=body, _live=lane_live):
+            s, (hv, hi, hl) = carry
+            live = _live(s)
+            s1 = _body(s)
+            rows = jnp.where(live, s1.it, jnp.uint32(T)).astype(jnp.int32)
+            hv = hv.at[bidx, rows].set(s1.x_act, mode="drop")
+            hi = hi.at[bidx, rows].set(s1.indices, mode="drop")
+            hl = hl.at[bidx, rows].set(s1.c_inf, mode="drop")
+            return s1, (hv, hi, hl)
+
+        state, hist = lax.while_loop(
+            lambda c, _live=lane_live: jnp.any(_live(c[0])),
+            rec_body, (st, hist))
     final = state
-    b = final.c.shape[0]
-    bidx = jnp.arange(b)
-    X = jnp.zeros((b, n), A.dtype).at[bidx[:, None], final.indices].set(
-        final.x_act, mode="drop")
+    if dense:
+        out = jnp.zeros((b, n), A.dtype).at[
+            bidx[:, None], final.indices].set(final.x_act, mode="drop")
+    else:
+        out = (final.x_act, final.indices)
     report = HomotopyReportArrays(iter=final.it,
                                   solution_error=final.c_inf)
-    return X, report
+    if record_path:
+        return out, report, hist
+    return out, report
+
+
+def densify_batch(values: jnp.ndarray, indices: jnp.ndarray, n: int):
+    """Scatter a compact slot-space batch solution (``dense=False``)
+    back to dense (b, n) — values (b, K) at columns indices (b, K),
+    sentinel ``n`` = empty slot. Works on numpy or jax arrays."""
+    values = jnp.asarray(values)
+    indices = jnp.asarray(indices)
+    b = values.shape[0]
+    return jnp.zeros((b, n), values.dtype).at[
+        jnp.arange(b)[:, None], indices].set(values, mode="drop")
 
 
 def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                  use_kernel: bool | None = None, it_cap: int | None = None,
-                 fused_q: bool | None = None, axis: str | None = None):
+                 fused_q: bool | None = None, axis: str | None = None,
+                 overlap_blocks: int = 1):
     """Build (initial state, body, lane_live) for the batch driver —
     exposed so tests can step the iteration eagerly. ``it_cap`` freezes
     lanes at an iteration bound (the capacity-ladder phase boundary:
     such lanes resume unchanged in the next tier's loop). ``fused_q``
     controls the one-pass bf16 q-product kernel (None = auto). ``G=None``
-    = gram-free, ``axis`` = row-shard psum axis (see solve_homotopy_batch)."""
+    = gram-free, ``axis`` = row-shard psum axis, ``overlap_blocks``
+    splits the sharded q product into independently-psum'd column blocks
+    (see solve_homotopy_batch)."""
     b, _ = Y.shape
     n = A.shape[1]
     K = k_max
     dtype = A.dtype
+    if overlap_blocks > 1 and axis is None:
+        raise ValueError(
+            "overlap_blocks splits the sharded q psum into column-block "
+            "collectives; without a shard axis there is no psum to "
+            "overlap — pass axis=... or overlap_blocks=1")
     if dtype != jnp.float32:
         raise ValueError(
             "the batch-native driver is float32 (its Pallas kernels are); "
@@ -278,18 +372,43 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     # once (ops/pallas/kernels.py normal_matvec_fused_bf16). Numerics
     # match the DEFAULT two-gemm form (same bf16 roundings) up to f32
     # accumulation order.
+    if overlap_blocks > 1:
+        # the overlapped form is the explicit two-step: one local gemm
+        # for p = A d, then per-column-block partial products each ending
+        # in its own psum — the fused one-pass kernel produces q whole
+        # and would serialize behind a single blocking all-reduce
+        fused_q = False
     if fused_q is None:
         fused_q = (use_kernel
                    and blas.current_precision() == _lax.Precision.DEFAULT
                    and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
     A16 = A.astype(jnp.bfloat16) if fused_q else None
 
-    def qprod(D):
-        """q = AᵀA D (psum'd over the row shards when sharded)."""
-        if fused_q:
-            return psum(_kern.normal_matvec_fused_bf16(A16, D,
-                                                       interpret=interp))
-        return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+    if overlap_blocks > 1:
+        blk = -(-n // overlap_blocks)
+
+        def qprod(D):
+            """q = AᵀA d as overlap_blocks column-block products, each
+            psum'd independently: the all-reduce of block j has no data
+            dependence on block j+1's local gemm, so XLA's async
+            collectives (all-reduce-start/done) hide each psum behind
+            the next block's MXU work (north star: overlap collective
+            with next matvec tile). Exact: every q element is the same
+            local-row dot followed by the same psum reduction tree as
+            the unsplit form."""
+            p = blas.xgemm(D, A, trans_b=True)       # (b, m_local) local
+            return jnp.concatenate(
+                [psum(blas.xgemm(p, _lax.slice_in_dim(A, j0,
+                                                      min(j0 + blk, n),
+                                                      axis=1)))
+                 for j0 in range(0, n, blk)], axis=1)
+    else:
+        def qprod(D):
+            """q = AᵀA D (psum'd over the row shards when sharded)."""
+            if fused_q:
+                return psum(_kern.normal_matvec_fused_bf16(
+                    A16, D, interpret=interp))
+            return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
 
     # Gram-free insert column: the transition consumes ONLY the K live
     # entries u1[j] = (AᵀA)[ind_j, idx] = ⟨A e_ind_j, A e_idx⟩ (plus the
