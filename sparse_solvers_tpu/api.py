@@ -618,10 +618,20 @@ class Irls:
     affects exact mode). IRLS has no "certified" variant: its reported
     solution_error is the reweighting schedule's eps (irls-cpu.cpp:123),
     not a residual, so there is no convergence criterion to certify.
+
+    ``stabilized=True`` (beyond reference) normalizes each Newton
+    iterate by its maximum before the threshold/eps/weight updates,
+    removing the reference recurrence's intrinsic scale divergence —
+    which otherwise drives min(w) through the Cholesky/pivot floor
+    after ~4 iterations (f32) / ~8 (f64) on Gaussian ensembles at
+    n ≥ 512, ending every sufficiently-hard solve in ``spd_failure``
+    (docs/algorithms.md §2a). Support decisions per iteration are
+    unchanged (the threshold selects by ratios); lanes run until the
+    do-while's own criterion decides. Currently jax-engine only.
     """
 
     def __init__(self, A, engine: str = "auto", mode: str = "fast",
-                 precision: str = "highest"):
+                 precision: str = "highest", stabilized: bool = False):
         if engine not in ("auto", "jax", "native"):
             raise ValueError(
                 f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
@@ -631,9 +641,14 @@ class Irls:
             raise ValueError(
                 "precision must be 'highest', 'high' or 'default' "
                 f"(IRLS has no certified variant), got {precision!r}")
+        if stabilized and engine == "native":
+            raise ValueError(
+                "stabilized IRLS runs on the jax engine (the native host "
+                "backend implements the reference recurrence)")
         self._engine = engine
         self._precision = precision
         self._mode = mode
+        self._stabilized = bool(stabilized)
         self._native = None
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
@@ -720,19 +735,22 @@ class Irls:
                 "qr_cached": self._QR_cache is not None}
         if self._newton_gemm(batched=batch is not None):
             plan["newton"] = "gemm(R^-1), cached inverse"
+        if self._stabilized:
+            plan["stabilized"] = True
         return plan
 
     def _fn(self, max_iterations: int, batched: bool):
         _check_max_iterations(max_iterations)
         gemm = self._newton_gemm(batched)
-        key = (max_iterations, batched, gemm)
+        key = (max_iterations, batched, gemm, self._stabilized)
         fn = self._cache.get(key)
         if fn is None:
             def core(Q, R, y, tol, r_inv=None):
                 with _blas.precision_scope(self._precision):
                     return _irls.solve_irls(Q, R, y, tol,
                                             max_iterations=max_iterations,
-                                            mode=self._mode, r_inv=r_inv)
+                                            mode=self._mode, r_inv=r_inv,
+                                            stabilized=self._stabilized)
             if batched:
                 run = jax.vmap(core, in_axes=(None, None, 0, None, None))
             else:
@@ -746,7 +764,9 @@ class Irls:
         return fn
 
     def _use_native(self, probe: bool = False) -> bool:
-        if self._engine == "jax":
+        # stabilized mode exists only in the jax engine (ctor rejects an
+        # explicit engine="native"; auto routing skips it here)
+        if self._engine == "jax" or self._stabilized:
             return False
         return _route_native(self._engine, self._m, self._n, probe)
 

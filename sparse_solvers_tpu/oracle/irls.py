@@ -13,8 +13,14 @@ import numpy as np
 import scipy.linalg as sla
 
 
-def solve(A, y, tolerance, max_iterations=100):
-    """Returns (x, iterations, eps, spd_failure)."""
+def solve(A, y, tolerance, max_iterations=100, stabilized=False):
+    """Returns (x, iterations, eps, spd_failure).
+
+    ``stabilized`` is the oracle counterpart of the solver's
+    scale-stabilized variant (solvers/irls.py solve_irls_core): the
+    Newton iterate is divided by its maximum before the threshold/eps/
+    weight updates, removing the reference recurrence's intrinsic scale
+    divergence. Support decisions per iteration are unchanged."""
     A = np.asarray(A, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     m, n = A.shape
@@ -37,6 +43,10 @@ def solve(A, y, tolerance, max_iterations=100):
             spd = True
             break
 
+        if stabilized:
+            mx = np.max(xn)
+            if mx > 0:
+                xn = xn / mx
         abstol = np.max(xn) * tolerance
         xn = np.where(xn < abstol, 0.0, xn)
         x = xn.copy()

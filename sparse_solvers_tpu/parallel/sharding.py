@@ -283,7 +283,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
                  tolerance, max_iterations: int, mode: str = "fast",
-                 newton: str | None = None):
+                 newton: str | None = None, stabilized: bool = False):
     """Row-sharded, batch-sharded IRLS solve given the economy QR of A.
 
     Q: (m, n) row-sharded; R: (n, n) replicated; Y: (batch, m).
@@ -296,6 +296,10 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     "gemm" inverts the replicated R once per call and applies it as one
     MXU gemm per iteration across the local lanes (solvers/irls.py
     _newton_fast — full-f32, algebraically identical).
+
+    ``stabilized`` selects the scale-stabilized iteration (see
+    ``api.Irls``; the per-lane max is lane-local state, so nothing
+    about the communication contract changes).
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
@@ -307,7 +311,8 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
     Q, pad = _pad_rows(Q, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
 
-    fn = _irls_sharded_fn(mesh, mode, use_rinv, max_iterations)
+    fn = _irls_sharded_fn(mesh, mode, use_rinv, max_iterations,
+                          bool(stabilized))
     X, (iters, errs, spd) = fn(Q, R, Y, jnp.asarray(tolerance, Q.dtype))
     from ..solvers.irls import IrlsReportArrays
     return X, IrlsReportArrays(iter=iters, solution_error=errs,
@@ -316,7 +321,7 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
 
 @functools.lru_cache(maxsize=128)
 def _irls_sharded_fn(mesh: Mesh, mode: str, use_rinv: bool,
-                     max_iterations: int):
+                     max_iterations: int, stabilized: bool = False):
     """Cached jitted shard_map'd IRLS solve (see _homotopy_sharded_fn)."""
 
     @partial(shard_map, mesh=mesh,
@@ -332,7 +337,7 @@ def _irls_sharded_fn(mesh: Mesh, mode: str, use_rinv: bool,
                             lower=False) if use_rinv else None)
         solve = lambda y_local: solve_irls_core(
             qop, R_rep, y_local, tol, max_iterations, mode=mode,
-            r_inv=r_inv)
+            r_inv=r_inv, stabilized=stabilized)
         X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
         return X, (rep.iter, rep.solution_error, rep.spd_failure)
 

@@ -109,19 +109,22 @@ def _newton_fast(R, rhs, w, dtype, r_inv=None):
 
 
 def solve_irls(Q: jnp.ndarray, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-               max_iterations: int, *, mode: str = "fast", r_inv=None):
+               max_iterations: int, *, mode: str = "fast", r_inv=None,
+               stabilized: bool = False):
     """Run IRLS given the economy QR of A; returns (x, IrlsReportArrays).
 
     Pure function of device arrays — jit/vmap-safe (Q, R broadcast across
-    vmapped signals). ``max_iterations`` and ``mode`` are static.
+    vmapped signals). ``max_iterations``, ``mode`` and ``stabilized``
+    are static.
     """
     from ..ops.operators import DenseOperator
     return solve_irls_core(DenseOperator(Q), R, y, tolerance, max_iterations,
-                           mode=mode, r_inv=r_inv)
+                           mode=mode, r_inv=r_inv, stabilized=stabilized)
 
 
 def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
-                    max_iterations: int, *, mode: str = "fast", r_inv=None):
+                    max_iterations: int, *, mode: str = "fast", r_inv=None,
+                    stabilized: bool = False):
     """IRLS loop over an abstract Q operator (dense or row-sharded).
 
     mode="fast" (default) uses the algebraically collapsed Newton step
@@ -131,6 +134,27 @@ def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
     gemm+Cholesky step per iteration. ``r_inv`` (fast mode only) applies
     a precomputed R⁻¹ instead of back-substitution — the batched MXU
     formulation (see _newton_fast).
+
+    ``stabilized`` (beyond reference; composes with either mode) divides
+    each Newton iterate by its maximum before the threshold/eps/weight
+    updates. The reference recurrence is scale-divergent by
+    construction: w is sum-normalized while x = R⁻¹(Qᵀy ∘ w⁻¹), so every
+    iteration multiplies x's scale by Σ(x²+eps)^(p/2−1) — ×10³–10⁵ at
+    n ≥ 512 — while eps stays frozen at its early-iteration floor
+    (eps ← min(eps, x₂/n) never rescales). min(w) therefore collapses
+    by the same factor^1.1 per iteration and crosses the Cholesky/pivot
+    floor after ~4 iterations in f32 (~8 in f64) on Gaussian ensembles
+    — the all-bail regime the round-3 benchmarks recorded
+    (docs/algorithms.md §2a has the measured traces). Normalizing the
+    iterate makes every quantity scale-free: the support decisions are
+    unchanged (threshold abstol = max·tol selects by the same ratios),
+    the eps rule becomes genuinely relative, and the weight floor is
+    bounded below by (x₂/(n·max))^0.55/n — unreachable in f32 before
+    convergence — so lanes iterate until the do-while's own criterion
+    (the runner-up falling below tol·max) decides. Same per-iteration
+    operation count as the reference recurrence plus one O(n) scale
+    pass. Reference: irls-cpu.cpp:92-118 (the recurrence being
+    stabilized); oracle/irls.py carries the f64 oracle counterpart.
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
@@ -173,8 +197,16 @@ def solve_irls_core(qop, R: jnp.ndarray, y: jnp.ndarray, tolerance,
                               broke=jnp.bool_(True))
 
         def on_ok(_):
-            abstol = jnp.max(xn) * tol                       # :100
-            xt = jnp.where(xn < abstol, jnp.array(0, dtype), xn)  # :103
+            if stabilized:
+                # scale-free iterate: divide by the max (guarded against
+                # a degenerate all-nonpositive solve, where the reference
+                # arithmetic would zero everything anyway)
+                mx = jnp.max(xn)
+                xs = jnp.where(mx > 0, xn / mx, xn)
+            else:
+                xs = xn
+            abstol = jnp.max(xs) * tol                       # :100
+            xt = jnp.where(xs < abstol, jnp.array(0, dtype), xs)  # :103
             x2 = lax.top_k(xt, 2)[0][1]                      # :107 (raw values)
             eps = jnp.minimum(s.eps, x2 / jnp.array(n, dtype))    # :110
             w = jnp.power(xt * xt + eps, jnp.array(p / 2.0 - 1.0, dtype))  # :113
