@@ -131,6 +131,32 @@ def main():
          mean_iterations=float(np.mean(np.asarray(ri.iter))),
          spd_failures=int(np.sum(np.asarray(ri.spd_failure))))
 
+    # --- config 3 at its literal shape: IrlsCg on 512×1024 -------------
+    # BASELINE.json configs[2] reads "IRLS … on the same 512×1024
+    # problems" — underdetermined, which the reference IRLS rejects
+    # outright (qr assert; irls_test.cpp:53 "underdetermined systems not
+    # supported"); the row above records the reference-faithful
+    # overdetermined counterpart. This row covers the config as written
+    # with the framework's factorization-free CG-IRLS (api.IrlsCg,
+    # beyond-reference), so the table carries a passing solver at the
+    # literal shape next to the reference-faithful one.
+    Ac, Yc, supc = make_ensemble(m, n, k, batch, seed=2)  # 512×1024 k=32
+    csolver = ss.IrlsCg(Ac, k_sparsity=2 * k, cg_max_iterations=96)
+    tol_cg, it_cg = 1e-3, 30
+    Xc, rc = csolver.solve_batch(Yc, tolerance=tol_cg, max_iterations=it_cg)
+    np.asarray(rc.iter)
+    t0 = time.time()
+    Xc, rc = csolver.solve_batch(Yc, tolerance=tol_cg, max_iterations=it_cg)
+    np.asarray(rc.iter)
+    dt = time.time() - t0
+    Xc = np.asarray(Xc)
+    emit(bench="baseline_config", config=3,
+         name=f"irls_cg_{m}x{n}_k{k}_literal_shape",
+         solves_per_sec=round(batch / dt, 2),
+         exact_support_rate=support_rate(Xc, supc),
+         mean_iterations=float(np.mean(np.asarray(rc.iter))),
+         spd_failures=int(np.sum(np.asarray(rc.spd_failure))))
+
     # --- config 4: 10k signals vs shared 1024×4096 A --------------------
     m4, n4, k4 = (256, 1024, 8) if args.quick else (1024, 4096, 32)
     total = 512 if args.quick else 10_000

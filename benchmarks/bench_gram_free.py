@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--driver-only", action="store_true",
                     help="skip the vmapped-core comparison leg")
+    ap.add_argument("--transfer", action="store_true",
+                    help="also measure the dense-vs-compact host-return "
+                         "end-to-end delta (solve_batch dense=False)")
     args = ap.parse_args()
 
     import jax
@@ -130,9 +133,50 @@ def main():
              batch=batch, tol=tol, max_iterations=max_iter,
              ms_per_batch=round(sec * 1e3, 2),
              solves_per_sec=round(batch / sec, 1),
+             nnz_per_sec=round(batch / sec * k, 1),
              mean_iters=float(iters.mean()),
              recovery_max_err=err, exact_support_rate=sup_ok,
              device=dev.device_kind, gram_gib=round(gib, 1))
+
+    if args.transfer:
+        # end-to-end host-return delta: the dense (b, n) scatter + f32
+        # transfer vs the compact slot-space (values, indices) return
+        # (solve_batch(dense=False)) — the north-star CSR ask measured
+        # at the scale it matters (n = 131072 → 64 MiB dense vs ~2·b·k_max
+        # elements compact). Timed per call INCLUDING np.asarray host
+        # materialization; parity asserted via densify_batch.
+        os.environ["SS_BATCH_NATIVE"] = "1"
+        try:
+            def run_dense():
+                X, rep = solver.solve_batch(Y, tol, max_iter)
+                return np.asarray(X), rep
+
+            def run_compact():
+                v, i, rep = solver.solve_batch(Y, tol, max_iter,
+                                               dense=False)
+                return np.asarray(v), np.asarray(i), rep
+
+            Xd, _ = run_dense()
+            vc, ic, _ = run_compact()   # warm both executables
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                Xd, _ = run_dense()
+            sec_d = (time.perf_counter() - t0) / args.reps
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                vc, ic, _ = run_compact()
+            sec_c = (time.perf_counter() - t0) / args.reps
+        finally:
+            del os.environ["SS_BATCH_NATIVE"]
+        Xrt = np.asarray(ss.densify_batch(vc, ic, n))
+        assert np.array_equal(Xrt, Xd), "compact/dense parity violated"
+        emit(bench="gram_free_transfer", m=m, n=n, k=k, batch=batch,
+             tol=tol, max_iterations=max_iter,
+             ms_end_to_end_dense=round(sec_d * 1e3, 2),
+             ms_end_to_end_compact=round(sec_c * 1e3, 2),
+             dense_bytes=int(Xd.nbytes),
+             compact_bytes=int(vc.nbytes + ic.nbytes),
+             device=dev.device_kind)
 
 
 if __name__ == "__main__":
