@@ -18,14 +18,171 @@
 //
 // Build: make -C csrc   (g++ -O3 -march=native -shared -fPIC)
 
+#include <dlfcn.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <string>
 #include <thread>
 #include <vector>
+
+// ------------------------------------------------- runtime BLAS loader
+//
+// The reference's whole backend story is a dlopen'd OpenBLAS chosen at
+// runtime (blas_wrapper.cpp:27-66, BlasUtils.cmake:20-50). This is the
+// same mechanism for this host engine: the Python wrapper discovers a
+// CBLAS shared library (numpy/scipy bundle one; SS_NATIVE_BLAS
+// overrides) and hands it to ss_blas_load(); the O(m·n) streaming loops
+// below then run through vendor gemv/gemm/ger instead of the scalar
+// fallbacks. Symbol names are parameterized (prefix/suffix/int-width)
+// because wheel-bundled OpenBLAS builds mangle them (scipy_cblas_sgemv,
+// scipy_cblas_sgemv64_, cblas_sgemv64_, ...). Unlike the reference,
+// which abort()s when no BLAS loads (blas_wrapper.cpp:46-48), every
+// call site keeps its scalar fallback — the engine degrades, never
+// dies.
+
+namespace rtblas {
+
+enum { kRowMajor = 101, kNoTrans = 111, kTrans = 112 };
+
+// CBLAS order/trans enums stay C `int` in ILP64 builds; only the
+// dimension/stride arguments widen to 64-bit.
+template <typename I, typename T>
+using gemv_fn = void (*)(int, int, I, I, T, const T*, I, const T*, I, T,
+                         T*, I);
+template <typename I, typename T>
+using gemm_fn = void (*)(int, int, int, I, I, I, T, const T*, I, const T*,
+                         I, T, T*, I);
+template <typename I, typename T>
+using ger_fn = void (*)(int, I, I, T, const T*, I, const T*, I, T*, I);
+// openblas_set/get_num_threads take/return blasint; passing an int64_t
+// is ABI-safe for both widths on x86-64/aarch64 (callee reads the low
+// half in LP64 builds).
+using set_thr_fn = void (*)(int64_t);
+using get_thr_fn = int64_t (*)();
+
+struct Table {
+  void* handle = nullptr;
+  bool ilp64 = false;
+  void* sgemv = nullptr;
+  void* dgemv = nullptr;
+  void* sgemm = nullptr;
+  void* dgemm = nullptr;
+  void* sger = nullptr;
+  void* dger = nullptr;
+  set_thr_fn set_threads = nullptr;
+  get_thr_fn get_threads = nullptr;
+  bool complete() const {
+    return sgemv && dgemv && sgemm && dgemm && sger && dger;
+  }
+};
+
+inline Table g;
+// separate kill switch so tests can force the scalar fallbacks in the
+// same process (a dlopen'd library cannot be meaningfully unloaded)
+inline std::atomic<bool> g_enabled{true};
+
+inline bool active() {
+  return g_enabled.load(std::memory_order_relaxed) && g.complete();
+}
+
+// y = alpha * op(A) x + beta * y; A row-major (rows x cols), leading
+// dimension lda >= cols (lda > cols strides over a wider parent buffer).
+inline void gemv(bool trans, int rows, int cols, float alpha,
+                 const float* A, int lda, const float* x, float beta,
+                 float* y) {
+  if (g.ilp64)
+    reinterpret_cast<gemv_fn<int64_t, float>>(g.sgemv)(
+        kRowMajor, trans ? kTrans : kNoTrans, rows, cols, alpha, A, lda,
+        x, 1, beta, y, 1);
+  else
+    reinterpret_cast<gemv_fn<int32_t, float>>(g.sgemv)(
+        kRowMajor, trans ? kTrans : kNoTrans, rows, cols, alpha, A, lda,
+        x, 1, beta, y, 1);
+}
+
+inline void gemv(bool trans, int rows, int cols, double alpha,
+                 const double* A, int lda, const double* x, double beta,
+                 double* y) {
+  if (g.ilp64)
+    reinterpret_cast<gemv_fn<int64_t, double>>(g.dgemv)(
+        kRowMajor, trans ? kTrans : kNoTrans, rows, cols, alpha, A, lda,
+        x, 1, beta, y, 1);
+  else
+    reinterpret_cast<gemv_fn<int32_t, double>>(g.dgemv)(
+        kRowMajor, trans ? kTrans : kNoTrans, rows, cols, alpha, A, lda,
+        x, 1, beta, y, 1);
+}
+
+// C (M x N, row-major, ldc=N) = A (M x K, lda) * B^T (B is N x K, ldb)
+inline void gemm_nt(int M, int N, int K, float alpha, const float* A,
+                    int lda, const float* B, int ldb, float beta,
+                    float* C) {
+  if (g.ilp64)
+    reinterpret_cast<gemm_fn<int64_t, float>>(g.sgemm)(
+        kRowMajor, kNoTrans, kTrans, M, N, K, alpha, A, lda, B, ldb, beta,
+        C, N);
+  else
+    reinterpret_cast<gemm_fn<int32_t, float>>(g.sgemm)(
+        kRowMajor, kNoTrans, kTrans, M, N, K, alpha, A, lda, B, ldb, beta,
+        C, N);
+}
+
+inline void gemm_nt(int M, int N, int K, double alpha, const double* A,
+                    int lda, const double* B, int ldb, double beta,
+                    double* C) {
+  if (g.ilp64)
+    reinterpret_cast<gemm_fn<int64_t, double>>(g.dgemm)(
+        kRowMajor, kNoTrans, kTrans, M, N, K, alpha, A, lda, B, ldb, beta,
+        C, N);
+  else
+    reinterpret_cast<gemm_fn<int32_t, double>>(g.dgemm)(
+        kRowMajor, kNoTrans, kTrans, M, N, K, alpha, A, lda, B, ldb, beta,
+        C, N);
+}
+
+// A (rows x cols, row-major, lda) += alpha * x y^T
+inline void ger(int rows, int cols, float alpha, const float* x,
+                const float* y, float* A, int lda) {
+  if (g.ilp64)
+    reinterpret_cast<ger_fn<int64_t, float>>(g.sger)(
+        kRowMajor, rows, cols, alpha, x, 1, y, 1, A, lda);
+  else
+    reinterpret_cast<ger_fn<int32_t, float>>(g.sger)(
+        kRowMajor, rows, cols, alpha, x, 1, y, 1, A, lda);
+}
+
+inline void ger(int rows, int cols, double alpha, const double* x,
+                const double* y, double* A, int lda) {
+  if (g.ilp64)
+    reinterpret_cast<ger_fn<int64_t, double>>(g.dger)(
+        kRowMajor, rows, cols, alpha, x, 1, y, 1, A, lda);
+  else
+    reinterpret_cast<ger_fn<int32_t, double>>(g.dger)(
+        kRowMajor, rows, cols, alpha, x, 1, y, 1, A, lda);
+}
+
+// Scoped BLAS-internal thread clamp for the solver thread pools: the
+// pool is the parallelism, nested vendor threading would oversubscribe
+// the cores (the batch workers each issue their own gemvs).
+struct ThreadClamp {
+  int64_t prev = -1;
+  explicit ThreadClamp(int nworkers) {
+    if (active() && nworkers > 1 && g.set_threads) {
+      prev = g.get_threads ? g.get_threads() : -1;
+      g.set_threads(1);
+    }
+  }
+  ~ThreadClamp() {
+    if (prev > 0 && g.set_threads) g.set_threads(prev);
+  }
+};
+
+}  // namespace rtblas
 
 namespace {
 
@@ -157,9 +314,15 @@ struct HomotopyWork {
     // cblas ixamax semantics the reference relies on)
     int idx = 0;
     T c_inf = 0;
-    for (int j = 0; j < n; ++j) {
-      c[j] = dot(col(j), y, m);
-      if (std::abs(c[j]) > c_inf) { c_inf = std::abs(c[j]); idx = j; }
+    if (rtblas::active()) {
+      rtblas::gemv(false, n, m, T(1), At, m, y, T(0), c.data());
+      for (int j = 0; j < n; ++j)
+        if (std::abs(c[j]) > c_inf) { c_inf = std::abs(c[j]); idx = j; }
+    } else {
+      for (int j = 0; j < n; ++j) {
+        c[j] = dot(col(j), y, m);
+        if (std::abs(c[j]) > c_inf) { c_inf = std::abs(c[j]); idx = j; }
+      }
     }
 
     toggle(idx);
@@ -174,7 +337,11 @@ struct HomotopyWork {
       std::fill(p.begin(), p.end(), T(0));
       for (int s = 0; s < inv.k; ++s)
         axpy(d[inv.cols[s]], col(inv.cols[s]), p.data(), m);
-      for (int j = 0; j < n; ++j) q[j] = dot(col(j), p.data(), m);
+      // the solve's dominant O(m·n) stream: one pass over A per iteration
+      if (rtblas::active())
+        rtblas::gemv(false, n, m, T(1), At, m, p.data(), T(0), q.data());
+      else
+        for (int j = 0; j < n; ++j) q[j] = dot(col(j), p.data(), m);
 
       // gamma scan, leftmost running-min (homotopy-cpu.cpp:100-164)
       T gmin = big;
@@ -257,13 +424,15 @@ struct HomotopyWork {
 template <typename T>
 struct QRFactors {
   int m, n;
-  std::vector<T> Q;  // m x n column-major
-  std::vector<T> R;  // n x n row-major
+  std::vector<T> Q;   // m x n column-major
+  std::vector<T> R;   // n x n row-major
+  std::vector<T> G0;  // n x n row-major: G0[i][j] = <Q_i, Q_j>
 
   QRFactors(const T* At, int m_, int n_) : m(m_), n(n_) {
     std::vector<T> W(At, At + size_t(n) * m);  // working copy, cols contiguous
     std::vector<T> tau(n);
     std::vector<std::vector<T>> V(n);
+    std::vector<T> sbuf(n);
     for (int j = 0; j < n; ++j) {
       T* wj = &W[size_t(j) * m];
       T normx = std::sqrt(dot(wj + j, wj + j, m - j));
@@ -273,11 +442,21 @@ struct QRFactors {
       v[0] -= alpha;
       T vnorm2 = dot(v.data(), v.data(), m - j);
       tau[j] = vnorm2 > 0 ? T(2) / vnorm2 : T(0);
-      // apply reflector to remaining columns
-      for (int jj = j; jj < n; ++jj) {
-        T* w = &W[size_t(jj) * m];
-        T s = tau[j] * dot(v.data(), w + j, m - j);
-        for (int i = 0; i < m - j; ++i) w[j + i] -= s * v[i];
+      // apply reflector to remaining columns: column-major W's trailing
+      // block is, viewed row-major, an (n-j) x (m-j) matrix with lda=m —
+      // s = blk·v then blk -= tau s v^T (BLAS-2 when a runtime BLAS is
+      // loaded; same arithmetic as the scalar loops)
+      if (rtblas::active() && tau[j] != 0) {
+        T* blk = &W[size_t(j) * m + j];
+        rtblas::gemv(false, n - j, m - j, T(1), blk, m, v.data(), T(0),
+                     sbuf.data());
+        rtblas::ger(n - j, m - j, -tau[j], sbuf.data(), v.data(), blk, m);
+      } else {
+        for (int jj = j; jj < n; ++jj) {
+          T* w = &W[size_t(jj) * m];
+          T s = tau[j] * dot(v.data(), w + j, m - j);
+          for (int i = 0; i < m - j; ++i) w[j + i] -= s * v[i];
+        }
       }
       V[j] = std::move(v);
     }
@@ -289,11 +468,35 @@ struct QRFactors {
     for (int j = 0; j < n; ++j) Q[size_t(j) * m + j] = T(1);
     for (int j = n - 1; j >= 0; --j) {
       if (tau[j] == 0) continue;
-      for (int jj = 0; jj < n; ++jj) {
-        T* qcol = &Q[size_t(jj) * m];
-        T s = tau[j] * dot(V[j].data(), qcol + j, m - j);
-        for (int i = 0; i < m - j; ++i) qcol[j + i] -= s * V[j][i];
+      if (rtblas::active()) {
+        T* blk = &Q[j];  // rows = all n columns of Q, cols = m - j, lda=m
+        rtblas::gemv(false, n, m - j, T(1), blk, m, V[j].data(), T(0),
+                     sbuf.data());
+        rtblas::ger(n, m - j, -tau[j], sbuf.data(), V[j].data(), blk, m);
+      } else {
+        for (int jj = 0; jj < n; ++jj) {
+          T* qcol = &Q[size_t(jj) * m];
+          T s = tau[j] * dot(V[j].data(), qcol + j, m - j);
+          for (int i = 0; i < m - j; ++i) qcol[j + i] -= s * V[j][i];
+        }
       }
+    }
+    // w-independent Gram of Q's columns, computed ONCE: the IRLS Newton
+    // system is G[i][j] = w_j * G0[i][j] (irls-cpu.cpp:48 rebuilds the
+    // full Q^T(Q∘w) product every iteration, O(n²m); scaling a cached
+    // G0 is the identical arithmetic — each entry is w_j·<Q_i,Q_j>
+    // either way — at O(n²) per iteration).
+    G0.assign(size_t(n) * n, T(0));
+    if (rtblas::active()) {
+      rtblas::gemm_nt(n, n, m, T(1), Q.data(), m, Q.data(), m, T(0),
+                      G0.data());
+    } else {
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j <= i; ++j) {
+          T s = dot(&Q[size_t(i) * m], &Q[size_t(j) * m], m);
+          G0[size_t(i) * n + j] = s;
+          G0[size_t(j) * n + i] = s;
+        }
     }
   }
 };
@@ -354,22 +557,37 @@ struct IrlsWork {
     T eps = 1, abstol = 1, x2 = 1;
     int iter = 0;
     *spd_fail = 0;
-    do {
-      // G = Q^T (Q o w) with w scaling Q's *columns*: G[i][j] = w_j <Q_i,Q_j>
-      for (int i = 0; i < n; ++i)
-        for (int j = 0; j < n; ++j) {
-          const T* qi = &qr.Q[size_t(i) * m];
-          const T* qj = &qr.Q[size_t(j) * m];
-          G[size_t(i) * n + j] = w[j] * dot(qi, qj, m);
-        }
-      if (!cholesky(G, n)) { *spd_fail = 1; break; }
+    // rhs = Q^T y is weight-independent: computed once per solve (the
+    // reference recomputes it every iteration, irls-cpu.cpp:53 — same
+    // values, hoisted)
+    if (rtblas::active())
+      rtblas::gemv(false, n, m, T(1), qr.Q.data(), m, y, T(0), rhs.data());
+    else
       for (int i = 0; i < n; ++i) rhs[i] = dot(&qr.Q[size_t(i) * m], y, m);
+    do {
+      // G = Q^T (Q o w) with w scaling Q's *columns*: G[i][j] =
+      // w_j <Q_i,Q_j> = w_j * G0[i][j] over the construction-time Gram
+      for (int i = 0; i < n; ++i) {
+        const T* g0 = &qr.G0[size_t(i) * n];
+        T* gi = &G[size_t(i) * n];
+        for (int j = 0; j < n; ++j) gi[j] = w[j] * g0[j];
+      }
+      if (!cholesky(G, n)) { *spd_fail = 1; break; }
       s = rhs;
       chol_solve(G, n, s);
       // t = Q s ; xv = Q^T t ; solve R xv
-      std::fill(t.begin(), t.end(), T(0));
-      for (int j = 0; j < n; ++j) axpy(s[j], &qr.Q[size_t(j) * m], t.data(), m);
-      for (int j = 0; j < n; ++j) xv[j] = dot(&qr.Q[size_t(j) * m], t.data(), m);
+      if (rtblas::active()) {
+        rtblas::gemv(true, n, m, T(1), qr.Q.data(), m, s.data(), T(0),
+                     t.data());
+        rtblas::gemv(false, n, m, T(1), qr.Q.data(), m, t.data(), T(0),
+                     xv.data());
+      } else {
+        std::fill(t.begin(), t.end(), T(0));
+        for (int j = 0; j < n; ++j)
+          axpy(s[j], &qr.Q[size_t(j) * m], t.data(), m);
+        for (int j = 0; j < n; ++j)
+          xv[j] = dot(&qr.Q[size_t(j) * m], t.data(), m);
+      }
       for (int i = n - 1; i >= 0; --i) {
         T acc = xv[i];
         for (int j = i + 1; j < n; ++j) acc -= qr.R[size_t(i) * n + j] * xv[j];
@@ -424,6 +642,10 @@ struct IrlsCgWork {
         Bp(m_), tn(n_), srt(n_) {}
 
   void rmatvec(const T* u, T* out) {  // out = A^T u
+    if (rtblas::active()) {
+      rtblas::gemv(true, m, n, T(1), A, n, u, T(0), out);
+      return;
+    }
     std::fill(out, out + n, T(0));
     for (int i = 0; i < m; ++i) axpy(u[i], A + size_t(i) * n, out, n);
   }
@@ -431,6 +653,10 @@ struct IrlsCgWork {
   void bmatvec(const T* v, T* out) {  // out = A (D o (A^T v))
     rmatvec(v, tn.data());
     for (int j = 0; j < n; ++j) tn[j] *= D[j];
+    if (rtblas::active()) {
+      rtblas::gemv(false, m, n, T(1), A, n, tn.data(), T(0), out);
+      return;
+    }
     for (int i = 0; i < m; ++i)
       out[i] = dot(A + size_t(i) * n, tn.data(), n);
   }
@@ -548,6 +774,7 @@ static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
   int nt = nthreads > 0 ? nthreads
                         : int(std::thread::hardware_concurrency());
   nt = std::max(1, std::min(nt, batch));
+  rtblas::ThreadClamp clamp(nt);
   std::atomic<int> next(0);
   auto worker = [&]() {
     HomotopyWork<T> w(At.data(), m, n, cap);
@@ -577,6 +804,7 @@ static void irls_cg_batch_impl(const T* A, int m, int n, const T* Y,
   int nt = nthreads > 0 ? nthreads
                         : int(std::thread::hardware_concurrency());
   nt = std::max(1, std::min(nt, batch));
+  rtblas::ThreadClamp clamp(nt);
   std::atomic<int> next(0);
   auto worker = [&]() {
     IrlsCgWork<T> w(A, m, n);
@@ -606,6 +834,7 @@ static void irls_batch_impl(const QRFactors<T>& qr, const T* Y, int batch,
   int nt = nthreads > 0 ? nthreads
                         : int(std::thread::hardware_concurrency());
   nt = std::max(1, std::min(nt, batch));
+  rtblas::ThreadClamp clamp(nt);
   std::atomic<int> next(0);
   auto worker = [&]() {
     IrlsWork<T> w(qr);
@@ -755,6 +984,57 @@ void ss_irls_cg_solve_batch_f64(const double* A, int m, int n,
                              eps_out, broke_out);
 }
 
-int ss_native_version() { return 4; }
+// ---- runtime BLAS control (see the rtblas namespace at the top).
+// ss_blas_load: dlopen `path` and resolve `prefix + cblas_<op> + suffix`
+// for the six ops the solvers stream through (s/d gemv, gemm, ger),
+// plus optional openblas thread controls. ilp64 selects 64-bit
+// dimension arguments. First successful load wins; returns 1 on
+// success, 0 leaves the scalar fallbacks in place. Mirrors the
+// reference's runtime loader contract (blas_wrapper.cpp:27-66) minus
+// the abort() on failure.
+int ss_blas_load(const char* path, const char* prefix, const char* suffix,
+                 int ilp64) {
+  if (rtblas::g.complete()) return 1;
+  if (!path || !prefix || !suffix) return 0;
+  void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
+  if (!h) return 0;
+  auto sym = [&](const char* base) -> void* {
+    std::string s = std::string(prefix) + base + suffix;
+    return dlsym(h, s.c_str());
+  };
+  rtblas::Table t;
+  t.handle = h;
+  t.ilp64 = ilp64 != 0;
+  t.sgemv = sym("cblas_sgemv");
+  t.dgemv = sym("cblas_dgemv");
+  t.sgemm = sym("cblas_sgemm");
+  t.dgemm = sym("cblas_dgemm");
+  t.sger = sym("cblas_sger");
+  t.dger = sym("cblas_dger");
+  t.set_threads =
+      reinterpret_cast<rtblas::set_thr_fn>(sym("openblas_set_num_threads"));
+  t.get_threads =
+      reinterpret_cast<rtblas::get_thr_fn>(sym("openblas_get_num_threads"));
+  if (!t.complete()) {
+    dlclose(h);
+    return 0;
+  }
+  rtblas::g = t;
+  return 1;
+}
+
+// 0 = scalar fallbacks, 1 = LP64 BLAS active, 2 = ILP64 BLAS active
+int ss_blas_active() {
+  if (!rtblas::active()) return 0;
+  return rtblas::g.ilp64 ? 2 : 1;
+}
+
+// Test hook: force the scalar fallbacks without unloading (0) / re-enable
+// a loaded table (nonzero).
+void ss_blas_set_enabled(int enabled) {
+  rtblas::g_enabled.store(enabled != 0, std::memory_order_relaxed);
+}
+
+int ss_native_version() { return 5; }
 
 }  // extern "C"

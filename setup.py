@@ -40,7 +40,7 @@ setup(
             sources=["csrc/sparsesolvers_cpu.cpp"],
             language="c++",
             extra_compile_args=["-O3", "-std=c++17", "-fPIC"],
-            extra_link_args=["-lpthread"],
+            extra_link_args=["-lpthread", "-ldl"],
             optional=True,
         )
     ],

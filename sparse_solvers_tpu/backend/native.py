@@ -20,6 +20,18 @@ Library resolution order:
 
 Set ``SS_NATIVE_DISABLE=1`` to forbid the native path entirely —
 everything degrades gracefully to the JAX engine.
+
+Runtime BLAS (the reference's dlopen'd-OpenBLAS mechanism,
+blas_wrapper.cpp:27-66): on load, a CBLAS shared library is discovered —
+the OpenBLAS builds bundled inside installed numpy/scipy wheels, then a
+system libopenblas — and handed to the engine's ``ss_blas_load``, which
+routes the O(m·n) streaming loops through vendor gemv/gemm/ger (scalar
+fallbacks otherwise; loading never hard-fails).
+``SS_NATIVE_BLAS=0`` disables discovery;
+``SS_NATIVE_BLAS=/path/to/lib.so[:prefix[:suffix[:ilp64]]]`` pins an
+explicit library (symbol name = prefix + "cblas_sgemv" + suffix, e.g.
+``scipy_cblas_sgemv64_`` → prefix ``scipy_``, suffix ``64_``, ilp64 1).
+``blas_info()`` reports what loaded.
 """
 
 from __future__ import annotations
@@ -39,6 +51,7 @@ _LIBNAME = "libsparsesolvers_cpu.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_blas = {"active": 0, "path": None}  # filled by _load_blas under _lock
 
 
 def _candidates(build: bool = True):
@@ -139,6 +152,88 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     return lib
 
 
+def _blas_candidates():
+    """Yield (path, symbol_prefix, symbol_suffix, ilp64) CBLAS candidates
+    in preference order. Wheel-bundled OpenBLAS builds mangle symbol
+    names per build flavor:
+
+      numpy.libs/libscipy_openblas64_*.so → scipy_cblas_sgemv64_ (ILP64)
+      scipy.libs/libscipy_openblas-*.so   → scipy_cblas_sgemv    (LP64)
+      plain libopenblas64_*.so            → cblas_sgemv64_       (ILP64)
+      plain libopenblas*.so               → cblas_sgemv          (LP64)
+
+    A candidate whose symbols don't resolve is skipped by ss_blas_load
+    (returns 0), so guessing wrong here is harmless."""
+    spec = os.environ.get("SS_NATIVE_BLAS", "")
+    if spec == "0":
+        return
+    if spec:
+        parts = spec.split(":")
+        yield (parts[0],
+               parts[1] if len(parts) > 1 else "",
+               parts[2] if len(parts) > 2 else "",
+               int(parts[3]) if len(parts) > 3 else 0)
+        return
+    for pkg in ("numpy", "scipy"):
+        try:
+            mod = __import__(pkg)
+        except ImportError:  # pragma: no cover - numpy is a hard dep
+            continue
+        libsdir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(mod.__file__))),
+            pkg + ".libs")
+        for path in sorted(glob.glob(os.path.join(libsdir,
+                                                  "lib*openblas*"))):
+            base = os.path.basename(path)
+            ilp64 = 1 if "openblas64" in base else 0
+            prefix = "scipy_" if "scipy_openblas" in base else ""
+            yield path, prefix, "64_" if ilp64 else "", ilp64
+    try:
+        import ctypes.util
+        sys_lib = ctypes.util.find_library("openblas")
+        if sys_lib:
+            yield sys_lib, "", "", 0
+    except Exception:  # pragma: no cover - platform-specific failure
+        pass
+
+
+def _load_blas(lib: ctypes.CDLL) -> None:
+    """Hand the first loadable CBLAS candidate to the engine (no-op on a
+    stale binary without the entry point; never raises)."""
+    try:
+        lib.ss_blas_load.restype = ctypes.c_int
+        lib.ss_blas_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                     ctypes.c_char_p, ctypes.c_int]
+        lib.ss_blas_active.restype = ctypes.c_int
+        lib.ss_blas_active.argtypes = []
+        lib.ss_blas_set_enabled.restype = None
+        lib.ss_blas_set_enabled.argtypes = [ctypes.c_int]
+    except AttributeError:  # pre-v5 binary
+        return
+    for path, prefix, suffix, ilp64 in _blas_candidates():
+        try:
+            if lib.ss_blas_load(os.fsencode(path), prefix.encode(),
+                                suffix.encode(), int(ilp64)):
+                _blas["active"] = int(lib.ss_blas_active())
+                _blas["path"] = path
+                return
+        except Exception:  # pragma: no cover - defensive per-candidate
+            continue
+
+
+def blas_info() -> dict:
+    """What the engine's runtime-BLAS loader resolved: ``active`` 0 =
+    scalar fallbacks, 1 = LP64 CBLAS, 2 = ILP64 CBLAS; ``path`` = the
+    loaded shared library. Triggers the native-library load."""
+    lib = get_lib()
+    if lib is None:
+        return {"active": 0, "path": None}
+    try:
+        return {"active": int(lib.ss_blas_active()), "path": _blas["path"]}
+    except AttributeError:  # pre-v5 binary
+        return {"active": 0, "path": None}
+
+
 def get_lib() -> ctypes.CDLL | None:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _tried
@@ -153,6 +248,7 @@ def get_lib() -> ctypes.CDLL | None:
                     # points (e.g. the f64 batch symbols) — fall through
                     # to the next candidate rather than crashing solves
                     _lib = _bind(ctypes.CDLL(path))
+                    _load_blas(_lib)
                     break
                 except (OSError, AttributeError):
                     _lib = None

@@ -261,3 +261,45 @@ def test_fuzz_engine_parity_homotopy():
         np.testing.assert_allclose(x_n, x_j, atol=5e-4,
                                    err_msg=f"trial {t} {m}x{n} k={k}")
     assert forks <= trials // 8, f"{forks}/{trials} trajectory forks"
+
+
+def test_blas_info_shape():
+    """The runtime-BLAS loader reports a well-formed status: active 0
+    (scalar fallbacks) / 1 (LP64) / 2 (ILP64); a path iff active. The
+    dlopen'd-CBLAS mechanism mirrors the reference's runtime OpenBLAS
+    loader (blas_wrapper.cpp:27-66) minus its abort()-on-failure."""
+    info = native.blas_info()
+    assert set(info) == {"active", "path"}
+    assert info["active"] in (0, 1, 2)
+    if info["active"]:
+        assert info["path"]
+
+
+def test_blas_vs_scalar_parity():
+    """With a vendor CBLAS loaded, forcing the scalar fallbacks
+    (ss_blas_set_enabled test hook) must leave solver trajectories
+    intact: same iteration counts, solutions equal within f32
+    accumulation reorder noise. Guards the rtblas call-site rewrites in
+    csrc/sparsesolvers_cpu.cpp (gemv'd correlations, BLAS-2 QR,
+    G0-cached IRLS Newton)."""
+    if not native.blas_info()["active"]:
+        pytest.skip("no runtime CBLAS resolved on this host")
+    lib = native.get_lib()
+    A, x_true, y = _problem(96, 160, 8, seed=21)
+    Ad, xd, yd = _problem(96, 48, 1, seed=22, dtype=np.float64)
+    try:
+        x_b, it_b, err_b = native.homotopy_solve(A, y, 1e-3, 100, 101)
+        h = native.IrlsNative(Ad)
+        xi_b, iti_b, erri_b, spd_b = h.solve(yd, 1e-6, 60)
+        lib.ss_blas_set_enabled(0)
+        assert native.blas_info()["active"] == 0
+        x_s, it_s, err_s = native.homotopy_solve(A, y, 1e-3, 100, 101)
+        h2 = native.IrlsNative(Ad)
+        xi_s, iti_s, erri_s, spd_s = h2.solve(yd, 1e-6, 60)
+    finally:
+        lib.ss_blas_set_enabled(1)
+    assert native.blas_info()["active"] in (1, 2)
+    assert it_b == it_s
+    np.testing.assert_allclose(x_b, x_s, atol=5e-5)
+    assert iti_b == iti_s
+    np.testing.assert_allclose(xi_b, xi_s, atol=1e-9)
