@@ -303,3 +303,32 @@ def test_blas_vs_scalar_parity():
     np.testing.assert_allclose(x_b, x_s, atol=5e-5)
     assert iti_b == iti_s
     np.testing.assert_allclose(xi_b, xi_s, atol=1e-9)
+
+
+def test_cpp_embedding_smoke():
+    """The C++ embedding surface (csrc/ss_tpu.h — the analog of the
+    reference's `#include <ss/ss.h>` story, include/ss/ss.h:28-93):
+    build and run the compiled smoke, scalar-fallback first, then with
+    numpy's bundled OpenBLAS handed through load_runtime_blas."""
+    import os
+    import shutil
+    import subprocess
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain on this host")
+    csrc = os.path.join(os.path.dirname(__file__), "..", "csrc")
+    r = subprocess.run(["make", "-C", csrc, "embed_smoke"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    exe = os.path.join(csrc, "embed_smoke")
+    r = subprocess.run([exe], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "embed smoke ok" in r.stdout
+    cand = next(iter(native._blas_candidates()), None)
+    if cand is None:
+        pytest.skip("no CBLAS candidate on this host")
+    path, prefix, suffix, ilp64 = cand
+    spec = f"{path}:{prefix}:{suffix}:{ilp64}"
+    r = subprocess.run([exe, spec], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "blas=0" not in r.stdout
