@@ -159,15 +159,21 @@ int main(int argc, char** argv) {
   // load first so every smoke below runs the vendor-BLAS call sites
   // (tests pass numpy's bundled OpenBLAS here).
   if (argc > 1) {
+    // left-optional fields, split left-to-right like the Python
+    // SS_NATIVE_BLAS parser (backend/native.py _blas_candidates)
     std::string spec(argv[1]), part[4];
-    for (int i = 3; i >= 1; --i) {
-      auto pos = spec.rfind(':');
-      if (pos == std::string::npos) break;
-      part[i] = spec.substr(pos + 1);
-      spec.resize(pos);
+    size_t start = 0;
+    for (int i = 0; i < 4; ++i) {
+      auto pos = spec.find(':', start);
+      if (pos == std::string::npos || i == 3) {
+        part[i] = spec.substr(start);
+        break;
+      }
+      part[i] = spec.substr(start, pos - start);
+      start = pos + 1;
     }
     bool loaded = sstpu::load_runtime_blas(
-        spec.c_str(), part[1].c_str(), part[2].c_str(), part[3] == "1");
+        part[0].c_str(), part[1].c_str(), part[2].c_str(), part[3] == "1");
     CHECK(loaded && sstpu::runtime_blas_active() != 0);
   }
   homotopy_smoke();

@@ -209,6 +209,7 @@ class homotopy {
                                            std::uint32_t max_iterations,
                                            T* X_out, int k_max = 0,
                                            int nthreads = 0) const {
+    if (detail::bad_dims(m_, n_) || batch <= 0) return {};
     std::vector<int> iters(batch);
     std::vector<T> errs(batch);
     detail::abi<T>::homotopy_batch(
@@ -234,16 +235,16 @@ class irls {
   // abort() — check ok() to pre-flight.
   irls(const T* A, int m, int n)
       : h_(detail::bad_dims(m, n) ? nullptr
-                                  : detail::abi<T>::irls_create(A, m, n)),
-        n_(n) {}
+                                  : detail::abi<T>::irls_create(A, m, n)) {}
   ~irls() {
     if (h_) detail::abi<T>::irls_destroy(h_);
   }
-  irls(irls&& o) noexcept : h_(o.h_), n_(o.n_) { o.h_ = nullptr; }
+  irls(irls&& o) noexcept : h_(o.h_) { o.h_ = nullptr; }
   irls& operator=(irls&& o) noexcept {
     if (this != &o) {
       if (h_) detail::abi<T>::irls_destroy(h_);
-      h_ = o.h_; n_ = o.n_; o.h_ = nullptr;
+      h_ = o.h_;
+      o.h_ = nullptr;
     }
     return *this;
   }
@@ -283,7 +284,6 @@ class irls {
 
  private:
   void* h_;
-  int n_;
 };
 
 // Factorization-free CG-IRLS basis pursuit for the underdetermined

@@ -323,12 +323,22 @@ def test_cpp_embedding_smoke():
     r = subprocess.run([exe], capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "embed smoke ok" in r.stdout
-    cand = next(iter(native._blas_candidates()), None)
-    if cand is None:
-        pytest.skip("no CBLAS candidate on this host")
-    path, prefix, suffix, ilp64 = cand
-    spec = f"{path}:{prefix}:{suffix}:{ilp64}"
-    r = subprocess.run([exe, spec], capture_output=True, text=True,
-                       timeout=300)
-    assert r.returncode == 0, r.stdout + r.stderr
-    assert "blas=0" not in r.stdout
+    # iterate candidates like _load_blas does — a wrong guess is
+    # skipped, not fatal (the candidates' documented contract)
+    attempted = False
+    for path, prefix, suffix, ilp64 in native._blas_candidates():
+        attempted = True
+        spec = f"{path}:{prefix}:{suffix}:{ilp64}"
+        r = subprocess.run([exe, spec], capture_output=True, text=True,
+                           timeout=300)
+        if r.returncode == 0:
+            assert "blas=0" not in r.stdout
+            break
+    else:
+        if not attempted:
+            pytest.skip("no CBLAS candidate on this host")
+        # candidates exist but none loads in-process either -> the
+        # facade matching that is correct; only fail when the wrapper
+        # DID load one and the facade could not
+        assert not native.blas_info()["active"], \
+            "wrapper loaded a CBLAS but the facade could not"
