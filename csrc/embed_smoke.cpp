@@ -138,6 +138,31 @@ void irls_cg_smoke() {
   CHECK(!resbad);
 }
 
+void omp_smoke() {
+  const int m = 64, n = 128, k = 5;
+  std::vector<float> A, x_true, y;
+  make_problem<float>(m, n, k, 31, A, x_true, y);
+
+  sstpu::omp<float> solver(A.data(), m, n);
+  std::vector<float> x(n, 0.f);
+  auto res = solver.solve(y.data(), 1e-3f, 60, x.data());
+  CHECK(bool(res));
+  CHECK(res->iter == std::uint32_t(k));  // exact picks on a clean signal
+  CHECK(res->solution_error <= 1e-3);
+  CHECK(support_errors(x, x_true, 1e-2f) == 0);
+
+  const int batch = 3;
+  std::vector<float> Y(size_t(batch) * m), X(size_t(batch) * n, 0.f);
+  for (int b = 0; b < batch; ++b)
+    std::copy(y.begin(), y.end(), Y.begin() + size_t(b) * m);
+  auto reps = solver.solve_batch(Y.data(), batch, 1e-3f, 60, X.data());
+  CHECK(int(reps.size()) == batch);
+  for (int b = 0; b < batch; ++b) {
+    CHECK(reps[b].iter == res->iter);
+    for (int j = 0; j < n; ++j) CHECK(X[size_t(b) * n + j] == x[j]);
+  }
+}
+
 void utilities_smoke() {
   // norm_l1: columns sum to 1 in |.| afterwards (ss.h:86-93)
   std::vector<double> A = {1, -2, 3, 4, 0, -6};  // 3x2 row-major
@@ -147,7 +172,7 @@ void utilities_smoke() {
   CHECK(std::abs(std::abs(A[1]) + std::abs(A[3]) + std::abs(A[5]) - 1.0) <
         1e-12);
 
-  CHECK(sstpu::engine_version() >= 5);
+  CHECK(sstpu::engine_version() >= 6);
   int blas = sstpu::runtime_blas_active();
   CHECK(blas == 0 || blas == 1 || blas == 2);
 }
@@ -179,6 +204,7 @@ int main(int argc, char** argv) {
   homotopy_smoke();
   irls_smoke();
   irls_cg_smoke();
+  omp_smoke();
   utilities_smoke();
   if (failures == 0) std::printf("embed smoke ok (blas=%d)\n",
                                  sstpu::runtime_blas_active());

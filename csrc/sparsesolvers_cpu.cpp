@@ -417,6 +417,89 @@ struct HomotopyWork {
   }
 };
 
+// ------------------------------------------------------------------- OMP
+//
+// Orthogonal Matching Pursuit — host twin of solvers/omp.py (the
+// framework's beyond-reference greedy solver; no reference analog).
+// Same trajectory as the jax fast path: leftmost argmax pick over the
+// inactive correlations, insertion-ordered OnlineInverse LS re-solve,
+// true materialized residual for c and ||r||^2.
+template <typename T>
+struct OmpWork {
+  int m, n, cap;
+  const T* At;  // n x m row-major = A columns contiguous
+  std::vector<T> c, coef, b_act, r, u1col;
+  std::vector<char> active;
+  OnlineInverse<T> inv;
+
+  OmpWork(const T* At_, int m_, int n_, int capacity)
+      : m(m_), n(n_), cap(capacity), At(At_), c(n_), coef(capacity),
+        b_act(capacity), r(m_), u1col(capacity), active(n_, 0),
+        inv(capacity) {}
+
+  const T* col(int j) const { return At + size_t(j) * m; }
+
+  void correlations(const T* v) {  // c = A^T v
+    if (rtblas::active())
+      rtblas::gemv(false, n, m, T(1), At, m, v, T(0), c.data());
+    else
+      for (int j = 0; j < n; ++j) c[j] = dot(col(j), v, m);
+  }
+
+  int solve(const T* y, T tol, int max_iter, T* x_out, T* err_out) {
+    inv.k = 0;
+    std::fill(inv.B.begin(), inv.B.end(), T(0));
+    std::fill(inv.cols.begin(), inv.cols.end(), -1);
+    std::fill(active.begin(), active.end(), 0);
+
+    std::memcpy(r.data(), y, sizeof(T) * m);
+    correlations(y);
+    std::vector<T> c0(c);  // A^T y — every LS rhs is a gather of this
+    T rss = dot(y, y, m);
+    T prev_rss = std::numeric_limits<T>::max();
+    int iter = 0;
+    while (iter < max_iter && inv.k < cap && rss > tol * tol
+           && rss < prev_rss) {
+      prev_rss = rss;
+      // greedy pick: leftmost argmax |c| over the inactive set
+      int idx = -1;
+      T best = T(-1);
+      for (int j = 0; j < n; ++j)
+        if (!active[j] && std::abs(c[j]) > best) {
+          best = std::abs(c[j]);
+          idx = j;
+        }
+      if (idx < 0) break;
+
+      const T* v = col(idx);
+      for (int s = 0; s < inv.k; ++s)
+        u1col[s] = dot(col(inv.cols[s]), v, m);
+      if (!inv.insert(idx, u1col.data(), dot(v, v, m)))
+        break;  // degenerate pick — previous LS solution stands
+      active[idx] = 1;
+      ++iter;
+
+      // LS re-solve on the grown support: coef = B (c0[cols])
+      for (int s = 0; s < inv.k; ++s) b_act[s] = c0[inv.cols[s]];
+      for (int i = 0; i < inv.k; ++i)
+        coef[i] = dot(&inv.B[size_t(i) * inv.cap], b_act.data(), inv.k);
+
+      // true residual r = y - A_G coef, then c = A^T r and ||r||^2
+      std::memcpy(r.data(), y, sizeof(T) * m);
+      for (int s = 0; s < inv.k; ++s)
+        axpy(-coef[s], col(inv.cols[s]), r.data(), m);
+      correlations(r.data());
+      rss = dot(r.data(), r.data(), m);
+      if (!std::isfinite(rss)) break;
+    }
+
+    std::fill(x_out, x_out + n, T(0));
+    for (int s = 0; s < inv.k; ++s) x_out[inv.cols[s]] = coef[s];
+    *err_out = std::sqrt(std::max(rss, T(0)));
+    return iter;
+  }
+};
+
 // ---------------------------------------------------------------- QR / IRLS
 
 // Economy Householder QR of column-major A (m x n, m >= n): V holds the
@@ -790,6 +873,34 @@ static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
   for (auto& t : ts) t.join();
 }
 
+// Batched OMP across the same thread pool; one workspace per worker,
+// results bit-identical to sequential solves regardless of thread count.
+template <typename T>
+static void omp_batch_impl(const T* A, int m, int n, const T* Y, int batch,
+                           T tol, int max_iter, int k_max, int nthreads,
+                           T* X_out, int* iters_out, T* errs_out) {
+  std::vector<T> At;
+  transpose_to_colmajor(A, m, n, At);
+  int cap = std::max(1, std::min(k_max, std::min(m, n)));
+  int nt = nthreads > 0 ? nthreads
+                        : int(std::thread::hardware_concurrency());
+  nt = std::max(1, std::min(nt, batch));
+  rtblas::ThreadClamp clamp(nt);
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    OmpWork<T> w(At.data(), m, n, cap);
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      iters_out[b] = w.solve(Y + size_t(b) * m, tol, max_iter,
+                             X_out + size_t(b) * n, errs_out + b);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nt; ++i) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
 // Batched CG-IRLS across the same thread pool. One workspace per worker
 // (solve() fully re-initializes it), defaults resolved once; each solve
 // runs the identical single-solve iteration, so batch results are
@@ -887,6 +998,44 @@ void ss_homotopy_solve_batch_f64(const double* A, int m, int n,
                                  double* errs_out) {
   homotopy_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, k_max,
                               nthreads, X_out, iters_out, errs_out);
+}
+
+// OMP, single solve and threaded batch. A row-major m x n; k_max caps
+// the support. Returns iterations; err_out = final ||y - Ax||_2.
+int ss_omp_solve_f32(const float* A, int m, int n, const float* y,
+                     float tol, int max_iter, int k_max, float* x_out,
+                     float* err_out) {
+  std::vector<float> At;
+  transpose_to_colmajor(A, m, n, At);
+  OmpWork<float> w(At.data(), m, n,
+                   std::max(1, std::min(k_max, std::min(m, n))));
+  return w.solve(y, tol, max_iter, x_out, err_out);
+}
+
+int ss_omp_solve_f64(const double* A, int m, int n, const double* y,
+                     double tol, int max_iter, int k_max, double* x_out,
+                     double* err_out) {
+  std::vector<double> At;
+  transpose_to_colmajor(A, m, n, At);
+  OmpWork<double> w(At.data(), m, n,
+                    std::max(1, std::min(k_max, std::min(m, n))));
+  return w.solve(y, tol, max_iter, x_out, err_out);
+}
+
+void ss_omp_solve_batch_f32(const float* A, int m, int n, const float* Y,
+                            int batch, float tol, int max_iter, int k_max,
+                            int nthreads, float* X_out, int* iters_out,
+                            float* errs_out) {
+  omp_batch_impl<float>(A, m, n, Y, batch, tol, max_iter, k_max, nthreads,
+                        X_out, iters_out, errs_out);
+}
+
+void ss_omp_solve_batch_f64(const double* A, int m, int n, const double* Y,
+                            int batch, double tol, int max_iter, int k_max,
+                            int nthreads, double* X_out, int* iters_out,
+                            double* errs_out) {
+  omp_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, k_max, nthreads,
+                         X_out, iters_out, errs_out);
 }
 
 // IRLS with construct-once QR: create returns an opaque handle.
@@ -1035,6 +1184,6 @@ void ss_blas_set_enabled(int enabled) {
   rtblas::g_enabled.store(enabled != 0, std::memory_order_relaxed);
 }
 
-int ss_native_version() { return 5; }
+int ss_native_version() { return 6; }
 
 }  // extern "C"

@@ -11,17 +11,19 @@ Public surface mirrors the reference Python package ``sparsesolvers``
 (reference: bindings/python/sparsesolvers/binding.cpp:114-148).
 """
 
-from .api import (Homotopy, Irls, IrlsCg, densify_batch, densify_path,
+from .api import (Homotopy, Irls, IrlsCg, Omp, densify_batch, densify_path,
                   reconstruct_signal, norm_l1)
-from .reports import HomotopyReport, IrlsReport
+from .reports import HomotopyReport, IrlsReport, OmpReport
 from .utils.config import version
 
 __all__ = [
     "Homotopy",
     "Irls",
     "IrlsCg",
+    "Omp",
     "HomotopyReport",
     "IrlsReport",
+    "OmpReport",
     "densify_batch",
     "densify_path",
     "reconstruct_signal",

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .reports import HomotopyReport, IrlsReport
+from .reports import HomotopyReport, IrlsReport, OmpReport
 from .solvers import homotopy as _homotopy
 from .solvers import homotopy_batch as _homotopy_batch
 from .solvers import irls as _irls
@@ -1024,6 +1024,221 @@ class IrlsCg:
                               max_iterations: int = 100):
         """Jit-composable batched solve over device arrays."""
         return self._fn(max_iterations, batched=True)(self._A, Y, tolerance)
+
+    def _tol(self, tolerance):
+        return (_default_tolerance(self.dtype)
+                if tolerance is None else float(tolerance))
+
+
+class Omp:
+    """Orthogonal Matching Pursuit over a fixed sensing matrix A (m×n).
+
+    Beyond-reference solver family (the reference ships homotopy + IRLS
+    only): the standard greedy pursuit — grow the support by the column
+    most correlated with the residual, re-solve least squares on it,
+    stop at ``‖y − Ax‖₂ ≤ tolerance`` or after ``max_iterations``
+    column picks (solvers/omp.py). Shares the framework's construct-
+    once machinery: the Gram matrix is computed lazily once and reused,
+    executables are cached per (max_iterations, k_max, batch-ness), and
+    batching is one vmapped program over signals sharing A.
+
+    Parameters mirror ``Homotopy`` where they apply: ``k_max`` caps the
+    support (default min(n, m, max_iterations) — OMP only inserts, so
+    this never overflows), ``mode`` "fast"/"exact", ``gram`` None=auto,
+    ``precision`` MXU contraction precision ("certified" is a homotopy
+    concept and not accepted), ``engine`` "jax"/"native"/"auto".
+    """
+
+    def __init__(self, A, k_max: int | None = None, mode: str = "fast",
+                 gram: bool | None = None, precision: str = "highest",
+                 engine: str = "auto"):
+        if mode not in ("fast", "exact"):
+            raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+        if engine not in ("auto", "jax", "native"):
+            raise ValueError(
+                f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
+        if engine == "native" and mode == "exact":
+            raise ValueError(
+                "engine='native' implements the fast-path algorithm; "
+                "mode='exact' requires the jax engine")
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "precision must be 'highest', 'high' or 'default', "
+                f"got {precision!r}")
+        if k_max is not None and k_max < 1:
+            raise ValueError(f"k_max must be >= 1, got {k_max}")
+        self._engine = engine
+        self._A = ndview.as_matrix(A)
+        self._m, self._n = self._A.shape
+        _warn_small_problem_jax(engine, self._m, self._n)
+        self._k_max = k_max
+        self._mode = mode
+        self._precision = precision
+        if gram is None:
+            gram = (self._n * self._n * self._A.dtype.itemsize
+                    <= _GRAM_AUTO_BYTES)
+        self._gram_enabled = bool(gram and mode == "fast")
+        self._G_cache = None
+        self._cache: dict = {}
+
+    @property
+    def _G(self):
+        if self._gram_enabled and self._G_cache is None:
+            G = jax.jit(_blas.xgemm, static_argnames="trans_a")(
+                self._A, self._A, trans_a=True)
+            if isinstance(G, jax.core.Tracer):
+                return G  # traced first touch — never cache a tracer
+            self._G_cache = G
+        return self._G_cache
+
+    @property
+    def shape(self):
+        return (self._m, self._n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    def update_column(self, j: int, col) -> None:
+        """Replace column j in place (gallery churn — see
+        Homotopy.update_column; the cached Gram row/col is rewritten
+        incrementally)."""
+        if not (0 <= j < self._n):
+            raise ValueError(f"column index {j} out of range [0, {self._n})")
+        v = jnp.asarray(ndview.as_vector(col, dtype=self.dtype,
+                                         size=self._m))
+        with_g = self._G_cache is not None
+        fn = self._cache.get(("colupd", with_g))
+        if fn is None:
+            def upd(A, v, j, G=None):
+                A2 = A.at[:, j].set(v)
+                if G is None:
+                    return A2, None
+                g = _blas.xgemv(A2, v, trans=True)
+                return A2, G.at[:, j].set(g).at[j, :].set(g)
+            fn = jax.jit(upd)
+            self._cache[("colupd", with_g)] = fn
+        if with_g:
+            self._A, self._G_cache = fn(jnp.asarray(self._A), v, j,
+                                        self._G_cache)
+        else:
+            self._A, _ = fn(jnp.asarray(self._A), v, j)
+
+    def _use_native(self, probe: bool = False) -> bool:
+        if self._engine == "jax" or self._mode == "exact":
+            return False
+        return _route_native(self._engine, self._m, self._n, probe)
+
+    def _resolved_k_max(self, max_iterations: int) -> int:
+        if self._k_max is not None:
+            return min(self._k_max, self._n, self._m)
+        return max(1, min(max_iterations, self._m, self._n))
+
+    def explain(self, batch: int | None = None,
+                max_iterations: int = 100) -> dict:
+        """Execution plan report (see Homotopy.explain)."""
+        if self._use_native(probe=True):
+            return {"engine": "native", "mode": self._mode,
+                    "backend": "csrc host (C++)",
+                    "k_max": self._resolved_k_max(max_iterations)}
+        use_gram = self._route_gram(batch, max_iterations)
+        return {"engine": "jax", "backend": jax.default_backend(),
+                "mode": self._mode, "precision": self._precision,
+                "gram": use_gram,
+                "k_max": self._resolved_k_max(max_iterations),
+                "formulation": ("vmapped OMP loop" if batch is not None
+                                else "OMP loop")
+                + (" (gram-gather)" if use_gram else " (matvec)")}
+
+    def _route_gram(self, batch: int | None, max_iterations: int) -> bool:
+        """Formulation routing: the Gram-gather correlation update costs
+        O(n·k) gather bytes per lane-iteration, the matvec form one MXU
+        pass over A amortized across the batch — the same crossover rule
+        as the homotopy cores' ``sparse`` heuristic (batch·k_max < 2m;
+        measured on v5e at 4096×8192 k=64 b=256: matvec 983 solves/s vs
+        gram 836 — benchmarks/results/omp_v5e.jsonl)."""
+        if not self._gram_enabled:
+            return False
+        b = batch or 1
+        return b * self._resolved_k_max(max_iterations) < 2 * self._m
+
+    def _fn(self, max_iterations: int, batched: bool,
+            use_gram: bool | None = None):
+        _check_max_iterations(max_iterations)
+        from .solvers import omp as _omp
+        k_max = self._resolved_k_max(max_iterations)
+        if use_gram is None:
+            use_gram = self._gram_enabled
+        key = ("omp", max_iterations, k_max, batched, use_gram)
+        fn = self._cache.get(key)
+        if fn is None:
+            def core(A, G, y, tol):
+                op = _operators.DenseOperator(A, G)
+                with _blas.precision_scope(self._precision):
+                    return _omp.solve_omp_core(
+                        op, self._n, y, tol, max_iterations, k_max,
+                        mode=self._mode)
+            run = core
+            if batched:
+                run = jax.vmap(core, in_axes=(None, None, 0, None))
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        return fn
+
+    def solve(self, b, tolerance: float | None = None,
+              max_iterations: int = 100):
+        """Greedy-solve y ≈ Ax with ≤ max_iterations support picks;
+        returns (x, OmpReport)."""
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
+        if self._use_native():
+            from .backend import native as _native
+            xn, it, err = _native.omp_solve(
+                np.asarray(self._A), np.asarray(y), tol, max_iterations,
+                self._resolved_k_max(max_iterations))
+            return xn, OmpReport(iter=it, solution_error=err)
+        use_gram = self._route_gram(None, max_iterations)
+        x, rep = self._fn(max_iterations, batched=False,
+                          use_gram=use_gram)(
+            self._A, self._G if use_gram else None, y, tol)
+        x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
+        return x, OmpReport(iter=int(it), solution_error=float(err))
+
+    def solve_batch(self, B, tolerance: float | None = None,
+                    max_iterations: int = 100):
+        """Batched greedy solve over signals B of shape (batch, m)."""
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        _check_max_iterations(max_iterations)
+        if self._use_native():
+            from .backend import native as _native
+            X, its, errs = _native.omp_solve_batch(
+                np.asarray(self._A), np.asarray(Y), tol, max_iterations,
+                self._resolved_k_max(max_iterations))
+            from .solvers import omp as _omp
+            return X, _omp.OmpReportArrays(
+                iter=its.astype(np.uint32), solution_error=errs)
+        use_gram = self._route_gram(Y.shape[0], max_iterations)
+        return self._fn(max_iterations, batched=True,
+                        use_gram=use_gram)(
+            self._A, self._G if use_gram else None, Y, tol)
+
+    def solve_on_device(self, y: jnp.ndarray, tolerance,
+                        max_iterations: int = 100):
+        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        use_gram = self._route_gram(None, max_iterations)
+        return self._fn(max_iterations, batched=False,
+                        use_gram=use_gram)(
+            self._A, self._G if use_gram else None, y, tolerance)
+
+    def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
+                              max_iterations: int = 100):
+        """Jit-composable batched solve over device arrays."""
+        use_gram = self._route_gram(int(Y.shape[0]), max_iterations)
+        return self._fn(max_iterations, batched=True,
+                        use_gram=use_gram)(
+            self._A, self._G if use_gram else None, Y, tolerance)
 
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)

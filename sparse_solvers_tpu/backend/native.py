@@ -105,6 +105,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         f64p, ctypes.c_int, ctypes.c_int, f64p, ctypes.c_int,
         ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f64p, i32p, f64p]
+    # OMP (engine v6) shares the homotopy entry-point shape
+    lib.ss_omp_solve_f32.restype = ctypes.c_int
+    lib.ss_omp_solve_f32.argtypes = lib.ss_homotopy_solve_f32.argtypes
+    lib.ss_omp_solve_f64.restype = ctypes.c_int
+    lib.ss_omp_solve_f64.argtypes = lib.ss_homotopy_solve_f64.argtypes
+    lib.ss_omp_solve_batch_f32.restype = None
+    lib.ss_omp_solve_batch_f32.argtypes = \
+        lib.ss_homotopy_solve_batch_f32.argtypes
+    lib.ss_omp_solve_batch_f64.restype = None
+    lib.ss_omp_solve_batch_f64.argtypes = \
+        lib.ss_homotopy_solve_batch_f64.argtypes
     lib.ss_irls_create_f32.restype = ctypes.c_void_p
     lib.ss_irls_create_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
     lib.ss_irls_solve_f32.restype = ctypes.c_int
@@ -354,6 +365,61 @@ def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
     errs = np.zeros(batch, dt)
     fn = lib.ss_homotopy_solve_batch_f64 if f64 \
         else lib.ss_homotopy_solve_batch_f32
+    p = ctypes.POINTER(ct)
+    fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
+       float(tol), int(max_iterations), int(k_max), int(nthreads),
+       X.ctypes.data_as(p),
+       iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+       errs.ctypes.data_as(p))
+    return X, iters, errs
+
+
+def omp_solve(A: np.ndarray, y: np.ndarray, tol: float,
+              max_iterations: int, k_max: int):
+    """Single OMP solve on the host — same trajectory as
+    solvers/omp.py's fast path (leftmost greedy pick, insertion-ordered
+    online-inverse LS, true materialized residual). Returns
+    (x, iter, resid_norm); float32 or float64 by A's dtype."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    f64 = A.dtype == np.float64
+    dt, ct = ((np.float64, ctypes.c_double) if f64
+              else (np.float32, ctypes.c_float))
+    Ac = np.ascontiguousarray(A, dt)
+    yc = np.ascontiguousarray(y, dt)
+    _check_vector(yc, m)
+    x = np.zeros(n, dt)
+    err = ct()
+    fn = lib.ss_omp_solve_f64 if f64 else lib.ss_omp_solve_f32
+    p = ctypes.POINTER(ct)
+    it = fn(Ac.ctypes.data_as(p), m, n, yc.ctypes.data_as(p),
+            float(tol), int(max_iterations), int(k_max),
+            x.ctypes.data_as(p), ctypes.byref(err))
+    return x, it, err.value
+
+
+def omp_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
+                    max_iterations: int, k_max: int, nthreads: int = 0):
+    """Threaded batched OMP on the host; results bit-identical to
+    per-signal ``omp_solve`` calls regardless of thread count.
+    Returns (X (batch, n), iters, resid_norms)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native backend unavailable")
+    m, n = A.shape
+    f64 = A.dtype == np.float64
+    dt, ct = ((np.float64, ctypes.c_double) if f64
+              else (np.float32, ctypes.c_float))
+    Ac = np.ascontiguousarray(A, dt)
+    Yc = np.ascontiguousarray(Y, dt)
+    _check_batch(Yc, m)
+    batch = Yc.shape[0]
+    X = np.zeros((batch, n), dt)
+    iters = np.zeros(batch, np.int32)
+    errs = np.zeros(batch, dt)
+    fn = lib.ss_omp_solve_batch_f64 if f64 else lib.ss_omp_solve_batch_f32
     p = ctypes.POINTER(ct)
     fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
        float(tol), int(max_iterations), int(k_max), int(nthreads),

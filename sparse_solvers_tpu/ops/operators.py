@@ -99,6 +99,11 @@ class DenseOperator(NamedTuple):
         """Aᵀ(A ∘ w) — the IRLS Newton Gram matrix (irls-cpu.cpp:47-48)."""
         return blas.xgemm(self.A, self.A * w, trans_a=True)
 
+    def mdot(self, u, v):
+        """Inner product of two m-dimension vectors (signals/residuals) —
+        sharded operators psum this over the row axis."""
+        return blas.xdot(u, v)
+
 
 class ColShardedOperator(NamedTuple):
     """A column-shard of A inside shard_map: A_local is (m, n_local).
@@ -213,3 +218,7 @@ class RowShardedOperator(NamedTuple):
         return lax.psum(
             blas.xgemm(self.A_local, self.A_local * w, trans_a=True),
             self.axis)
+
+    def mdot(self, u_local, v_local):
+        """Inner product of row-sharded m-vectors: local dot + one psum."""
+        return lax.psum(blas.xdot(u_local, v_local), self.axis)

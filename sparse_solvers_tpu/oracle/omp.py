@@ -1,0 +1,40 @@
+"""NumPy oracle for Orthogonal Matching Pursuit.
+
+Independent of the TPU implementation by design (like oracle/homotopy.py):
+the LS re-solve uses a dense ``np.linalg.lstsq`` on the gathered columns
+every iteration, so an online-inverse bug in solvers/omp.py cannot hide —
+any trajectory divergence shows up in the support sequence or residuals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def solve(A: np.ndarray, y: np.ndarray, tolerance: float,
+          max_iterations: int = 100, k_max: int | None = None):
+    """Returns (x, iters, resid_norm, support_in_pick_order)."""
+    A = np.asarray(A)
+    y = np.asarray(y)
+    m, n = A.shape
+    if k_max is None:
+        k_max = max(1, min(max_iterations, m, n))
+
+    support: list[int] = []
+    coef = np.zeros(0, A.dtype)
+    r = y.copy()
+    it = 0
+    while (it < max_iterations and len(support) < k_max
+           and np.linalg.norm(r) > tolerance):
+        it += 1
+        c = A.T @ r
+        c[support] = 0  # greedy pick over the inactive set
+        idx = int(np.argmax(np.abs(c)))  # leftmost tie-break
+        support.append(idx)
+        cols = A[:, support]
+        coef, *_ = np.linalg.lstsq(cols, y, rcond=None)
+        r = y - cols @ coef
+
+    x = np.zeros(n, A.dtype)
+    x[support] = coef
+    return x, it, float(np.linalg.norm(r)), support

@@ -281,6 +281,61 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     return X, rep
 
 
+@functools.lru_cache(maxsize=128)
+def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
+                    max_iterations: int, k_max: int):
+    from ..solvers.omp import solve_omp_core
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
+             out_specs=(P(DATA_AXIS, None), (P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(A_local, Y_local, tol):
+        from ..ops import blas
+        n = A_local.shape[1]
+        with blas.precision_scope(precision):
+            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                              ROW_AXIS) if gram else None)
+            op = RowShardedOperator(A_local, ROW_AXIS, G)
+            solve = lambda y_local: solve_omp_core(
+                op, n, y_local, tol, max_iterations, k_max)
+            X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
+        return X, (rep.iter, rep.solution_error)
+
+    return jax.jit(run)
+
+
+def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
+                max_iterations: int, k_max: int | None = None,
+                gram: bool | None = None, precision: str = "highest"):
+    """Row-sharded, batch-sharded OMP (solvers/omp.py — the greedy
+    beyond-reference family) over the same (data, row) mesh layout as
+    ``homotopy_sharded``: per-iteration residual correlations psum once
+    over the row axis (or gather from a replicated Gram with zero
+    per-iteration collectives), the k_max² online inverse and the LS
+    coefficients replicated; ‖r‖² reductions psum with the same
+    collective. Returns (X: (batch, n) data-sharded, OmpReportArrays).
+    """
+    from ..api import _check_max_iterations
+    _check_max_iterations(max_iterations)
+    if precision not in ("highest", "high", "default"):
+        raise ValueError(
+            "precision must be 'highest', 'high' or 'default', "
+            f"got {precision!r}")
+    m, n = A.shape
+    # global-m capacity (the core would see only the local shard)
+    k_max = k_max or max(1, min(max_iterations, m, n))
+    if gram is None:
+        gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    A, pad = _pad_rows(A, mesh)
+    Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
+    fn = _omp_sharded_fn(mesh, precision, bool(gram), max_iterations,
+                         k_max)
+    X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
+    from ..solvers.omp import OmpReportArrays
+    return X, OmpReportArrays(iter=iters, solution_error=errs)
+
+
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
                  tolerance, max_iterations: int, mode: str = "fast",
                  newton: str | None = None, stabilized: bool = False):

@@ -22,6 +22,16 @@ class HomotopyReport:
 
 
 @dataclass
+class OmpReport:
+    """OMP report (beyond-reference solver — no policies.h twin; field
+    names follow the house style). ``solution_error`` is the final
+    residual norm ‖y − Ax‖₂ — OMP's own convergence criterion — unlike
+    the homotopy report's ‖Aᵀ(y−Ax)‖∞."""
+    iter: int = 0
+    solution_error: float = 0.0
+
+
+@dataclass
 class IrlsReport:
     """Mirrors ss::irls_report (policies.h:58-71).
 

@@ -1,0 +1,213 @@
+"""Orthogonal Matching Pursuit — TPU-native greedy sparse recovery.
+
+Beyond-reference capability (the reference ships homotopy + IRLS only):
+OMP is the standard greedy companion to those solvers — at each step it
+adds the column most correlated with the residual and re-solves the
+least-squares problem on the grown support
+
+    Γ ← Γ ∪ {argmaxⱼ |aⱼᵀ r|},   x_Γ = argmin ‖y − A_Γ x‖₂,   r = y − A_Γ x_Γ
+
+until ‖r‖₂ ≤ tolerance or the support budget is spent (Pati, Rezaiifar
+& Krishnaprasad 1993; Tropp & Gilbert 2007).
+
+TPU-native design — the same fixed-shape machinery as the homotopy
+loop (solvers/homotopy.py):
+
+  * one ``lax.while_loop`` whose state carries the k_max-capacity
+    online Gram inverse (linalg/online_inverse.py) — the LS re-solve is
+    x_Γ = (A_ΓᵀA_Γ)⁻¹ A_Γᵀy, one (k,k)·(k,) gemv against the
+    incrementally-updated inverse instead of a per-iteration QR;
+  * A_Γᵀy never touches A: its entries are c0[Γ] for c0 = Aᵀy computed
+    once, so the per-iteration cost is the single correlation product
+    c = c0 − (AᵀA) x̂ (Gram-gather or two MXU gemvs — the homotopy
+    q-phase cost), plus O(k²) slot-space updates;
+  * ‖r‖₂ is free: r ⊥ A_Γ x̂ at the LS solution, so
+    ‖r‖² = ‖y‖² − (A_Γᵀy)ᵀ x_Γ — no residual materialization;
+  * batching is ``vmap`` (per-lane support state), and no ``lax.cond``
+    closes over the sensing matrix (see homotopy.py module docstring).
+
+Modes (static), per the framework convention that anything affecting fp
+trajectories has an exact-arithmetic counterpart:
+  * ``mode="fast"`` (default) — insertion-ordered active set, Gram
+    gathers when a precomputed G exists, correlations from the identity
+    c = c0 − (AᵀA)x̂ (algebraically the definition of Aᵀr — not a
+    drifting recurrence: recomputed from x̂ every iteration).
+  * ``mode="exact"`` — rank-ordered active set and the literal
+    r = y − A x̂, c = Aᵀ r dense products.
+Both visit the identical support sequence in exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..linalg import online_inverse as oinv
+from ..ops import blas
+from ..ops.operators import DenseOperator
+
+
+class OmpReportArrays(NamedTuple):
+    """Traced report fields (pytree): iterations = support size reached,
+    solution_error = final residual ℓ₂ norm ‖y − Ax‖₂."""
+    iter: jnp.ndarray            # uint32
+    solution_error: jnp.ndarray  # ‖r‖₂
+
+
+class _LoopState(NamedTuple):
+    it: jnp.ndarray
+    c: jnp.ndarray       # (n,) current residual correlations Aᵀr
+    inv: oinv.InverseState
+    coef: jnp.ndarray    # (k_max,) LS coefficients in slot order
+    rss: jnp.ndarray     # ‖r‖² (scalar)
+    broke: jnp.ndarray   # degenerate insert — stop, solution intact
+    done: jnp.ndarray    # rss stalled — stop, iterate kept
+
+
+def solve_omp(A: jnp.ndarray, y: jnp.ndarray, tolerance,
+              max_iterations: int, k_max: int | None = None, *,
+              mode: str = "fast"):
+    """OMP on a dense on-device A; returns (x, OmpReportArrays).
+    jit/vmap-safe; ``max_iterations``, ``k_max`` and ``mode`` static."""
+    return solve_omp_core(DenseOperator(A), A.shape[1], y, tolerance,
+                          max_iterations, k_max, mode=mode)
+
+
+def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
+                   max_iterations: int, k_max: int | None = None, *,
+                   mode: str = "fast"):
+    """OMP loop over an abstract sensing operator (ops/operators.py —
+    dense on one device, or a row-shard whose rmatvec psums inside
+    shard_map).
+
+    ``k_max`` caps the support (static buffer capacity); OMP only ever
+    inserts, so the default min(max_iterations, m, n) can never
+    overflow. ``tolerance`` is the absolute residual target ‖r‖₂.
+    """
+    if mode not in ("fast", "exact"):
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    fast = mode == "fast"
+    dtype = op.dtype
+    m = op.shape[0]
+    if k_max is None:
+        k_max = max(1, min(max_iterations, m, n))
+    tol = jnp.asarray(tolerance, dtype)
+
+    # one-time products: every A_Γᵀy the LS solves need is a gather of c0
+    c0 = op.rmatvec(y)
+    yty = op.mdot(y, y)
+
+    init = _LoopState(
+        it=jnp.uint32(0),
+        c=c0,
+        inv=oinv.init(k_max, n, dtype),
+        coef=jnp.zeros((k_max,), dtype),
+        rss=yty,
+        broke=jnp.bool_(False),
+        done=jnp.bool_(False),
+    )
+
+    def body(s: _LoopState) -> _LoopState:
+        it = s.it + 1
+
+        # greedy pick over the inactive set; |c| >= 0 so −1 masks the
+        # active columns out. argmax = leftmost tie-break (the framework
+        # convention, matching the reference's ixamax semantics).
+        scores = jnp.where(s.inv.mask, jnp.array(-1, dtype), jnp.abs(s.c))
+        idx = jnp.argmax(scores)
+
+        u1, vtv = (op.gram_gathered(idx, s.inv.indices) if fast
+                   else op.gram_column(idx))
+        if fast:
+            uslot = u1
+        else:
+            uslot = jnp.take(u1, s.inv.indices, mode="fill", fill_value=0)
+        # degenerate-insert guard (both modes — OMP has no reference
+        # twin to stay op-faithful to): a rank-deficient pick makes the
+        # Schur complement den = vᵀv − u1ᵀBu1 rounding noise and the
+        # downdated inverse infinite. Break with the previous LS
+        # solution intact.
+        den = vtv - blas.xdot(uslot, blas.xgemv(s.inv.inv, uslot))
+        tiny = jnp.asarray(256 * jnp.finfo(dtype).tiny, dtype)
+        broke = jnp.abs(den) <= tiny
+        u1_safe = jnp.where(broke, jnp.zeros_like(u1), u1)
+        vtv_safe = jnp.where(broke, jnp.array(1, dtype), vtv)
+
+        if fast:
+            inv1 = oinv.insert_unordered(s.inv, idx, u1_safe, vtv_safe)
+        else:
+            inv1 = oinv.insert(s.inv, idx, u1_safe, vtv_safe)
+
+        # LS re-solve on the grown support: b_Γ = c0[Γ] (slot gather),
+        # coefficients = (A_ΓᵀA_Γ)⁻¹ b_Γ
+        b_act = jnp.take(c0, inv1.indices, mode="fill", fill_value=0)
+        coef1 = blas.xgemv(inv1.inv, b_act)
+
+        # residual correlations and ‖r‖², recomputed from the new
+        # coefficients (no drifting recurrence). Wherever an A-pass
+        # already happens the true residual is materialized and ‖r‖²
+        # accumulated directly; only the Gram-gather path (which never
+        # forms the m-vector — that is its point) uses the identity
+        # ‖r‖² = ‖y‖² − (A_Γᵀy)ᵀx_Γ, whose cancellation noise floor
+        # (~eps·‖y‖²) bounds how tight a tolerance it can resolve —
+        # overshoot just pads the support with ~0 coefficients.
+        xsp = jnp.zeros((n,), dtype).at[inv1.indices].set(coef1,
+                                                          mode="drop")
+        if fast and op.has_gram:
+            c1 = c0 - op.gram_matvec_sparse(xsp, inv1.indices)
+            rss1 = yty - blas.xdot(b_act, coef1)
+        else:
+            ax = (op.matvec_sparse(xsp, inv1.indices) if fast
+                  else op.matvec(xsp))
+            resid = y - ax
+            c1 = op.rmatvec(resid)
+            rss1 = op.mdot(resid, resid)
+
+        # a broken lane keeps its previous state wholesale (the toggle
+        # above ran on the virtual orthogonal column; discard it)
+        keep = lambda new, old: jnp.where(broke, old, new)
+        inv_out = oinv.InverseState(
+            inv=keep(inv1.inv, s.inv.inv),
+            indices=keep(inv1.indices, s.inv.indices),
+            mask=keep(inv1.mask, s.inv.mask),
+            k=keep(inv1.k, s.inv.k),
+        )
+        # ‖r‖² is strictly decreasing in exact arithmetic (each added
+        # column reduces the LS error by (aᵀr)²/‖P⊥a‖² > 0), so a
+        # non-decrease means the rounding floor of whichever rss form is
+        # in use — stop with the (valid) new iterate instead of padding
+        # the support with noise picks.
+        done = keep(rss1, s.rss) >= s.rss
+        return _LoopState(
+            # a degenerate pick is discarded wholesale — including its
+            # iteration count (the native twin breaks before counting)
+            it=jnp.where(broke, s.it, it),
+            c=keep(c1, s.c),
+            inv=inv_out,
+            coef=keep(coef1, s.coef),
+            rss=keep(rss1, s.rss),
+            broke=broke,
+            done=done,
+        )
+
+    def cond(s: _LoopState):
+        err2 = jnp.maximum(s.rss, jnp.array(0, dtype))
+        return ((~s.broke) & (~s.done)
+                & (s.it < jnp.uint32(max_iterations))
+                & (s.inv.k < k_max)
+                & (err2 > tol * tol))
+
+    final = lax.while_loop(cond, body, init)
+    x = jnp.zeros((n,), dtype).at[final.inv.indices].set(final.coef,
+                                                         mode="drop")
+    if fast and op.has_gram:
+        # the in-loop identity rss saturates at its cancellation floor
+        # (~eps·‖y‖²) long before the true residual does — report the
+        # real thing from one final O(m·k_max) column-gather matvec
+        resid = y - op.matvec_sparse(x, final.inv.indices)
+        err = jnp.sqrt(op.mdot(resid, resid))
+    else:
+        err = jnp.sqrt(jnp.maximum(final.rss, jnp.array(0, dtype)))
+    return x, OmpReportArrays(iter=final.it, solution_error=err)

@@ -1,0 +1,252 @@
+"""Orthogonal Matching Pursuit — beyond-reference solver family.
+
+Test strategy mirrors the reference's solver-fixture matrix
+(src/solvers/test_util.h: smoke / noisy / recovery fixtures, dual-dtype
+instantiation) plus this framework's own conventions: oracle parity
+(independent dense-LS NumPy rewrite), jax/native engine parity, and
+fast/exact mode parity.
+
+Tolerance note: OMP's stop test squares the residual; f32 tolerances in
+these tests stay ≥ 1e-3 so tol² sits above the rss rounding floor
+(solvers/omp.py module docstring) — at tighter targets differently-
+compiled programs may legitimately fork by one stall iteration.
+"""
+
+import numpy as np
+import pytest
+
+import sparse_solvers_tpu as ss
+from sparse_solvers_tpu.backend import native
+from sparse_solvers_tpu.oracle import omp as oracle
+
+
+def _problem(m, n, k, seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n).astype(dtype)
+    A /= np.linalg.norm(A, axis=0)
+    x = np.zeros(n, dtype)
+    x[rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1.0, k).astype(dtype)
+    return A, x, (A @ x).astype(dtype)
+
+
+def _tol(dtype):
+    # tol² must sit above the rss rounding floor (~eps·‖y‖²) of the
+    # respective dtype — see the module docstring
+    return 1e-3 if dtype == np.float32 else 1e-6
+
+
+# ------------------------------------------------------------ smoke
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_identity_smoke_exact(dtype):
+    """A = I recovers a one-hot signal exactly in one pick (the
+    reference's smoke_test contract shape, test_util.h:27-55)."""
+    I = np.eye(5, dtype=dtype)
+    sig = np.zeros(5, dtype)
+    sig[2] = 1.0
+    x, rep = ss.Omp(I, engine="jax").solve(sig, tolerance=0.1)
+    assert rep.iter == 1
+    assert rep.solution_error == 0.0
+    np.testing.assert_array_equal(x, sig)
+
+
+def test_zero_signal_returns_zero():
+    A, _, _ = _problem(16, 32, 2, seed=1)
+    x, rep = ss.Omp(A, engine="jax").solve(np.zeros(16, np.float32),
+                                           tolerance=1e-3)
+    assert rep.iter == 0 and rep.solution_error == 0.0
+    np.testing.assert_array_equal(x, np.zeros(32, np.float32))
+
+
+# ----------------------------------------------------- oracle parity
+
+@pytest.mark.parametrize("m,n,k,dtype", [
+    (32, 64, 4, np.float32),
+    (64, 128, 8, np.float32),
+    (100, 25, 3, np.float32),        # overdetermined
+    (48, 96, 5, np.float64),
+    (96, 48, 6, np.float64),
+])
+def test_oracle_parity(m, n, k, dtype):
+    """jax engine matches the independent dense-lstsq oracle: same pick
+    count, solutions at reference property-test tolerances."""
+    A, x_true, y = _problem(m, n, k, seed=m + n, dtype=dtype)
+    tol = _tol(dtype)
+    xo, ito, erro, picks = oracle.solve(A, y, tol, 100)
+    x, rep = ss.Omp(A, engine="jax").solve(y, tolerance=tol,
+                                           max_iterations=100)
+    assert rep.iter == ito
+    assert rep.solution_error <= tol
+    np.testing.assert_allclose(x, xo, atol=2e-4)
+    sup = set(np.flatnonzero(x_true != 0).tolist())
+    assert set(np.flatnonzero(np.abs(x) > 10 * tol).tolist()) == sup
+
+
+@pytest.mark.parametrize("mode", ["fast", "exact"])
+def test_mode_parity(mode):
+    A, x_true, y = _problem(64, 160, 6, seed=9)
+    x, rep = ss.Omp(A, engine="jax", mode=mode).solve(
+        y, tolerance=1e-3, max_iterations=60)
+    xo, ito, _, _ = oracle.solve(A, y, 1e-3, 60)
+    assert rep.iter == ito
+    np.testing.assert_allclose(x, xo, atol=2e-4)
+
+
+def test_gram_vs_gramfree_same_solution():
+    """The Gram-gather formulation and the matvec formulation agree on
+    the solution; the Gram path may take one extra stall pick at its
+    documented rss floor but its reported error is the true residual."""
+    A, x_true, y = _problem(128, 512, 12, seed=4)
+    xg, rg = ss.Omp(A, engine="jax", gram=True).solve(
+        y, tolerance=1e-3, max_iterations=60)
+    xf, rf = ss.Omp(A, engine="jax", gram=False).solve(
+        y, tolerance=1e-3, max_iterations=60)
+    assert abs(rg.iter - rf.iter) <= 1
+    assert rg.solution_error <= 1e-3 and rf.solution_error <= 1e-3
+    np.testing.assert_allclose(xg, xf, atol=2e-4)
+
+
+# ----------------------------------------------------- native engine
+
+pytestmark_native = pytest.mark.skipif(
+    not native.available(), reason="native backend unavailable")
+
+
+@pytestmark_native
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_native_matches_oracle_and_jax(dtype):
+    A, x_true, y = _problem(64, 128, 8, seed=3, dtype=dtype)
+    tol = _tol(dtype)
+    xo, ito, erro, _ = oracle.solve(A, y, tol, 100)
+    xn, itn, errn = native.omp_solve(A, y, tol, 100, 100)
+    xj, repj = ss.Omp(A, engine="jax").solve(y, tolerance=tol,
+                                             max_iterations=100)
+    assert itn == ito == repj.iter
+    np.testing.assert_allclose(xn, xo, atol=2e-4)
+    np.testing.assert_allclose(xn, xj, atol=2e-4)
+
+
+@pytestmark_native
+def test_native_batch_bit_equal():
+    A, _, _ = _problem(48, 96, 5, seed=7)
+    Y = np.stack([_problem(48, 96, 5, seed=s)[2] for s in range(6)])
+    X, iters, errs = native.omp_solve_batch(A, Y, 1e-3, 50, 50)
+    for b in range(6):
+        xb, itb, errb = native.omp_solve(A, Y[b], 1e-3, 50, 50)
+        assert iters[b] == itb and errs[b] == errb
+        np.testing.assert_array_equal(X[b], xb)
+
+
+@pytestmark_native
+def test_auto_routes_small_to_native():
+    A, x_true, y = _problem(32, 64, 4, seed=2)
+    solver = ss.Omp(A)  # auto
+    assert solver.explain()["engine"] == "native"
+    x, rep = solver.solve(y, tolerance=1e-3)
+    assert set(np.flatnonzero(np.abs(x) > 1e-2)) == \
+        set(np.flatnonzero(x_true))
+
+
+# ------------------------------------------------------------ batch
+
+def test_solve_batch_matches_single():
+    A, _, _ = _problem(64, 128, 6, seed=11)
+    Y = np.stack([_problem(64, 128, 6, seed=s)[2] for s in range(4)])
+    solver = ss.Omp(A, engine="jax")
+    X, reps = solver.solve_batch(Y, tolerance=1e-3, max_iterations=50)
+    X = np.asarray(X)
+    for b in range(4):
+        xb, repb = solver.solve(Y[b], tolerance=1e-3, max_iterations=50)
+        # batched and single programs compile separately; solutions
+        # agree within f32 reorder noise
+        np.testing.assert_allclose(X[b], xb, atol=2e-4)
+        assert abs(int(np.asarray(reps.iter)[b]) - repb.iter) <= 1
+
+
+def test_solve_on_device_jit_composable():
+    import jax
+    A, x_true, y = _problem(48, 96, 4, seed=13)
+    solver = ss.Omp(A, engine="jax")
+
+    @jax.jit
+    def pipeline(y):
+        x, rep = solver.solve_on_device(y, 1e-3, max_iterations=40)
+        return x, rep.iter
+
+    x, it = pipeline(y)
+    assert int(it) == 4
+    assert set(np.flatnonzero(np.abs(np.asarray(x)) > 1e-2)) == \
+        set(np.flatnonzero(x_true))
+
+
+# ------------------------------------------------- robustness / edges
+
+def test_k_max_caps_support():
+    A, x_true, y = _problem(64, 128, 8, seed=5)
+    x, rep = ss.Omp(A, engine="jax", k_max=3).solve(
+        y, tolerance=1e-6, max_iterations=50)
+    assert rep.iter == 3
+    assert np.count_nonzero(x) <= 3
+    assert np.isfinite(rep.solution_error)
+
+
+def test_degenerate_duplicate_columns_break_finite():
+    """A dictionary of duplicated columns makes every post-rank pick
+    degenerate — the guard must stop with a finite LS solution instead
+    of an inf/NaN inverse."""
+    rng = np.random.RandomState(8)
+    base = rng.randn(24, 6).astype(np.float32)
+    A = np.concatenate([base] * 8, axis=1)  # 24 x 48, rank 6
+    A /= np.linalg.norm(A, axis=0)
+    y = (A[:, :3] @ np.array([1.0, -0.5, 0.8], np.float32)).astype(np.float32)
+    for engine in ("jax",) + (("native",) if native.available() else ()):
+        x, rep = ss.Omp(A, engine=engine).solve(y, tolerance=1e-7,
+                                                max_iterations=40)
+        assert np.isfinite(np.asarray(x)).all(), engine
+        assert np.isfinite(rep.solution_error), engine
+        assert rep.iter <= 7, engine  # rank bound (+1 boundary pick)
+
+
+def test_noise_floor_stall_stops():
+    """Below the f32 rss floor the stall detector must stop the loop
+    rather than padding the support until max_iterations."""
+    A, x_true, y = _problem(128, 512, 12, seed=4)
+    x, rep = ss.Omp(A, engine="jax").solve(y, tolerance=1e-30,
+                                           max_iterations=100)
+    assert rep.iter < 100
+    assert np.isfinite(rep.solution_error)
+
+
+def test_update_column_refreshes_gram():
+    A, x_true, y = _problem(48, 96, 4, seed=17)
+    solver = ss.Omp(A, engine="jax")
+    solver.solve(y, tolerance=1e-3)  # builds the Gram cache
+    rng = np.random.RandomState(99)
+    v = rng.randn(48).astype(np.float32)
+    v /= np.linalg.norm(v)
+    solver.update_column(7, v)
+    x0 = np.zeros(96, np.float32)
+    x0[7] = 1.0
+    y2 = np.asarray(solver._A) @ x0
+    x, rep = solver.solve(y2, tolerance=1e-3)
+    assert np.argmax(np.abs(x)) == 7 and rep.iter == 1
+
+
+# ------------------------------------------------------- validation
+
+def test_validation_errors():
+    A = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError):
+        ss.Omp(A, mode="bogus")
+    with pytest.raises(ValueError):
+        ss.Omp(A, engine="cuda")
+    with pytest.raises(ValueError):
+        ss.Omp(A, engine="native", mode="exact")
+    with pytest.raises(ValueError):
+        ss.Omp(A, precision="certified")
+    with pytest.raises(ValueError):
+        ss.Omp(A, k_max=0)
+    with pytest.raises(ValueError):
+        ss.Omp(A).solve(np.zeros(8, np.float32), max_iterations=0)
+    with pytest.raises(ValueError):
+        ss.Omp(A).solve(np.zeros(7, np.float32))

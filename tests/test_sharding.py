@@ -547,3 +547,25 @@ def test_homotopy_sharded_dense_false(mesh):
     np.testing.assert_allclose(np.asarray(rcert.solution_error),
                                np.max(np.abs(c), axis=-1),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_omp_sharded_matches_single(mesh):
+    """Row+data-sharded OMP (greedy beyond-reference family) lane-for-
+    lane equals the single-device jax engine: same pick counts, same
+    solutions, in both the replicated-Gram and per-iteration-psum
+    (gram=False) formulations."""
+    rng = np.random.RandomState(7)
+    # m=37: padding path; k=3 picks per lane
+    A, Y = _problem(rng, 37, 24, 8, 3)
+    Xs, reps = ss.Omp(A, engine="jax").solve_batch(
+        Y, tolerance=1e-6, max_iterations=30)
+    for gram in (True, False):
+        Ad, Yd = sh.shard_inputs(mesh, A, Y)
+        X, rep = sh.omp_sharded(mesh, Ad, Yd, 1e-6, 30, gram=gram)
+        np.testing.assert_array_equal(np.asarray(rep.iter),
+                                      np.asarray(reps.iter))
+        np.testing.assert_allclose(np.asarray(X), np.asarray(Xs),
+                                   atol=1e-9, err_msg=f"gram={gram}")
+        np.testing.assert_allclose(np.asarray(rep.solution_error),
+                                   np.asarray(reps.solution_error),
+                                   atol=1e-9)
