@@ -109,6 +109,49 @@ def _route_native(engine: str, m: int, n: int, probe: bool) -> bool:
     return engine == "native" or m * n <= Homotopy._NATIVE_AUTO_ELEMS
 
 
+def _lazy_gram(solver):
+    """Shared lazy AᵀA for the Gram-using facades (Homotopy, Omp):
+    computed on first jax-engine use so construction stays device-free;
+    a first touch inside an outer jit trace returns the traced value
+    without caching it (a cached tracer would leak into later eager
+    solves)."""
+    if solver._gram_enabled and solver._G_cache is None:
+        G = jax.jit(_blas.xgemm, static_argnames="trans_a")(
+            solver._A, solver._A, trans_a=True)
+        if isinstance(G, jax.core.Tracer):
+            return G
+        solver._G_cache = G
+    return solver._G_cache
+
+
+def _update_column_impl(solver, j: int, col) -> None:
+    """Shared in-place sensing-column replacement (gallery churn) with
+    the incremental Gram row/col rewrite — one Aᵀ·v product instead of
+    the O(mn²) rebuild. See Homotopy.update_column for semantics."""
+    if not (0 <= j < solver._n):
+        raise ValueError(f"column index {j} out of range [0, {solver._n})")
+    v = jnp.asarray(ndview.as_vector(col, dtype=solver.dtype,
+                                     size=solver._m))
+    with_g = solver._G_cache is not None
+    fn = solver._cache.get(("colupd", with_g))
+    if fn is None:
+        def upd(A, v, j, G=None):
+            A2 = A.at[:, j].set(v)
+            if G is None:
+                return A2, None
+            # new Gram row/col: g = Aᵀ_new v (the already-updated
+            # column makes the diagonal land as vᵀv)
+            g = _blas.xgemv(A2, v, trans=True)
+            return A2, G.at[:, j].set(g).at[j, :].set(g)
+        fn = jax.jit(upd)  # one dispatch per churn op
+        solver._cache[("colupd", with_g)] = fn
+    if with_g:
+        solver._A, solver._G_cache = fn(jnp.asarray(solver._A), v, j,
+                                        solver._G_cache)
+    else:
+        solver._A, _ = fn(jnp.asarray(solver._A), v, j)
+
+
 class Homotopy:
     """Homotopy path-following solver over a fixed sensing matrix A (m×n).
 
@@ -194,16 +237,7 @@ class Homotopy:
     def _G(self):
         """AᵀA, computed lazily on first jax-engine use (native-engine
         solves never touch it, so construction stays device-free)."""
-        if self._gram_enabled and self._G_cache is None:
-            G = jax.jit(_blas.xgemm, static_argnames="trans_a")(
-                self._A, self._A, trans_a=True)
-            if isinstance(G, jax.core.Tracer):
-                # first touch is inside an outer jit trace
-                # (solve_batch_on_device): use the traced value but never
-                # cache a tracer — it would leak into later eager solves
-                return G
-            self._G_cache = G
-        return self._G_cache
+        return _lazy_gram(self)
 
     @property
     def shape(self):
@@ -224,28 +258,7 @@ class Homotopy:
         valid. No reference analog: its solver holds a const view of A
         (policies.h:42), so callers there rebuild the solver.
         """
-        if not (0 <= j < self._n):
-            raise ValueError(f"column index {j} out of range [0, {self._n})")
-        v = jnp.asarray(ndview.as_vector(col, dtype=self.dtype,
-                                         size=self._m))
-        with_g = self._G_cache is not None
-        fn = self._cache.get(("colupd", with_g))
-        if fn is None:
-            def upd(A, v, j, G=None):
-                A2 = A.at[:, j].set(v)
-                if G is None:
-                    return A2, None
-                # new Gram row/col: g = Aᵀ_new v (the already-updated
-                # column makes the diagonal land as vᵀv)
-                g = _blas.xgemv(A2, v, trans=True)
-                return A2, G.at[:, j].set(g).at[j, :].set(g)
-            fn = jax.jit(upd)  # one dispatch per churn op
-            self._cache[("colupd", with_g)] = fn
-        if with_g:
-            self._A, self._G_cache = fn(jnp.asarray(self._A), v, j,
-                                        self._G_cache)
-        else:
-            self._A, _ = fn(jnp.asarray(self._A), v, j)
+        _update_column_impl(self, j, col)
 
     def _plan(self, max_iterations: int, batch: int | None,
               record_path: bool = False):
@@ -1044,9 +1057,16 @@ class Omp:
 
     Parameters mirror ``Homotopy`` where they apply: ``k_max`` caps the
     support (default min(n, m, max_iterations) — OMP only inserts, so
-    this never overflows), ``mode`` "fast"/"exact", ``gram`` None=auto,
-    ``precision`` MXU contraction precision ("certified" is a homotopy
-    concept and not accepted), ``engine`` "jax"/"native"/"auto".
+    this never overflows), ``mode`` "fast"/"exact", ``precision`` MXU
+    contraction precision ("certified" is a homotopy concept and not
+    accepted), ``engine`` "jax"/"native"/"auto".
+
+    ``gram``: None (default) precomputes AᵀA when n² fits in 1 GiB and
+    lets the measured batch·k_max < 2m crossover choose the
+    correlation-update formulation per call (Gram-column gathers vs one
+    amortized MXU pass over A — the per-pick insert uses the Gram
+    either way); True additionally pins the Gram-gather formulation;
+    False disables the Gram entirely.
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
@@ -1074,6 +1094,8 @@ class Omp:
         self._k_max = k_max
         self._mode = mode
         self._precision = precision
+        self._gram_forced = gram is True  # explicit True pins the
+        # Gram-gather correlation formulation (auto only routes it)
         if gram is None:
             gram = (self._n * self._n * self._A.dtype.itemsize
                     <= _GRAM_AUTO_BYTES)
@@ -1083,13 +1105,7 @@ class Omp:
 
     @property
     def _G(self):
-        if self._gram_enabled and self._G_cache is None:
-            G = jax.jit(_blas.xgemm, static_argnames="trans_a")(
-                self._A, self._A, trans_a=True)
-            if isinstance(G, jax.core.Tracer):
-                return G  # traced first touch — never cache a tracer
-            self._G_cache = G
-        return self._G_cache
+        return _lazy_gram(self)
 
     @property
     def shape(self):
@@ -1103,26 +1119,7 @@ class Omp:
         """Replace column j in place (gallery churn — see
         Homotopy.update_column; the cached Gram row/col is rewritten
         incrementally)."""
-        if not (0 <= j < self._n):
-            raise ValueError(f"column index {j} out of range [0, {self._n})")
-        v = jnp.asarray(ndview.as_vector(col, dtype=self.dtype,
-                                         size=self._m))
-        with_g = self._G_cache is not None
-        fn = self._cache.get(("colupd", with_g))
-        if fn is None:
-            def upd(A, v, j, G=None):
-                A2 = A.at[:, j].set(v)
-                if G is None:
-                    return A2, None
-                g = _blas.xgemv(A2, v, trans=True)
-                return A2, G.at[:, j].set(g).at[j, :].set(g)
-            fn = jax.jit(upd)
-            self._cache[("colupd", with_g)] = fn
-        if with_g:
-            self._A, self._G_cache = fn(jnp.asarray(self._A), v, j,
-                                        self._G_cache)
-        else:
-            self._A, _ = fn(jnp.asarray(self._A), v, j)
+        _update_column_impl(self, j, col)
 
     def _use_native(self, probe: bool = False) -> bool:
         if self._engine == "jax" or self._mode == "exact":
@@ -1155,10 +1152,12 @@ class Omp:
         O(n·k) gather bytes per lane-iteration, the matvec form one MXU
         pass over A amortized across the batch — the same crossover rule
         as the homotopy cores' ``sparse`` heuristic (batch·k_max < 2m;
-        measured on v5e at 4096×8192 k=64 b=256: matvec 983 solves/s vs
-        gram 836 — benchmarks/results/omp_v5e.jsonl)."""
+        measured on v5e at 4096×8192 k=64 b=256: matvec 1102 solves/s vs
+        gram 835 — benchmarks/results/omp_v5e.jsonl)."""
         if not self._gram_enabled:
             return False
+        if self._gram_forced:
+            return True  # gram=True is an explicit formulation choice
         b = batch or 1
         return b * self._resolved_k_max(max_iterations) < 2 * self._m
 
@@ -1173,11 +1172,15 @@ class Omp:
         fn = self._cache.get(key)
         if fn is None:
             def core(A, G, y, tol):
+                # G rides along for the O(k) per-pick inserts whenever
+                # it exists; use_gram selects only the correlation
+                # formulation (review finding: dropping G wholesale made
+                # every pick pay a full AᵀA e_j pass)
                 op = _operators.DenseOperator(A, G)
                 with _blas.precision_scope(self._precision):
                     return _omp.solve_omp_core(
                         op, self._n, y, tol, max_iterations, k_max,
-                        mode=self._mode)
+                        mode=self._mode, corr_gram=use_gram)
             run = core
             if batched:
                 run = jax.vmap(core, in_axes=(None, None, 0, None))
@@ -1201,7 +1204,7 @@ class Omp:
         use_gram = self._route_gram(None, max_iterations)
         x, rep = self._fn(max_iterations, batched=False,
                           use_gram=use_gram)(
-            self._A, self._G if use_gram else None, y, tol)
+            self._A, self._G, y, tol)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
         return x, OmpReport(iter=int(it), solution_error=float(err))
 
@@ -1222,7 +1225,7 @@ class Omp:
         use_gram = self._route_gram(Y.shape[0], max_iterations)
         return self._fn(max_iterations, batched=True,
                         use_gram=use_gram)(
-            self._A, self._G if use_gram else None, Y, tol)
+            self._A, self._G, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
@@ -1230,7 +1233,7 @@ class Omp:
         use_gram = self._route_gram(None, max_iterations)
         return self._fn(max_iterations, batched=False,
                         use_gram=use_gram)(
-            self._A, self._G if use_gram else None, y, tolerance)
+            self._A, self._G, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 100):
@@ -1238,7 +1241,7 @@ class Omp:
         use_gram = self._route_gram(int(Y.shape[0]), max_iterations)
         return self._fn(max_iterations, batched=True,
                         use_gram=use_gram)(
-            self._A, self._G if use_gram else None, Y, tolerance)
+            self._A, self._G, Y, tolerance)
 
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)

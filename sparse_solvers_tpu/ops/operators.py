@@ -54,11 +54,15 @@ class DenseOperator(NamedTuple):
     def matvec(self, x):
         return blas.xgemv(self.A, x)
 
-    def matvec_sparse(self, x, indices):
+    def matvec_sparse(self, x, indices, vals=None):
         """A x for x supported on ``indices`` (sentinel-n slots gather 0) —
-        an (m, k_max) column gather + small matmul instead of a full pass."""
+        an (m, k_max) column gather + small matmul instead of a full pass.
+        ``vals`` (slot-ordered values x[indices]) skips the dense gather
+        when the caller already holds them (the OMP loop's coefficients
+        live in slot space — no O(n) scatter/regather per iteration)."""
         cols = jnp.take(self.A, indices, axis=1, mode="fill", fill_value=0)
-        vals = jnp.take(x, indices, mode="fill", fill_value=0)
+        if vals is None:
+            vals = jnp.take(x, indices, mode="fill", fill_value=0)
         return blas.xgemv(cols, vals)
 
     def rmatvec(self, u):
@@ -74,11 +78,13 @@ class DenseOperator(NamedTuple):
         v = self.column(j)
         return self.rmatvec(v), blas.xdot(v, v)
 
-    def gram_matvec_sparse(self, d, indices):
+    def gram_matvec_sparse(self, d, indices, vals=None):
         """q = AᵀA d for d supported on ``indices`` via Gram-column gather —
-        O(n·k) bytes, no pass over A. Requires a precomputed ``G``."""
+        O(n·k) bytes, no pass over A. Requires a precomputed ``G``.
+        ``vals`` = slot-ordered d[indices], skipping the dense gather."""
         cols = jnp.take(self.G, indices, axis=1, mode="fill", fill_value=0)
-        vals = jnp.take(d, indices, mode="fill", fill_value=0)
+        if vals is None:
+            vals = jnp.take(d, indices, mode="fill", fill_value=0)
         return blas.xgemv(cols, vals)
 
     def gram_gathered(self, col, slots):
@@ -164,18 +170,21 @@ class RowShardedOperator(NamedTuple):
     def matvec(self, x):
         return blas.xgemv(self.A_local, x)  # stays row-sharded
 
-    def matvec_sparse(self, x, indices):
+    def matvec_sparse(self, x, indices, vals=None):
         """Local-shard rows of A x for k-sparse x — column gather over the
-        local shard; the result stays row-sharded like ``matvec``."""
+        local shard; the result stays row-sharded like ``matvec``.
+        ``vals`` = slot-ordered x[indices], skipping the dense gather."""
         cols = jnp.take(self.A_local, indices, axis=1, mode="fill",
                         fill_value=0)
-        vals = jnp.take(x, indices, mode="fill", fill_value=0)
+        if vals is None:
+            vals = jnp.take(x, indices, mode="fill", fill_value=0)
         return blas.xgemv(cols, vals)
 
-    def gram_matvec_sparse(self, d, indices):
+    def gram_matvec_sparse(self, d, indices, vals=None):
         """q = AᵀA d via replicated-Gram gather — zero collectives."""
         cols = jnp.take(self.G, indices, axis=1, mode="fill", fill_value=0)
-        vals = jnp.take(d, indices, mode="fill", fill_value=0)
+        if vals is None:
+            vals = jnp.take(d, indices, mode="fill", fill_value=0)
         return blas.xgemv(cols, vals)
 
     def gram_gathered(self, col, slots):

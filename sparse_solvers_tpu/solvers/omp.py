@@ -77,7 +77,7 @@ def solve_omp(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 
 def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
                    max_iterations: int, k_max: int | None = None, *,
-                   mode: str = "fast"):
+                   mode: str = "fast", corr_gram: bool | None = None):
     """OMP loop over an abstract sensing operator (ops/operators.py —
     dense on one device, or a row-shard whose rmatvec psums inside
     shard_map).
@@ -85,10 +85,20 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
     ``k_max`` caps the support (static buffer capacity); OMP only ever
     inserts, so the default min(max_iterations, m, n) can never
     overflow. ``tolerance`` is the absolute residual target ‖r‖₂.
+
+    ``corr_gram`` (static) selects the fast-mode correlation-update
+    formulation: Gram-column gathers (O(n·k) bytes/iteration, needs
+    op.has_gram) vs one amortized MXU pass over A. Independent of the
+    per-pick insert, which always uses op.G when present. Default None
+    = gathers whenever the operator holds a Gram (api.Omp routes by the
+    measured batch·k < 2m crossover).
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
     fast = mode == "fast"
+    if corr_gram is None:
+        corr_gram = op.has_gram
+    corr_gram = bool(corr_gram and op.has_gram and fast)
     dtype = op.dtype
     m = op.shape[0]
     if k_max is None:
@@ -153,14 +163,16 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
         # ‖r‖² = ‖y‖² − (A_Γᵀy)ᵀx_Γ, whose cancellation noise floor
         # (~eps·‖y‖²) bounds how tight a tolerance it can resolve —
         # overshoot just pads the support with ~0 coefficients.
-        xsp = jnp.zeros((n,), dtype).at[inv1.indices].set(coef1,
-                                                          mode="drop")
-        if fast and op.has_gram:
-            c1 = c0 - op.gram_matvec_sparse(xsp, inv1.indices)
+        if corr_gram:
+            c1 = c0 - op.gram_matvec_sparse(None, inv1.indices, vals=coef1)
             rss1 = yty - blas.xdot(b_act, coef1)
         else:
-            ax = (op.matvec_sparse(xsp, inv1.indices) if fast
-                  else op.matvec(xsp))
+            if fast:
+                ax = op.matvec_sparse(None, inv1.indices, vals=coef1)
+            else:
+                xd = jnp.zeros((n,), dtype).at[inv1.indices].set(
+                    coef1, mode="drop")
+                ax = op.matvec(xd)
             resid = y - ax
             c1 = op.rmatvec(resid)
             rss1 = op.mdot(resid, resid)
@@ -202,11 +214,12 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
     final = lax.while_loop(cond, body, init)
     x = jnp.zeros((n,), dtype).at[final.inv.indices].set(final.coef,
                                                          mode="drop")
-    if fast and op.has_gram:
+    if corr_gram:
         # the in-loop identity rss saturates at its cancellation floor
         # (~eps·‖y‖²) long before the true residual does — report the
         # real thing from one final O(m·k_max) column-gather matvec
-        resid = y - op.matvec_sparse(x, final.inv.indices)
+        resid = y - op.matvec_sparse(None, final.inv.indices,
+                                     vals=final.coef)
         err = jnp.sqrt(op.mdot(resid, resid))
     else:
         err = jnp.sqrt(jnp.maximum(final.rss, jnp.array(0, dtype)))
