@@ -6,6 +6,9 @@ below a sharp curve in the undersampling/sparsity plane
 (δ = m/n, ρ = k/m). Both ℓ₁ solvers here — Homotopy (the reference's
 algorithm) and CG-IRLS (beyond reference, the m ≤ n regime) — must trace
 that curve: high recovery rates at low ρ decaying toward the transition.
+OMP (greedy, beyond reference) is mapped too; its transition sits below
+the ℓ₁ curve (Tropp–Gilbert 2007), so its success region should be a
+strict subset — a cross-algorithm sanity check, not a parity target.
 This harness records the measured rate per grid cell per solver, plus
 an `exhausted` count — trials where the solver hit its iteration budget
 without meeting the tolerance (unconverged, distinct from a genuine
@@ -56,6 +59,13 @@ def _trial(rng, m, n, k, solver_kind, ss):
         max_iter = 3 * m
         x, rep = ss.Homotopy(A).solve(y, tolerance=tol,
                                       max_iterations=max_iter)
+    elif solver_kind == "omp":
+        # greedy pursuit: its transition sits below l1's (Tropp-Gilbert
+        # 2007) — the map should show a narrower success region, not
+        # match the l1 curves
+        max_iter = m
+        x, rep = ss.Omp(A).solve(y, tolerance=tol,
+                                 max_iterations=max_iter)
     else:
         max_iter = 60
         x, rep = ss.IrlsCg(A).solve(y, tolerance=tol,
@@ -81,7 +91,7 @@ def main():
     deltas = [0.25, 0.5] if args.quick else [0.125, 0.25, 0.375, 0.5, 0.75]
     rhos = [0.1, 0.3] if args.quick else [0.1, 0.2, 0.3, 0.4, 0.5]
 
-    for solver_kind in ("homotopy", "irls_cg"):
+    for solver_kind in ("homotopy", "irls_cg", "omp"):
         for d in deltas:
             m = max(4, int(round(d * n)))
             for r in rhos:
