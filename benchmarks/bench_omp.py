@@ -4,9 +4,10 @@ OMP is the framework's greedy beyond-reference family (solvers/omp.py):
 k column picks = k iterations, each one correlation product plus O(k²)
 slot work over the online Gram inverse. This harness records the
 vmapped jax engine at the headline-adjacent compressed-sensing shape
-(Gram-gather formulation — the throughput configuration) and the
-matvec formulation (gram=False, the unmaterializable-Gram regime),
-with exact-support recovery as the correctness gate, plus a threaded
+in the Gram-gather formulation (gram=True pins it) and whatever the
+batch·k < 2m router picks for gram=False ("dense" — two amortized MXU
+passes — at both bench shapes; labels come from explain()), with
+exact-support recovery as the correctness gate, plus a threaded
 native-host row for the small-problem floor.
 
 Run (real TPU):  python benchmarks/bench_omp.py [--quick]
@@ -60,9 +61,13 @@ def main():
     sup_true = [set(np.flatnonzero(X0[b]).tolist()) for b in range(batch)]
 
     Yd = jnp.asarray(Y)
-    for name, kw in [("gram_gather", dict(gram=True)),
-                     ("matvec", dict(gram=False))]:
+    # gram=True pins the Gram-gather formulation; gram=False routes by
+    # the batch*k < 2m crossover ("dense" at both bench shapes — the
+    # label below reports what actually ran, from explain())
+    for kw in (dict(gram=True), dict(gram=False)):
         solver = ss.Omp(A, engine="jax", **kw)
+        name = "corr_" + solver.explain(
+            batch=batch, max_iterations=max_iter)["corr"]
         run = lambda: solver.solve_batch_on_device(Yd, tol, max_iter)
         X, rep = run()
         np.asarray(rep.iter)  # fence warmup (compile + run)

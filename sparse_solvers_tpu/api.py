@@ -1058,8 +1058,9 @@ class Omp:
     Parameters mirror ``Homotopy`` where they apply: ``k_max`` caps the
     support (default min(n, m, max_iterations) — OMP only inserts, so
     this never overflows), ``mode`` "fast"/"exact", ``precision`` MXU
-    contraction precision ("certified" is a homotopy concept and not
-    accepted), ``engine`` "jax"/"native"/"auto".
+    contraction precision (default "high" in fast mode / "highest" in
+    exact; "certified" is a homotopy concept and not accepted),
+    ``engine`` "jax"/"native"/"auto".
 
     ``gram``: None (default) precomputes AᵀA when n² fits in 1 GiB and
     lets the measured batch·k_max < 2m crossover choose the
@@ -1070,7 +1071,7 @@ class Omp:
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
-                 gram: bool | None = None, precision: str = "highest",
+                 gram: bool | None = None, precision: str | None = None,
                  engine: str = "auto"):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
@@ -1081,7 +1082,8 @@ class Omp:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
-        if precision not in ("highest", "high", "default"):
+        if precision is not None and precision not in (
+                "highest", "high", "default"):
             raise ValueError(
                 "precision must be 'highest', 'high' or 'default', "
                 f"got {precision!r}")
@@ -1093,7 +1095,12 @@ class Omp:
         _warn_small_problem_jax(engine, self._m, self._n)
         self._k_max = k_max
         self._mode = mode
-        self._precision = precision
+        # Homotopy's convention: parity-grade 3-pass contractions on the
+        # fast path (trajectories stay pick-for-pick with the oracle at
+        # test tolerances; measured 2373 vs 1650 solves/s over "highest"
+        # at the headline shape), bit-faithful 6-pass in exact mode.
+        self._precision = precision or ("high" if mode == "fast"
+                                        else "highest")
         self._gram_forced = gram is True  # explicit True pins the
         # Gram-gather correlation formulation (auto only routes it)
         if gram is None:
@@ -1138,49 +1145,51 @@ class Omp:
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
-        use_gram = self._route_gram(batch, max_iterations)
+        corr = self._route_corr(batch, max_iterations)
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode, "precision": self._precision,
-                "gram": use_gram,
+                "corr": corr,
                 "k_max": self._resolved_k_max(max_iterations),
                 "formulation": ("vmapped OMP loop" if batch is not None
-                                else "OMP loop")
-                + (" (gram-gather)" if use_gram else " (matvec)")}
+                                else "OMP loop") + f" (corr={corr})"}
 
-    def _route_gram(self, batch: int | None, max_iterations: int) -> bool:
-        """Formulation routing: the Gram-gather correlation update costs
-        O(n·k) gather bytes per lane-iteration, the matvec form one MXU
-        pass over A amortized across the batch — the same crossover rule
-        as the homotopy cores' ``sparse`` heuristic (batch·k_max < 2m;
-        measured on v5e at 4096×8192 k=64 b=256: matvec 1102 solves/s vs
-        gram 835 — benchmarks/results/omp_v5e.jsonl)."""
-        if not self._gram_enabled:
-            return False
-        if self._gram_forced:
-            return True  # gram=True is an explicit formulation choice
+    def _route_corr(self, batch: int | None, max_iterations: int) -> str:
+        """Correlation-formulation routing (solve_omp_core ``corr``):
+        Gram-column gathers cost O(n·k) bytes per lane-iteration, the
+        dense two-gemm form one MXU pass over A amortized across the
+        batch — the same crossover rule as the homotopy cores'
+        ``sparse`` heuristic (batch·k_max < 2m). Past the crossover,
+        "dense" beats the per-lane column-gather "sparse" form, whose
+        (batch·k, m) gather tensor was the profiled 1.4 ms/iteration
+        bottleneck (v5e, 4096×8192 k=64 b=256 —
+        benchmarks/results/omp_v5e.jsonl); "sparse" remains the
+        single/low-batch choice when no Gram is held."""
         b = batch or 1
-        return b * self._resolved_k_max(max_iterations) < 2 * self._m
+        small = b * self._resolved_k_max(max_iterations) < 2 * self._m
+        if self._gram_enabled and (self._gram_forced or small):
+            return "gram"
+        return "sparse" if small else "dense"
 
     def _fn(self, max_iterations: int, batched: bool,
-            use_gram: bool | None = None):
+            corr: str | None = None):
         _check_max_iterations(max_iterations)
         from .solvers import omp as _omp
         k_max = self._resolved_k_max(max_iterations)
-        if use_gram is None:
-            use_gram = self._gram_enabled
-        key = ("omp", max_iterations, k_max, batched, use_gram)
+        if corr is None:
+            corr = "gram" if self._gram_enabled else "sparse"
+        key = ("omp", max_iterations, k_max, batched, corr)
         fn = self._cache.get(key)
         if fn is None:
             def core(A, G, y, tol):
                 # G rides along for the O(k) per-pick inserts whenever
-                # it exists; use_gram selects only the correlation
+                # it exists; corr selects only the correlation
                 # formulation (review finding: dropping G wholesale made
                 # every pick pay a full AᵀA e_j pass)
                 op = _operators.DenseOperator(A, G)
                 with _blas.precision_scope(self._precision):
                     return _omp.solve_omp_core(
                         op, self._n, y, tol, max_iterations, k_max,
-                        mode=self._mode, corr_gram=use_gram)
+                        mode=self._mode, corr=corr)
             run = core
             if batched:
                 run = jax.vmap(core, in_axes=(None, None, 0, None))
@@ -1201,9 +1210,8 @@ class Omp:
                 np.asarray(self._A), np.asarray(y), tol, max_iterations,
                 self._resolved_k_max(max_iterations))
             return xn, OmpReport(iter=it, solution_error=err)
-        use_gram = self._route_gram(None, max_iterations)
-        x, rep = self._fn(max_iterations, batched=False,
-                          use_gram=use_gram)(
+        corr = self._route_corr(None, max_iterations)
+        x, rep = self._fn(max_iterations, batched=False, corr=corr)(
             self._A, self._G, y, tol)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
         return x, OmpReport(iter=int(it), solution_error=float(err))
@@ -1222,25 +1230,22 @@ class Omp:
             from .solvers import omp as _omp
             return X, _omp.OmpReportArrays(
                 iter=its.astype(np.uint32), solution_error=errs)
-        use_gram = self._route_gram(Y.shape[0], max_iterations)
-        return self._fn(max_iterations, batched=True,
-                        use_gram=use_gram)(
+        corr = self._route_corr(Y.shape[0], max_iterations)
+        return self._fn(max_iterations, batched=True, corr=corr)(
             self._A, self._G, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
         """Jit-composable solve: device arrays in, (x, report pytree) out."""
-        use_gram = self._route_gram(None, max_iterations)
-        return self._fn(max_iterations, batched=False,
-                        use_gram=use_gram)(
+        corr = self._route_corr(None, max_iterations)
+        return self._fn(max_iterations, batched=False, corr=corr)(
             self._A, self._G, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 100):
         """Jit-composable batched solve over device arrays."""
-        use_gram = self._route_gram(int(Y.shape[0]), max_iterations)
-        return self._fn(max_iterations, batched=True,
-                        use_gram=use_gram)(
+        corr = self._route_corr(int(Y.shape[0]), max_iterations)
+        return self._fn(max_iterations, batched=True, corr=corr)(
             self._A, self._G, Y, tolerance)
 
     def _tol(self, tolerance):

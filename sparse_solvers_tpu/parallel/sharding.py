@@ -283,7 +283,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 
 @functools.lru_cache(maxsize=128)
 def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
-                    max_iterations: int, k_max: int):
+                    max_iterations: int, k_max: int, corr: str):
     from ..solvers.omp import solve_omp_core
 
     @partial(shard_map, mesh=mesh,
@@ -298,7 +298,7 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                               ROW_AXIS) if gram else None)
             op = RowShardedOperator(A_local, ROW_AXIS, G)
             solve = lambda y_local: solve_omp_core(
-                op, n, y_local, tol, max_iterations, k_max)
+                op, n, y_local, tol, max_iterations, k_max, corr=corr)
             X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
         return X, (rep.iter, rep.solution_error)
 
@@ -327,10 +327,17 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     k_max = k_max or max(1, min(max_iterations, m, n))
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    # correlation-formulation routing on the per-device lane count (the
+    # api.Omp._route_corr rule; "sparse" gathers a (lanes·k, m_local)
+    # tensor per iteration — past the crossover the dense local gemms
+    # win, profiled on v5e)
+    local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
+    small = local_batch * k_max < 2 * m
+    corr = "gram" if gram else ("sparse" if small else "dense")
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
     fn = _omp_sharded_fn(mesh, precision, bool(gram), max_iterations,
-                         k_max)
+                         k_max, corr)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.omp import OmpReportArrays
     return X, OmpReportArrays(iter=iters, solution_error=errs)

@@ -77,7 +77,7 @@ def solve_omp(A: jnp.ndarray, y: jnp.ndarray, tolerance,
 
 def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
                    max_iterations: int, k_max: int | None = None, *,
-                   mode: str = "fast", corr_gram: bool | None = None):
+                   mode: str = "fast", corr: str | None = None):
     """OMP loop over an abstract sensing operator (ops/operators.py —
     dense on one device, or a row-shard whose rmatvec psums inside
     shard_map).
@@ -86,19 +86,33 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
     inserts, so the default min(max_iterations, m, n) can never
     overflow. ``tolerance`` is the absolute residual target ‖r‖₂.
 
-    ``corr_gram`` (static) selects the fast-mode correlation-update
-    formulation: Gram-column gathers (O(n·k) bytes/iteration, needs
-    op.has_gram) vs one amortized MXU pass over A. Independent of the
-    per-pick insert, which always uses op.G when present. Default None
-    = gathers whenever the operator holds a Gram (api.Omp routes by the
-    measured batch·k < 2m crossover).
+    ``corr`` (static) selects the fast-mode correlation-update
+    formulation — independent of the per-pick insert, which always uses
+    op.G when present:
+      * "gram"   — Gram-column gathers, O(n·k) bytes/iteration, zero
+        passes over A (needs op.has_gram);
+      * "sparse" — gather the k active columns of A, then one rmatvec:
+        O(k·m) gathered bytes per lane. Right for single/low-batch
+        solves; under a large vmap the gather materializes a
+        (batch·k, m) tensor that dwarfs one dense pass (profiled on
+        v5e: 1.4 ms/iteration of pure gather at b=256, k_max=72);
+      * "dense"  — scatter x̂ dense and run the two full MXU gemms
+        A x̂ / Aᵀr; amortized across a large batch this is the
+        fastest formulation (the homotopy driver's fused-q insight).
+    Default None = "gram" when the operator holds a Gram else "sparse"
+    (api.Omp routes by batch — see Omp._route_corr).
     """
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
     fast = mode == "fast"
-    if corr_gram is None:
-        corr_gram = op.has_gram
-    corr_gram = bool(corr_gram and op.has_gram and fast)
+    if corr is None:
+        corr = "gram" if op.has_gram else "sparse"
+    if corr not in ("gram", "sparse", "dense"):
+        raise ValueError(
+            f"corr must be 'gram', 'sparse' or 'dense', got {corr!r}")
+    if corr == "gram" and not op.has_gram:
+        corr = "sparse"
+    corr_gram = fast and corr == "gram"
     dtype = op.dtype
     m = op.shape[0]
     if k_max is None:
@@ -167,9 +181,9 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
             c1 = c0 - op.gram_matvec_sparse(None, inv1.indices, vals=coef1)
             rss1 = yty - blas.xdot(b_act, coef1)
         else:
-            if fast:
+            if fast and corr == "sparse":
                 ax = op.matvec_sparse(None, inv1.indices, vals=coef1)
-            else:
+            else:  # "dense", and exact mode's literal products
                 xd = jnp.zeros((n,), dtype).at[inv1.indices].set(
                     coef1, mode="drop")
                 ax = op.matvec(xd)
