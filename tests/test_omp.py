@@ -250,3 +250,42 @@ def test_validation_errors():
         ss.Omp(A).solve(np.zeros(8, np.float32), max_iterations=0)
     with pytest.raises(ValueError):
         ss.Omp(A).solve(np.zeros(7, np.float32))
+
+
+def test_corr_formulations_agree():
+    """All three correlation-update formulations (gram / sparse / dense,
+    solve_omp_core ``corr``) visit the same pick sequence and solution
+    at robust tolerances — they are algebraically identical ways to
+    compute c = c0 − (AᵀA)x̂."""
+    import jax
+    import jax.numpy as jnp
+    from sparse_solvers_tpu.ops.operators import DenseOperator
+    from sparse_solvers_tpu.solvers.omp import solve_omp_core
+
+    A, x_true, y = _problem(96, 256, 7, seed=29)
+    G = (A.T @ A).astype(np.float32)
+    outs = {}
+    for corr in ("gram", "sparse", "dense"):
+        fn = jax.jit(lambda a, g, b: solve_omp_core(
+            DenseOperator(a, g), a.shape[1], b, 1e-3, 60, corr=corr))
+        x, rep = fn(A, jnp.asarray(G), y)
+        outs[corr] = (np.asarray(x), int(rep.iter))
+    x0, it0 = outs["gram"]
+    for corr in ("sparse", "dense"):
+        xc, itc = outs[corr]
+        assert itc == it0, (corr, itc, it0)
+        np.testing.assert_allclose(xc, x0, atol=2e-4, err_msg=corr)
+
+
+def test_corr_routing():
+    """The api routes corr by the batch·k_max < 2m crossover and
+    gram=True pins the Gram form (explain's contract)."""
+    A, _, _ = _problem(64, 256, 4, seed=31)
+    auto = ss.Omp(A, engine="jax")
+    assert auto.explain(max_iterations=10)["corr"] == "gram"
+    assert auto.explain(batch=100, max_iterations=20)["corr"] == "dense"
+    nog = ss.Omp(A, engine="jax", gram=False)
+    assert nog.explain(max_iterations=10)["corr"] == "sparse"
+    assert nog.explain(batch=100, max_iterations=20)["corr"] == "dense"
+    forced = ss.Omp(A, engine="jax", gram=True)
+    assert forced.explain(batch=100, max_iterations=20)["corr"] == "gram"
