@@ -325,15 +325,21 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     m, n = A.shape
     # global-m capacity (the core would see only the local shard)
     k_max = k_max or max(1, min(max_iterations, m, n))
+    gram_forced = gram is True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
     # correlation-formulation routing on the per-device lane count (the
     # api.Omp._route_corr rule; "sparse" gathers a (lanes·k, m_local)
     # tensor per iteration — past the crossover the dense local gemms
-    # win, profiled on v5e)
+    # win, profiled on v5e). gram=True pins the zero-per-iteration-
+    # collective Gram form (auto-gram still serves the O(k) inserts on
+    # the dense route); the dense form pays one rmatvec psum per pick.
     local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
     small = local_batch * k_max < 2 * m
-    corr = "gram" if gram else ("sparse" if small else "dense")
+    if gram_forced or (gram and small):
+        corr = "gram"
+    else:
+        corr = "sparse" if small else "dense"
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
     fn = _omp_sharded_fn(mesh, precision, bool(gram), max_iterations,
