@@ -289,3 +289,38 @@ def test_corr_routing():
     assert nog.explain(batch=100, max_iterations=20)["corr"] == "dense"
     forced = ss.Omp(A, engine="jax", gram=True)
     assert forced.explain(batch=100, max_iterations=20)["corr"] == "gram"
+
+
+def test_fuzz_engine_parity():
+    """Randomized sweep: the native C++ engine and the jax engine run
+    the identical greedy algorithm (leftmost pick, online-inverse LS,
+    true residual), so across random shapes/sparsities their pick
+    counts must agree and solutions match at the reference property
+    tolerance. Forks are allowed only on near-tie picks (competing
+    correlations within fp noise), which the unit-norm well-conditioned
+    draws here make rare."""
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    rng = np.random.RandomState(321)
+    forks = 0
+    trials = 20
+    for t in range(trials):
+        m = int(rng.choice([24, 48, 96]))
+        n = int(rng.choice([16, 64, 160]))
+        k = int(rng.randint(1, max(2, min(m, n) // 6)))
+        A = rng.randn(m, n).astype(np.float32)
+        A /= np.linalg.norm(A, axis=0)
+        x_true = np.zeros(n, np.float32)
+        x_true[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1.0, k)
+        y = (A @ x_true).astype(np.float32)
+        xn, itn, errn = native.omp_solve(A, y, 1e-3, 80, 80)
+        xj, repj = ss.Omp(A, engine="jax").solve(
+            y, tolerance=1e-3, max_iterations=80)
+        if itn != repj.iter:
+            forks += 1  # fp near-tie pick fork: require both recovered
+            assert errn <= 1e-3 and repj.solution_error <= 1e-3, \
+                (t, m, n, k)
+            continue
+        np.testing.assert_allclose(xn, xj, atol=5e-4,
+                                   err_msg=f"trial {t} {m}x{n} k={k}")
+    assert forks <= trials // 7, f"{forks}/{trials} pick forks"
