@@ -569,3 +569,68 @@ def test_omp_sharded_matches_single(mesh):
         np.testing.assert_allclose(np.asarray(rep.solution_error),
                                    np.asarray(reps.solution_error),
                                    atol=1e-9)
+
+
+def test_omp_sharded_sparse_corr_and_kmax(mesh):
+    """The low-batch 'sparse' correlation route of the sharded OMP
+    (k_max small enough that lanes·k_max < 2m) also matches the
+    single-device engine, with the k_max cap honored."""
+    rng = np.random.RandomState(11)
+    A, Y = _problem(rng, 40, 24, 8, 2)
+    Xs, reps = ss.Omp(A, engine="jax", k_max=6).solve_batch(
+        Y, tolerance=1e-6, max_iterations=20)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    X, rep = sh.omp_sharded(mesh, Ad, Yd, 1e-6, 20, k_max=6, gram=False)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(reps.iter))
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-9)
+
+
+def test_omp_sharded_collective_contract(mesh):
+    """Pin the collective structure of the sharded OMP designs (the
+    SURVEY §2.4 minimize-collectives target, as for homotopy):
+
+    * gram form — collectives only OUTSIDE the pick loop (the one-time
+      replicated-Gram psum and the c0/‖y‖² reductions): zero
+      per-iteration collectives;
+    * dense form — the loop body carries its rmatvec psum (+ the ‖r‖²
+      scalar psum), i.e. collectives appear under stablehlo.while."""
+    rng = np.random.RandomState(3)
+    A, Y = _problem(rng, 32, 24, 8, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+
+    def lower(gram):
+        return jax.jit(lambda a, y: sh.omp_sharded(
+            mesh, a, y, 1e-3, 8, gram=gram)).lower(Ad, Yd).as_text()
+
+    def while_block(s):
+        """The while op's two regions (cond + do body), by brace depth —
+        ops after the loop (e.g. the final psum'd residual report)
+        excluded. The op carries two sibling top-level regions, so the
+        slice ends when the second one closes."""
+        start = s.index("stablehlo.while")
+        depth = 0
+        regions_closed = 0
+        for i in range(start, len(s)):
+            if s[i] == "{":
+                depth += 1
+            elif s[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    regions_closed += 1
+                    if regions_closed == 2:
+                        return s[start:i]
+        raise AssertionError("unbalanced while region")
+
+    s_gram = lower(True)   # gram=True pins the gram form
+    assert "stablehlo.all_reduce" in s_gram
+    assert "all_reduce" not in while_block(s_gram)
+
+    # force dense: big k_max via max_iterations at this shape would stay
+    # small; instead drop gram so the local_batch*k_max >= 2m rule picks
+    # dense (4 lanes x 8 k_max = 32 >= 2*32 = 64? no — use k_max)
+    s_dense = jax.jit(lambda a, y: sh.omp_sharded(
+        mesh, a, y, 1e-3, 20, k_max=20, gram=False)).lower(
+            Ad, Yd).as_text()
+    assert "all_reduce" in while_block(s_dense)
