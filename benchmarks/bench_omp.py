@@ -61,13 +61,24 @@ def main():
     sup_true = [set(np.flatnonzero(X0[b]).tolist()) for b in range(batch)]
 
     Yd = jnp.asarray(Y)
-    # gram=True pins the Gram-gather formulation; gram=False routes by
-    # the batch*k < 2m crossover ("dense" at both bench shapes — the
-    # label below reports what actually ran, from explain())
-    for kw in (dict(gram=True), dict(gram=False)):
+    # row 1-2: the slot-space batch driver (the default route for
+    # batched f32 TPU solves) at one-pass and 3-pass precision;
+    # rows 3-4: the vmapped formulations with the driver forbidden
+    # (gram=True pins Gram-gather; gram=False routes "dense" at both
+    # bench shapes). Labels report what ran, from explain().
+    cases = [(dict(precision="default"), None),
+             (dict(precision="high"), None),
+             (dict(gram=True), "0"),
+             (dict(gram=False), "0")]
+    for kw, bn in cases:
+        if bn is None:
+            os.environ.pop("SS_BATCH_NATIVE", None)
+        else:
+            os.environ["SS_BATCH_NATIVE"] = bn
         solver = ss.Omp(A, engine="jax", **kw)
-        name = "corr_" + solver.explain(
-            batch=batch, max_iterations=max_iter)["corr"]
+        plan = solver.explain(batch=batch, max_iterations=max_iter)
+        name = ("driver_" + kw["precision"] if plan["corr"] == "driver"
+                else "corr_" + plan["corr"])
         run = lambda: solver.solve_batch_on_device(Yd, tol, max_iter)
         X, rep = run()
         np.asarray(rep.iter)  # fence warmup (compile + run)
@@ -89,6 +100,7 @@ def main():
              mean_iters=float(iters.mean()),
              max_err=float(np.asarray(rep.solution_error).max()),
              exact_support_rate=exact, device=dev.device_kind)
+    os.environ.pop("SS_BATCH_NATIVE", None)
 
     # native host row (threaded batch) at a host-scaled shape
     from sparse_solvers_tpu.backend import native

@@ -1146,6 +1146,13 @@ class Omp:
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
         corr = self._route_corr(batch, max_iterations)
+        if self._route_driver(batch):
+            return {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": self._mode, "precision": self._precision,
+                    "corr": "driver",
+                    "k_max": self._resolved_k_max(max_iterations),
+                    "formulation": "slot-space OMP batch driver "
+                                   "(fused q + in-place insert/LS)"}
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode, "precision": self._precision,
                 "corr": corr,
@@ -1170,29 +1177,52 @@ class Omp:
             return "gram"
         return "sparse" if small else "dense"
 
+    def _route_driver(self, batch: int | None) -> bool:
+        """Batch-native driver routing: the slot-space driver
+        (solvers/omp_batch.py — fused one-pass q kernel + in-place
+        insert/LS kernel) serves batched f32 TPU fast-mode solves with
+        a Gram; the homotopy driver's shared rule decides (same env
+        overrides: SS_BATCH_NATIVE=1 forces where structurally valid,
+        =0 forbids)."""
+        if (batch is None or self._mode != "fast"
+                or not self._gram_enabled):
+            return False
+        from .solvers.homotopy_batch import route_batch_native
+        return route_batch_native(batch, self._n, self._A.dtype,
+                                  sparse=False)
+
     def _fn(self, max_iterations: int, batched: bool,
-            corr: str | None = None):
+            corr: str | None = None, driver: bool = False):
         _check_max_iterations(max_iterations)
         from .solvers import omp as _omp
         k_max = self._resolved_k_max(max_iterations)
         if corr is None:
             corr = "gram" if self._gram_enabled else "sparse"
-        key = ("omp", max_iterations, k_max, batched, corr)
+        key = ("omp", max_iterations, k_max, batched, corr, driver)
         fn = self._cache.get(key)
         if fn is None:
-            def core(A, G, y, tol):
-                # G rides along for the O(k) per-pick inserts whenever
-                # it exists; corr selects only the correlation
-                # formulation (review finding: dropping G wholesale made
-                # every pick pay a full AᵀA e_j pass)
-                op = _operators.DenseOperator(A, G)
-                with _blas.precision_scope(self._precision):
-                    return _omp.solve_omp_core(
-                        op, self._n, y, tol, max_iterations, k_max,
-                        mode=self._mode, corr=corr)
-            run = core
-            if batched:
-                run = jax.vmap(core, in_axes=(None, None, 0, None))
+            if driver:
+                from .solvers import omp_batch as _omp_batch
+
+                def run(A, G, Y, tol):
+                    with _blas.precision_scope(self._precision):
+                        return _omp_batch.solve_omp_batch(
+                            A, G, Y, tol, max_iterations, k_max)
+            else:
+                def core(A, G, y, tol):
+                    # G rides along for the O(k) per-pick inserts
+                    # whenever it exists; corr selects only the
+                    # correlation formulation (review finding: dropping
+                    # G wholesale made every pick pay a full AᵀA e_j
+                    # pass)
+                    op = _operators.DenseOperator(A, G)
+                    with _blas.precision_scope(self._precision):
+                        return _omp.solve_omp_core(
+                            op, self._n, y, tol, max_iterations, k_max,
+                            mode=self._mode, corr=corr)
+                run = core
+                if batched:
+                    run = jax.vmap(core, in_axes=(None, None, 0, None))
             fn = jax.jit(run)
             self._cache[key] = fn
         return fn
@@ -1230,6 +1260,9 @@ class Omp:
             from .solvers import omp as _omp
             return X, _omp.OmpReportArrays(
                 iter=its.astype(np.uint32), solution_error=errs)
+        if self._route_driver(Y.shape[0]):
+            return self._fn(max_iterations, batched=True, driver=True)(
+                self._A, self._G, Y, tol)
         corr = self._route_corr(Y.shape[0], max_iterations)
         return self._fn(max_iterations, batched=True, corr=corr)(
             self._A, self._G, Y, tol)
@@ -1244,6 +1277,9 @@ class Omp:
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 100):
         """Jit-composable batched solve over device arrays."""
+        if self._route_driver(int(Y.shape[0])):
+            return self._fn(max_iterations, batched=True, driver=True)(
+                self._A, self._G, Y, tolerance)
         corr = self._route_corr(int(Y.shape[0]), max_iterations)
         return self._fn(max_iterations, batched=True, corr=corr)(
             self._A, self._G, Y, tolerance)

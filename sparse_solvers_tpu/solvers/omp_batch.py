@@ -1,0 +1,206 @@
+"""Batch-native OMP driver — one-pass greedy pursuit over lanes.
+
+The vmapped OMP core (solvers/omp.py) at the throughput shape is
+gemm-dominated at 3-pass precision and loop-state-dominated at one
+pass; this driver is the slot-space batch formulation (the homotopy
+batch driver's playbook, solvers/homotopy_batch.py) for the one-pass
+regime:
+
+  * the correlation product c = c₀ − AᵀA x̂ runs as ONE Pallas pass over
+    a bf16 copy of A (ops/pallas/kernels.py normal_matvec_fused_bf16 —
+    q = Aᵀ(A x̂) with A streamed once);
+  * the insert + LS re-solve is one fused in-place kernel over the
+    (b,K,K) inverse (ops/pallas/omp_insert.py) — no functional-update
+    HBM round trip per iteration;
+  * all slot state is incremental: OMP only inserts, so A_Γᵀy grows by
+    one gathered scalar per pick (c₀ is computed once at "high"
+    precision — it is every LS right-hand side) and membership is one
+    scattered mask byte;
+  * per-lane ‖r‖² uses the LS identity ‖y‖² − (A_Γᵀy)ᵀx_Γ in-loop (its
+    rounding floor only affects *when* a lane stops — the stall
+    detector bounds it), and the REPORTED error is a final
+    high-precision certificate ‖y − Ax‖₂ computed once outside the
+    loop from the returned solution — the homotopy "certified" pattern
+    (docs/design.md §3) applied to the greedy family.
+
+Requires a precomputed Gram (the per-pick insert column is one G-row
+gather); f32 only (the kernels are). The api routes here for batched
+f32 TPU solves at precision="default"; everything else keeps the
+vmapped core.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax as _lax
+
+from ..ops import blas
+from ..ops.pallas import kernels as _kern
+from ..ops.pallas import omp_insert as _oins
+from .omp import OmpReportArrays
+
+
+class _OBState(NamedTuple):
+    it: jnp.ndarray       # (b,) uint32
+    c: jnp.ndarray        # (b, n) residual correlations
+    mask: jnp.ndarray     # (b, n) int8 membership
+    inv: jnp.ndarray      # (b, K, K)
+    b_act: jnp.ndarray    # (b, K) A_Γᵀy in slot order
+    coef: jnp.ndarray     # (b, K) LS coefficients
+    indices: jnp.ndarray  # (b, K) int32, sentinel n
+    kk: jnp.ndarray       # (b,) int32 live size
+    rss: jnp.ndarray      # (b,) ‖r‖² (identity form)
+    broke: jnp.ndarray    # (b,) degenerate pick — stop, state reverted
+    done: jnp.ndarray     # (b,) rss stalled — stop, iterate kept
+
+
+def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
+                    tolerance, max_iterations: int, k_max: int,
+                    use_kernel: bool | None = None,
+                    axis: str | None = None):
+    """Batched greedy solve; returns (X (b, n), OmpReportArrays).
+
+    ``axis`` names a row-shard psum axis when run inside shard_map (A
+    and Y row-sharded, G replicated — the homotopy driver's layout).
+    """
+    b, _ = Y.shape
+    n = A.shape[1]
+    K = k_max
+    dtype = A.dtype
+    if dtype != jnp.float32:
+        raise ValueError(
+            "the batch-native OMP driver is float32 (its Pallas kernels "
+            f"are); got {dtype} — the api routes f64 to the vmapped core")
+    if G is None:
+        raise ValueError(
+            "the batch-native OMP driver needs a precomputed Gram (the "
+            "per-pick insert column is a G-row gather); route gram-free "
+            "problems to the vmapped core")
+    tol = jnp.asarray(tolerance, dtype)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    interp = not use_kernel
+    bidx = jnp.arange(b)
+    psum = (lambda v: _lax.psum(v, axis)) if axis is not None else (
+        lambda v: v)
+
+    # c₀ at parity-grade precision: it is the rhs of every LS re-solve
+    # (b_act gathers from it), so one-pass noise here would bias every
+    # coefficient rather than just a pick
+    with blas.precision_scope("high"):
+        C0 = psum(blas.xgemm(Y, A))
+    yty = psum(jnp.sum(Y * Y, axis=1))
+
+    # one-pass kernel only in the one-pass (DEFAULT) regime — at
+    # high/highest the two-gemm qprod honors the requested passes
+    # (homotopy driver rule, solvers/homotopy_batch.py)
+    fused_q = (use_kernel
+               and blas.current_precision() == _lax.Precision.DEFAULT
+               and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
+    A16 = A.astype(jnp.bfloat16) if fused_q else None
+
+    def qprod(D):
+        """q = AᵀA D — one bf16 pass (psum'd over row shards)."""
+        if fused_q:
+            return psum(_kern.normal_matvec_fused_bf16(
+                A16, D, interpret=interp))
+        return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+
+    init = _OBState(
+        it=jnp.zeros(b, jnp.uint32),
+        c=C0,
+        mask=jnp.zeros((b, n), jnp.int8),
+        inv=jnp.zeros((b, K, K), dtype),
+        b_act=jnp.zeros((b, K), dtype),
+        coef=jnp.zeros((b, K), dtype),
+        indices=jnp.full((b, K), n, jnp.int32),
+        kk=jnp.zeros(b, jnp.int32),
+        rss=yty,
+        broke=jnp.zeros(b, bool),
+        done=jnp.zeros(b, bool),
+    )
+
+    def lane_live(s: _OBState):
+        return ((~s.broke) & (~s.done)
+                & (s.it < jnp.uint32(max_iterations))
+                & (s.kk < K)
+                & (jnp.maximum(s.rss, 0) > tol * tol))
+
+    def body(s: _OBState) -> _OBState:
+        live = lane_live(s)
+
+        # greedy pick over the inactive set (leftmost argmax)
+        scores = jnp.where(s.mask > 0, jnp.array(-1, dtype),
+                           jnp.abs(s.c))
+        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+        # insert column from one contiguous G row + a (b,K) point gather
+        row = jnp.take(G, idx, axis=0)
+        safe = jnp.minimum(s.indices, n - 1)
+        u1 = jnp.where(s.indices < n,
+                       jnp.take_along_axis(row, safe, axis=1),
+                       jnp.array(0, dtype))
+        vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+
+        # the LS rhs grows by one gathered scalar of c₀
+        bnew = jnp.take_along_axis(C0, idx[:, None], axis=1)[:, 0]
+        b_act1 = jnp.where(live[:, None],
+                           s.b_act.at[bidx, s.kk].set(bnew), s.b_act)
+
+        inv1, coef1, deg = _oins.omp_insert(
+            s.inv, u1, s.kk, vtv, b_act1, live, interpret=interp)
+        stepped = live & ~deg
+
+        # ‖r‖² by the LS identity (in-loop stop only; the reported error
+        # is the post-loop high-precision certificate)
+        rss1 = yty - jnp.sum(b_act1 * coef1, axis=1)
+
+        ind1 = jnp.where(stepped[:, None],
+                         s.indices.at[bidx, s.kk].set(idx), s.indices)
+        mask1 = jnp.where(stepped[:, None],
+                          s.mask.at[bidx, idx].set(1), s.mask)
+
+        # correlation update from the new coefficients (one fused pass)
+        D = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
+            jnp.where(stepped[:, None], coef1, 0), mode="drop")
+        q = qprod(D)
+        c1 = jnp.where(stepped[:, None], C0 - q, s.c)
+
+        # a finite-state guard in the driver regime: a blown lane stops
+        # with its previous committed state
+        blew = stepped & ~(jnp.isfinite(coef1).all(axis=1)
+                           & jnp.isfinite(rss1))
+        stepped = stepped & ~blew
+
+        keep = lambda new, old: jnp.where(stepped[:, None], new, old)
+        return _OBState(
+            it=jnp.where(stepped, s.it + 1, s.it),
+            c=keep(c1, s.c),
+            mask=keep(mask1, s.mask),
+            inv=jnp.where(stepped[:, None, None], inv1, s.inv),
+            b_act=keep(b_act1, s.b_act),
+            coef=keep(coef1, s.coef),
+            indices=keep(ind1, s.indices),
+            kk=jnp.where(stepped, s.kk + 1, s.kk),
+            # strictly-decreasing contract: a stall marks the identity's
+            # rounding floor (solvers/omp.py) — stop, iterate kept
+            rss=jnp.where(stepped, rss1, s.rss),
+            broke=s.broke | (live & deg) | blew,
+            done=s.done | (stepped & (rss1 >= s.rss)),
+        )
+
+    final = _lax.while_loop(lambda s: jnp.any(lane_live(s)), body, init)
+
+    X = jnp.zeros((b, n), dtype).at[bidx[:, None], final.indices].set(
+        final.coef, mode="drop")
+    # final certificate: ‖y − Ax‖₂ per lane at parity-grade precision —
+    # the value a high-precision solve would report for this support
+    with blas.precision_scope("high"):
+        # rows stay local when sharded; the squared norm psums like
+        # every other m-axis reduction (identity psum unsharded)
+        R = Y - blas.xgemm(X, A, trans_b=True)
+        err = jnp.sqrt(jnp.maximum(psum(jnp.sum(R * R, axis=1)), 0))
+    return X, OmpReportArrays(iter=final.it, solution_error=err)

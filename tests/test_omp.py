@@ -324,3 +324,54 @@ def test_fuzz_engine_parity():
         np.testing.assert_allclose(xn, xj, atol=5e-4,
                                    err_msg=f"trial {t} {m}x{n} k={k}")
     assert forks <= trials // 7, f"{forks}/{trials} pick forks"
+
+
+def test_batch_driver_matches_vmapped_core(monkeypatch):
+    """The slot-space batch driver (solvers/omp_batch.py — fused q +
+    in-place insert/LS kernels, interpret mode off-TPU) visits the same
+    picks and solutions as the vmapped core, and the api routes to it
+    under SS_BATCH_NATIVE=1."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(33)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(6):  # signals all from THIS A (per-lane supports)
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 7, replace=False)] = rng.uniform(0.5, 1.0, 7)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+    solver = ss.Omp(A, engine="jax")
+    plan = solver.explain(batch=6, max_iterations=30)
+    assert plan["corr"] == "driver", plan
+    # tol 1e-2 keeps tol² far above the rss rounding floor so the two
+    # formulations stop identically (see the module docstring)
+    X, reps = solver.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+    core = ss.Omp(A, engine="jax")
+    assert core.explain(batch=6, max_iterations=30)["corr"] != "driver"
+    Xc, repsc = core.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+    np.testing.assert_array_equal(np.asarray(reps.iter),
+                                  np.asarray(repsc.iter))
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xc), atol=2e-4)
+    # the driver's reported error is the high-precision certificate
+    assert np.asarray(reps.solution_error).max() <= 1e-2
+
+
+def test_batch_driver_degenerate_duplicates(monkeypatch):
+    """Driver lanes on a rank-deficient dictionary break finitely with
+    the previous LS solution intact (the omp_insert kernel's guard)."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(8)
+    base = rng.randn(24, 6).astype(np.float32)
+    A = np.concatenate([base] * 8, axis=1)
+    A /= np.linalg.norm(A, axis=0)
+    Y = np.stack([
+        (A[:, :3] @ rng.uniform(0.5, 1, 3).astype(np.float32))
+        for _ in range(4)])
+    solver = ss.Omp(A, engine="jax")
+    X, reps = solver.solve_batch(Y, tolerance=1e-7, max_iterations=40)
+    X = np.asarray(X)
+    assert np.isfinite(X).all()
+    assert np.isfinite(np.asarray(reps.solution_error)).all()
+    assert (np.asarray(reps.iter) <= 7).all()
