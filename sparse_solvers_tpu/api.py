@@ -1192,13 +1192,14 @@ class Omp:
                                   sparse=False)
 
     def _fn(self, max_iterations: int, batched: bool,
-            corr: str | None = None, driver: bool = False):
+            corr: str | None = None, driver: bool = False,
+            dense: bool = True):
         _check_max_iterations(max_iterations)
         from .solvers import omp as _omp
         k_max = self._resolved_k_max(max_iterations)
         if corr is None:
             corr = "gram" if self._gram_enabled else "sparse"
-        key = ("omp", max_iterations, k_max, batched, corr, driver)
+        key = ("omp", max_iterations, k_max, batched, corr, driver, dense)
         fn = self._cache.get(key)
         if fn is None:
             if driver:
@@ -1207,7 +1208,18 @@ class Omp:
                 def run(A, G, Y, tol):
                     with _blas.precision_scope(self._precision):
                         return _omp_batch.solve_omp_batch(
-                            A, G, Y, tol, max_iterations, k_max)
+                            A, G, Y, tol, max_iterations, k_max,
+                            dense=dense)
+            elif batched and not dense:
+                def run(A, G, Y, tol):
+                    op = _operators.DenseOperator(A, G)
+                    with _blas.precision_scope(self._precision):
+                        X, rep = jax.vmap(
+                            lambda y: _omp.solve_omp_core(
+                                op, self._n, y, tol, max_iterations,
+                                k_max, mode=self._mode, corr=corr),
+                            in_axes=(0,))(Y)
+                    return _compact_from_dense_jax(X, k_max), rep
             else:
                 def core(A, G, y, tol):
                     # G rides along for the O(k) per-pick inserts
@@ -1247,25 +1259,42 @@ class Omp:
         return x, OmpReport(iter=int(it), solution_error=float(err))
 
     def solve_batch(self, B, tolerance: float | None = None,
-                    max_iterations: int = 100):
-        """Batched greedy solve over signals B of shape (batch, m)."""
+                    max_iterations: int = 100, dense: bool = True):
+        """Batched greedy solve over signals B of shape (batch, m).
+
+        ``dense=False`` returns ``(values, indices, report)`` — the
+        compact slot-space solution (values (batch, k_max) at columns
+        indices (batch, k_max), sentinel n = empty slot), skipping the
+        (batch, n) scatter and its dense device→host transfer on the
+        batch-driver route (see ``Homotopy.solve_batch``);
+        ``densify_batch(values, indices, n)`` reconstructs X exactly."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        k_max = self._resolved_k_max(max_iterations)
         if self._use_native():
             from .backend import native as _native
             X, its, errs = _native.omp_solve_batch(
                 np.asarray(self._A), np.asarray(Y), tol, max_iterations,
-                self._resolved_k_max(max_iterations))
+                k_max)
             from .solvers import omp as _omp
-            return X, _omp.OmpReportArrays(
+            rep = _omp.OmpReportArrays(
                 iter=its.astype(np.uint32), solution_error=errs)
+            if not dense:
+                vals, idxs = _compact_from_dense(X, k_max)
+                return vals, idxs, rep
+            return X, rep
         if self._route_driver(Y.shape[0]):
-            return self._fn(max_iterations, batched=True, driver=True)(
+            out, rep = self._fn(max_iterations, batched=True,
+                                driver=True, dense=dense)(
                 self._A, self._G, Y, tol)
-        corr = self._route_corr(Y.shape[0], max_iterations)
-        return self._fn(max_iterations, batched=True, corr=corr)(
-            self._A, self._G, Y, tol)
+        else:
+            corr = self._route_corr(Y.shape[0], max_iterations)
+            out, rep = self._fn(max_iterations, batched=True, corr=corr,
+                                dense=dense)(self._A, self._G, Y, tol)
+        if not dense:
+            return out[0], out[1], rep
+        return out, rep
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
@@ -1275,14 +1304,18 @@ class Omp:
             self._A, self._G, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
-                              max_iterations: int = 100):
-        """Jit-composable batched solve over device arrays."""
+                              max_iterations: int = 100,
+                              dense: bool = True):
+        """Jit-composable batched solve over device arrays.
+        ``dense=False`` returns ((values, indices), report) — the
+        compact slot-space solution (see ``solve_batch``)."""
         if self._route_driver(int(Y.shape[0])):
-            return self._fn(max_iterations, batched=True, driver=True)(
+            return self._fn(max_iterations, batched=True, driver=True,
+                            dense=dense)(
                 self._A, self._G, Y, tolerance)
         corr = self._route_corr(int(Y.shape[0]), max_iterations)
-        return self._fn(max_iterations, batched=True, corr=corr)(
-            self._A, self._G, Y, tolerance)
+        return self._fn(max_iterations, batched=True, corr=corr,
+                        dense=dense)(self._A, self._G, Y, tolerance)
 
     def _tol(self, tolerance):
         return (_default_tolerance(self.dtype)
@@ -1304,6 +1337,21 @@ def _compact_from_dense(X, k_max: int):
         vals[lane, : len(nz)] = X[lane, nz]
         idxs[lane, : len(nz)] = nz
     return vals, idxs
+
+
+def _compact_from_dense_jax(X, k_max: int):
+    """Jittable counterpart of ``_compact_from_dense``: per lane, the
+    ≤ k_max nonzero coordinates in ascending index order (a stable
+    argsort of the zero mask), sentinel n beyond them. Same caveat: an
+    exactly-zero active coordinate is indistinguishable from inactive
+    in the dense form and contributes nothing either way."""
+    b, n = X.shape
+    nz = X != 0
+    order = jnp.argsort(~nz, axis=1, stable=True)[:, :k_max].astype(
+        jnp.int32)
+    vals = jnp.take_along_axis(X, order, axis=1)
+    keep = jnp.take_along_axis(nz, order, axis=1)
+    return jnp.where(keep, vals, 0), jnp.where(keep, order, n)
 
 
 def densify_batch(values, indices, n: int):

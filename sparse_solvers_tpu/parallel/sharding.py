@@ -283,12 +283,17 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 
 @functools.lru_cache(maxsize=128)
 def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
-                    max_iterations: int, k_max: int, corr: str):
+                    max_iterations: int, k_max: int, corr: str,
+                    batch_native: bool = False, dense: bool = True,
+                    overlap_blocks: int = 1):
     from ..solvers.omp import solve_omp_core
+
+    out_spec = (P(DATA_AXIS, None) if dense
+                else (P(DATA_AXIS, None), P(DATA_AXIS, None)))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
-             out_specs=(P(DATA_AXIS, None), (P(DATA_AXIS), P(DATA_AXIS))),
+             out_specs=(out_spec, (P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
     def run(A_local, Y_local, tol):
         from ..ops import blas
@@ -296,10 +301,20 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
         with blas.precision_scope(precision):
             G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
                               ROW_AXIS) if gram else None)
+            if batch_native:
+                from ..solvers.omp_batch import solve_omp_batch
+                X, rep = solve_omp_batch(
+                    A_local, G, Y_local, tol, max_iterations, k_max,
+                    axis=ROW_AXIS, dense=dense,
+                    overlap_blocks=overlap_blocks)
+                return X, (rep.iter, rep.solution_error)
             op = RowShardedOperator(A_local, ROW_AXIS, G)
             solve = lambda y_local: solve_omp_core(
                 op, n, y_local, tol, max_iterations, k_max, corr=corr)
             X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
+            if not dense:
+                from ..api import _compact_from_dense_jax
+                X = _compact_from_dense_jax(X, k_max)
         return X, (rep.iter, rep.solution_error)
 
     return jax.jit(run)
@@ -307,7 +322,9 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
 
 def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 max_iterations: int, k_max: int | None = None,
-                gram: bool | None = None, precision: str = "highest"):
+                gram: bool | None = None, precision: str = "highest",
+                batch_native: bool | None = None, dense: bool = True,
+                overlap_blocks: int | None = None):
     """Row-sharded, batch-sharded OMP (solvers/omp.py — the greedy
     beyond-reference family) over the same (data, row) mesh layout as
     ``homotopy_sharded``: per-iteration residual correlations psum once
@@ -315,6 +332,26 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     per-iteration collectives), the k_max² online inverse and the LS
     coefficients replicated; ‖r‖² reductions psum with the same
     collective. Returns (X: (batch, n) data-sharded, OmpReportArrays).
+
+    ``batch_native`` (default auto: the homotopy driver's routing rule
+    on the per-device lane count, f32 + a replicated Gram required;
+    SS_BATCH_NATIVE=1/0 forces/forbids) runs the slot-space OMP batch
+    driver (solvers/omp_batch.py — fused q + in-place insert/LS
+    kernels) *inside* the shard_map, its q products psum'd per row
+    shard and its reported error the psum'd high-precision residual
+    certificate. Off, the vmapped pick loop carries the solve.
+
+    ``dense=False`` returns ``(values, indices, reports)`` — the
+    compact slot-space solution, shapes (batch, k_max), sentinel index
+    n (see ``Omp.solve_batch``); the (batch, n) scatter's device→host
+    transfer is skipped.
+
+    ``overlap_blocks`` (driver only; default auto: 4 when the row axis
+    is actually sharded and n ≥ 512, else 1) splits each pick's
+    q = AᵀA D psum into that many column-block collectives so each
+    all-reduce overlaps the next block's local gemm — the same
+    north-star overlap as ``homotopy_sharded``. Exact vs the unsplit
+    driver.
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
@@ -328,13 +365,29 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     gram_forced = gram is True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
+    if batch_native and not gram:
+        raise ValueError(
+            "the batch-native OMP driver needs the replicated Gram "
+            "(its per-pick insert column is a G-row gather); pass "
+            "gram=True/auto or batch_native=False")
+    if batch_native is None:
+        from ..solvers.homotopy_batch import route_batch_native
+        batch_native = bool(gram) and route_batch_native(
+            local_batch, n, A.dtype, sparse=False)
+    if overlap_blocks is None:
+        overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
+                                and n >= 512) else 1)
+    if overlap_blocks > 1 and not batch_native:
+        raise ValueError(
+            "overlap_blocks splits the batch-native driver's q psum; "
+            "the vmapped pick loop has no per-block product to split")
     # correlation-formulation routing on the per-device lane count (the
     # api.Omp._route_corr rule; "sparse" gathers a (lanes·k, m_local)
     # tensor per iteration — past the crossover the dense local gemms
     # win, profiled on v5e). gram=True pins the zero-per-iteration-
     # collective Gram form (auto-gram still serves the O(k) inserts on
     # the dense route); the dense form pays one rmatvec psum per pick.
-    local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
     small = local_batch * k_max < 2 * m
     if gram_forced or (gram and small):
         corr = "gram"
@@ -343,10 +396,14 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
     fn = _omp_sharded_fn(mesh, precision, bool(gram), max_iterations,
-                         k_max, corr)
+                         k_max, corr, batch_native=bool(batch_native),
+                         dense=dense, overlap_blocks=overlap_blocks)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.omp import OmpReportArrays
-    return X, OmpReportArrays(iter=iters, solution_error=errs)
+    rep = OmpReportArrays(iter=iters, solution_error=errs)
+    if not dense:
+        return X[0], X[1], rep
+    return X, rep
 
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,

@@ -60,11 +60,28 @@ class _OBState(NamedTuple):
 def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     tolerance, max_iterations: int, k_max: int,
                     use_kernel: bool | None = None,
-                    axis: str | None = None):
+                    axis: str | None = None,
+                    dense: bool = True,
+                    overlap_blocks: int = 1):
     """Batched greedy solve; returns (X (b, n), OmpReportArrays).
 
     ``axis`` names a row-shard psum axis when run inside shard_map (A
     and Y row-sharded, G replicated — the homotopy driver's layout).
+
+    ``dense=False`` skips the final (b, n) scatter and returns the
+    driver's own compact slot-space solution ``((values, indices),
+    report)`` — values (b, k_max) at columns indices (b, k_max),
+    sentinel ``n`` for empty slots (the homotopy driver's north-star
+    CSR form, solvers/homotopy_batch.py). The high-precision residual
+    certificate still densifies *locally on device* — the saving of
+    the compact form is the (b, n) device→host transfer.
+
+    ``overlap_blocks`` > 1 (sharded only) splits each pick's
+    q = AᵀA D into that many independent column-block products, each
+    ending in its own ``psum``, so block j's all-reduce overlaps block
+    j+1's local MXU gemm (the homotopy driver's north-star overlap,
+    solvers/homotopy_batch.py). Exact: identical local-row dots and
+    psum trees per element.
     """
     b, _ = Y.shape
     n = A.shape[1]
@@ -79,6 +96,19 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
             "the batch-native OMP driver needs a precomputed Gram (the "
             "per-pick insert column is a G-row gather); route gram-free "
             "problems to the vmapped core")
+    if overlap_blocks > 1 and axis is None:
+        raise ValueError(
+            "overlap_blocks splits the sharded q psum into column-block "
+            "collectives; without a shard axis there is no psum to "
+            "overlap — pass axis=... or overlap_blocks=1")
+    if b == 0:
+        # empty batch: the Pallas kernels' block shapes cannot be built
+        # for b=0 (and there is nothing to solve)
+        report = OmpReportArrays(iter=jnp.zeros((0,), jnp.uint32),
+                                 solution_error=jnp.zeros((0,), dtype))
+        out = (jnp.zeros((0, n), dtype) if dense else
+               (jnp.zeros((0, K), dtype), jnp.full((0, K), n, jnp.int32)))
+        return out, report
     tol = jnp.asarray(tolerance, dtype)
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -96,18 +126,34 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
 
     # one-pass kernel only in the one-pass (DEFAULT) regime — at
     # high/highest the two-gemm qprod honors the requested passes
-    # (homotopy driver rule, solvers/homotopy_batch.py)
-    fused_q = (use_kernel
+    # (homotopy driver rule, solvers/homotopy_batch.py). The overlapped
+    # form is the explicit two-step (the fused kernel produces q whole
+    # and would serialize behind one blocking all-reduce).
+    fused_q = (use_kernel and overlap_blocks == 1
                and blas.current_precision() == _lax.Precision.DEFAULT
                and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
     A16 = A.astype(jnp.bfloat16) if fused_q else None
 
-    def qprod(D):
-        """q = AᵀA D — one bf16 pass (psum'd over row shards)."""
-        if fused_q:
-            return psum(_kern.normal_matvec_fused_bf16(
-                A16, D, interpret=interp))
-        return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+    if overlap_blocks > 1:
+        blk = -(-n // overlap_blocks)
+
+        def qprod(D):
+            """q = AᵀA D as overlap_blocks column-block products, each
+            psum'd independently — block j's all-reduce has no data
+            dependence on block j+1's local gemm, so the scheduler
+            overlaps them (solvers/homotopy_batch.py qprod)."""
+            p = blas.xgemm(D, A, trans_b=True)       # (b, m_local) local
+            return jnp.concatenate(
+                [psum(blas.xgemm(p, _lax.slice_in_dim(
+                    A, j0, min(j0 + blk, n), axis=1)))
+                 for j0 in range(0, n, blk)], axis=1)
+    else:
+        def qprod(D):
+            """q = AᵀA D — one bf16 pass (psum'd over row shards)."""
+            if fused_q:
+                return psum(_kern.normal_matvec_fused_bf16(
+                    A16, D, interpret=interp))
+            return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
 
     init = _OBState(
         it=jnp.zeros(b, jnp.uint32),
@@ -203,4 +249,7 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         # every other m-axis reduction (identity psum unsharded)
         R = Y - blas.xgemm(X, A, trans_b=True)
         err = jnp.sqrt(jnp.maximum(psum(jnp.sum(R * R, axis=1)), 0))
-    return X, OmpReportArrays(iter=final.it, solution_error=err)
+    report = OmpReportArrays(iter=final.it, solution_error=err)
+    if not dense:
+        return (final.coef, final.indices), report
+    return X, report

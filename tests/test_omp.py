@@ -375,3 +375,46 @@ def test_batch_driver_degenerate_duplicates(monkeypatch):
     assert np.isfinite(X).all()
     assert np.isfinite(np.asarray(reps.solution_error)).all()
     assert (np.asarray(reps.iter) <= 7).all()
+
+
+def test_batch_driver_compact_output(monkeypatch):
+    """solve_batch(dense=False) returns the driver's slot-space
+    (values, indices) that densify to the dense result exactly; the
+    vmapped-core and native routes provide the same compact surface."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(44)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(5):
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+    solver = ss.Omp(A, engine="jax")
+    assert solver.explain(batch=5, max_iterations=20)["corr"] == "driver"
+    X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    v, ix, repc = solver.solve_batch(Y, tolerance=1e-2,
+                                     max_iterations=20, dense=False)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(repc.iter))
+    np.testing.assert_allclose(
+        np.asarray(ss.densify_batch(v, ix, 256)), np.asarray(X), atol=0)
+    assert np.asarray(ix).shape[1] <= 20
+    # vmapped-core route (driver forbidden)
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+    core = ss.Omp(A, engine="jax")
+    Xc, repx = core.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    v2, i2, rep2 = core.solve_batch(Y, tolerance=1e-2,
+                                    max_iterations=20, dense=False)
+    np.testing.assert_array_equal(np.asarray(repx.iter),
+                                  np.asarray(rep2.iter))
+    np.testing.assert_allclose(
+        np.asarray(ss.densify_batch(v2, i2, 256)), np.asarray(Xc), atol=0)
+    # native route
+    nat = ss.Omp(A, engine="native")
+    Xn, repn = nat.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    v3, i3, rep3 = nat.solve_batch(Y, tolerance=1e-2,
+                                   max_iterations=20, dense=False)
+    np.testing.assert_allclose(
+        np.asarray(ss.densify_batch(v3, i3, 256)), np.asarray(Xn), atol=0)

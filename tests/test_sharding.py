@@ -634,3 +634,107 @@ def test_omp_sharded_collective_contract(mesh):
         mesh, a, y, 1e-3, 20, k_max=20, gram=False)).lower(
             Ad, Yd).as_text()
     assert "all_reduce" in while_block(s_dense)
+
+
+def test_omp_sharded_batch_native_matches_driver(mesh):
+    """The slot-space OMP batch driver inside shard_map (row-sharded q
+    psums, replicated insert/LS kernels) matches the single-device
+    driver pick-for-pick, and recovery stays exact. tol=1e-2 keeps tol²
+    far above the in-loop rss rounding floor (solvers/omp_batch.py) so
+    the psum'd and unsharded reductions stop identically."""
+    rng = np.random.RandomState(29)
+    A, X0, Y = _sparse_batch(rng, 64, 512, 5, 8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xb, rb = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True)
+
+    from sparse_solvers_tpu.solvers.omp_batch import solve_omp_batch
+    from sparse_solvers_tpu.ops import blas
+    Aj = jnp.asarray(A)
+    G = blas.xgemm(Aj, Aj, trans_a=True)
+    Xs, rs = solve_omp_batch(Aj, G, jnp.asarray(Y), 1e-2, 30, 30,
+                             use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(rb.iter), np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xb), np.asarray(Xs), atol=1e-4)
+    # the reported error is the psum'd high-precision certificate
+    np.testing.assert_allclose(np.asarray(rb.solution_error),
+                               np.linalg.norm(Y - np.asarray(Xb) @ A.T,
+                                              axis=1),
+                               rtol=1e-4, atol=1e-6)
+    got = {frozenset(np.flatnonzero(np.abs(r) > 0.05))
+           for r in np.asarray(Xb)}
+    assert got == {frozenset(np.flatnonzero(r)) for r in X0}
+
+
+def test_omp_sharded_overlap_blocks_exact_and_compact(mesh):
+    """The overlapped OMP driver (auto: 4 column-block psums when the
+    row axis is sharded and n >= 512) is exact vs the unsplit driver,
+    and dense=False returns the compact slot-space solution that
+    densifies to the dense result."""
+    rng = np.random.RandomState(31)
+    A, X0, Y = _sparse_batch(rng, 64, 512, 5, 8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    X1, r1 = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True,
+                            overlap_blocks=1)
+    Xa, ra = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True)
+    np.testing.assert_array_equal(np.asarray(r1.iter), np.asarray(ra.iter))
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(Xa), atol=1e-6)
+    v, ix, rc = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True,
+                               dense=False)
+    np.testing.assert_array_equal(np.asarray(ra.iter), np.asarray(rc.iter))
+    np.testing.assert_allclose(np.asarray(ss.densify_batch(v, ix, 512)),
+                               np.asarray(Xa), atol=1e-6)
+    # the vmapped pick loop also supports compact output: densifies to
+    # its own dense result exactly
+    Xv, rv = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=False)
+    v2, i2, r2 = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30,
+                                batch_native=False, dense=False)
+    np.testing.assert_array_equal(np.asarray(rv.iter), np.asarray(r2.iter))
+    np.testing.assert_allclose(np.asarray(ss.densify_batch(v2, i2, 512)),
+                               np.asarray(Xv), atol=0)
+
+
+def test_omp_sharded_batch_native_collective_contract(mesh):
+    """Communication contract of the sharded OMP driver: one q-product
+    all-reduce per pick-loop body (the Gram, init correlation, ‖y‖² and
+    certificate psums all live outside the loop); overlap_blocks=4
+    splits it into a 4-operand (combined) loop collective, the same
+    pinnable structure as the homotopy driver's
+    (test_homotopy_sharded_overlap_blocks_hlo_contract)."""
+    import re
+    rng = np.random.RandomState(5)
+    A, _, Y = _sparse_batch(rng, 32, 512, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A), jnp.asarray(Y))
+    txt = _compiled_text(
+        lambda a, y: sh.omp_sharded(mesh, a, y, 1e-2, 8,
+                                    batch_native=True, overlap_blocks=1),
+        Ad, Yd)
+    for body, (ar, ag, _) in _loop_body_collectives(txt).items():
+        assert ar == 1 and ag == 0, (body, ar, ag)
+    txt4 = _compiled_text(
+        lambda a, y: sh.omp_sharded(mesh, a, y, 1e-2, 8,
+                                    batch_native=True, overlap_blocks=4),
+        Ad, Yd)
+    loop_ars = [l for l in txt4.splitlines()
+                if re.search(r"= .*all-reduce\(", l) and "while" in l]
+    ops = sum(l.split("all-reduce(")[1].split(")")[0].count("%")
+              for l in loop_ars)
+    assert ops == 4, (ops, loop_ars)
+
+
+def test_omp_sharded_batch_native_validation(mesh):
+    rng = np.random.RandomState(6)
+    A, _, Y = _sparse_batch(rng, 32, 512, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A), jnp.asarray(Y))
+    with pytest.raises(ValueError, match="Gram"):
+        sh.omp_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=True,
+                       gram=False)
+    with pytest.raises(ValueError, match="overlap_blocks"):
+        sh.omp_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=False,
+                       overlap_blocks=2)
+    from sparse_solvers_tpu.solvers.omp_batch import solve_omp_batch
+    from sparse_solvers_tpu.ops import blas
+    Aj = jnp.asarray(A)
+    G = blas.xgemm(Aj, Aj, trans_a=True)
+    with pytest.raises(ValueError, match="overlap_blocks"):
+        solve_omp_batch(Aj, G, jnp.asarray(Y), 1e-2, 8, 8,
+                        use_kernel=False, overlap_blocks=2)
