@@ -37,6 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--large", action="store_true",
+                    help="gram-free large-n regime (2048x65536, Gram = "
+                         "16 GiB unmaterializable): driver gram-free "
+                         "rows vs the vmapped fallback")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -50,6 +54,10 @@ def main():
 
     if args.quick or args.cpu:
         m, n, k, batch = 256, 512, 8, 32
+    elif args.large:
+        # the homotopy gram-free config (benchmarks/bench_gram_free.py)
+        # so rows are comparable: Gram would be n² = 16 GiB
+        m, n, k, batch = 2048, 65536, 16, 256
     else:
         m, n, k, batch = 4096, 8192, 64, 256
     tol = 1e-2
@@ -70,6 +78,12 @@ def main():
              (dict(precision="high"), None),
              (dict(gram=True), "0"),
              (dict(gram=False), "0")]
+    if args.large:
+        # n² is unmaterializable: gram-free driver (one-pass + 3-pass)
+        # vs the vmapped dense-corr fallback
+        cases = [(dict(gram=False, precision="default"), "1"),
+                 (dict(gram=False, precision="high"), "1"),
+                 (dict(gram=False), "0")]
     for kw, bn in cases:
         if bn is None:
             os.environ.pop("SS_BATCH_NATIVE", None)
@@ -77,8 +91,11 @@ def main():
             os.environ["SS_BATCH_NATIVE"] = bn
         solver = ss.Omp(A, engine="jax", **kw)
         plan = solver.explain(batch=batch, max_iterations=max_iter)
-        name = ("driver_" + kw["precision"] if plan["corr"] == "driver"
-                else "corr_" + plan["corr"])
+        if plan["corr"] == "driver":
+            name = (("driver_gramfree_" if plan.get("gram_free")
+                     else "driver_") + kw.get("precision", "high"))
+        else:
+            name = "corr_" + plan["corr"]
         run = lambda: solver.solve_batch_on_device(Yd, tol, max_iter)
         X, rep = run()
         np.asarray(rep.iter)  # fence warmup (compile + run)

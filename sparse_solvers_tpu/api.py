@@ -1146,13 +1146,16 @@ class Omp:
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
         corr = self._route_corr(batch, max_iterations)
-        if self._route_driver(batch):
+        if self._route_driver(batch, max_iterations):
             return {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
                     "corr": "driver",
+                    "gram_free": not self._gram_enabled,
                     "k_max": self._resolved_k_max(max_iterations),
                     "formulation": "slot-space OMP batch driver "
-                                   "(fused q + in-place insert/LS)"}
+                                   "(fused q + in-place insert/LS"
+                                   + (", gram-free)"
+                                      if not self._gram_enabled else ")")}
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode, "precision": self._precision,
                 "corr": corr,
@@ -1177,19 +1180,23 @@ class Omp:
             return "gram"
         return "sparse" if small else "dense"
 
-    def _route_driver(self, batch: int | None) -> bool:
+    def _route_driver(self, batch: int | None,
+                      max_iterations: int = 100) -> bool:
         """Batch-native driver routing: the slot-space driver
         (solvers/omp_batch.py — fused one-pass q kernel + in-place
-        insert/LS kernel) serves batched f32 TPU fast-mode solves with
-        a Gram; the homotopy driver's shared rule decides (same env
-        overrides: SS_BATCH_NATIVE=1 forces where structurally valid,
-        =0 forbids)."""
-        if (batch is None or self._mode != "fast"
-                or not self._gram_enabled):
+        insert/LS kernel; gram-free when no Gram is held) serves
+        batched f32 TPU fast-mode solves; the homotopy driver's shared
+        rule decides (same env overrides: SS_BATCH_NATIVE=1 forces
+        where structurally valid, =0 forbids). The ``sparse`` leg keeps
+        the zero-full-pass-per-pick Gram-gather vmapped core for small
+        batch·k_max (the driver pays a full q pass per pick)."""
+        if batch is None or self._mode != "fast":
             return False
         from .solvers.homotopy_batch import route_batch_native
+        small = (batch * self._resolved_k_max(max_iterations)
+                 < 2 * self._m)
         return route_batch_native(batch, self._n, self._A.dtype,
-                                  sparse=False)
+                                  sparse=self._gram_enabled and small)
 
     def _fn(self, max_iterations: int, batched: bool,
             corr: str | None = None, driver: bool = False,
@@ -1284,7 +1291,7 @@ class Omp:
                 vals, idxs = _compact_from_dense(X, k_max)
                 return vals, idxs, rep
             return X, rep
-        if self._route_driver(Y.shape[0]):
+        if self._route_driver(Y.shape[0], max_iterations):
             out, rep = self._fn(max_iterations, batched=True,
                                 driver=True, dense=dense)(
                 self._A, self._G, Y, tol)
@@ -1309,7 +1316,7 @@ class Omp:
         """Jit-composable batched solve over device arrays.
         ``dense=False`` returns ((values, indices), report) — the
         compact slot-space solution (see ``solve_batch``)."""
-        if self._route_driver(int(Y.shape[0])):
+        if self._route_driver(int(Y.shape[0]), max_iterations):
             return self._fn(max_iterations, batched=True, driver=True,
                             dense=dense)(
                 self._A, self._G, Y, tolerance)

@@ -334,12 +334,14 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     collective. Returns (X: (batch, n) data-sharded, OmpReportArrays).
 
     ``batch_native`` (default auto: the homotopy driver's routing rule
-    on the per-device lane count, f32 + a replicated Gram required;
+    on the per-device lane count, f32 required;
     SS_BATCH_NATIVE=1/0 forces/forbids) runs the slot-space OMP batch
     driver (solvers/omp_batch.py — fused q + in-place insert/LS
     kernels) *inside* the shard_map, its q products psum'd per row
     shard and its reported error the psum'd high-precision residual
-    certificate. Off, the vmapped pick loop carries the solve.
+    certificate. With ``gram=False`` the driver runs gram-free
+    (on-the-fly insert columns, one extra psum per pick — the config-5
+    large-n regime). Off, the vmapped pick loop carries the solve.
 
     ``dense=False`` returns ``(values, indices, reports)`` — the
     compact slot-space solution, shapes (batch, k_max), sentinel index
@@ -366,15 +368,15 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
     local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
-    if batch_native and not gram:
-        raise ValueError(
-            "the batch-native OMP driver needs the replicated Gram "
-            "(its per-pick insert column is a G-row gather); pass "
-            "gram=True/auto or batch_native=False")
     if batch_native is None:
+        # gram=False runs the driver gram-free (on-the-fly insert
+        # columns — the config-5 large-n regime, like homotopy's); the
+        # sparse leg keeps the zero-collective Gram-gather vmapped core
+        # for small per-device batches
         from ..solvers.homotopy_batch import route_batch_native
-        batch_native = bool(gram) and route_batch_native(
-            local_batch, n, A.dtype, sparse=False)
+        batch_native = route_batch_native(
+            local_batch, n, A.dtype,
+            sparse=bool(gram) and local_batch * k_max < 2 * m)
     if overlap_blocks is None:
         overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
                                 and n >= 512) else 1)

@@ -23,10 +23,12 @@ regime:
     loop from the returned solution — the homotopy "certified" pattern
     (docs/design.md §3) applied to the greedy family.
 
-Requires a precomputed Gram (the per-pick insert column is one G-row
-gather); f32 only (the kernels are). The api routes here for batched
-f32 TPU solves at precision="default"; everything else keeps the
-vmapped core.
+With a precomputed Gram the per-pick insert column is one G-row
+gather; ``G=None`` runs **gram-free** (the config-5 regime: n too
+large for an n² table) — the K live entries are computed directly per
+pick, the homotopy driver's gram_u1 design. f32 only (the kernels
+are). The api routes here for batched f32 TPU fast-mode solves;
+everything else keeps the vmapped core.
 """
 
 from __future__ import annotations
@@ -91,11 +93,6 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         raise ValueError(
             "the batch-native OMP driver is float32 (its Pallas kernels "
             f"are); got {dtype} — the api routes f64 to the vmapped core")
-    if G is None:
-        raise ValueError(
-            "the batch-native OMP driver needs a precomputed Gram (the "
-            "per-pick insert column is a G-row gather); route gram-free "
-            "problems to the vmapped core")
     if overlap_blocks > 1 and axis is None:
         raise ValueError(
             "overlap_blocks splits the sharded q psum into column-block "
@@ -123,6 +120,10 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     with blas.precision_scope("high"):
         C0 = psum(blas.xgemm(Y, A))
     yty = psum(jnp.sum(Y * Y, axis=1))
+    # exact f32 column norms: feed the insert's degeneracy guard either
+    # way (the Gram diagonal, or computed directly when gram-free)
+    gdiag = jnp.diagonal(G) if G is not None else psum(
+        jnp.sum(A * A, axis=0))
 
     # one-pass kernel only in the one-pass (DEFAULT) regime — at
     # high/highest the two-gemm qprod honors the requested passes
@@ -155,6 +156,29 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     A16, D, interpret=interp))
             return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
 
+    # Gram-free insert column (the config-5 regime: n too large for an
+    # n² table): u1[j] = ⟨A e_ind_j, A e_idx⟩ computed directly over the
+    # live slots — two contiguous row gathers from a transposed copy and
+    # a b·K·m batched dot, the homotopy driver's gram_u1 design
+    # (solvers/homotopy_batch.py) — with vtv from the exact f32 gdiag.
+    if G is None:
+        _one_pass = (blas.current_precision() == _lax.Precision.DEFAULT)
+        ATx = (A16.T if fused_q
+               else (A.astype(jnp.bfloat16).T if _one_pass else A.T))
+
+        def gram_u1(idx, indices):
+            V = jnp.take(ATx, idx, axis=0)           # (b, m)
+            # sentinel slots (index n) gather zero rows -> u1 = 0 there,
+            # matching the gram path's masked gather
+            C = jnp.take(ATx, indices, axis=0, mode="fill",
+                         fill_value=0)               # (b, K, m)
+            u1 = jnp.einsum(
+                "bkm,bm->bk", C, V,
+                precision=(None if ATx.dtype == jnp.bfloat16
+                           else blas.current_precision()),
+                preferred_element_type=jnp.float32)
+            return psum(u1).astype(dtype)
+
     init = _OBState(
         it=jnp.zeros(b, jnp.uint32),
         c=C0,
@@ -183,13 +207,18 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                            jnp.abs(s.c))
         idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
-        # insert column from one contiguous G row + a (b,K) point gather
-        row = jnp.take(G, idx, axis=0)
-        safe = jnp.minimum(s.indices, n - 1)
-        u1 = jnp.where(s.indices < n,
-                       jnp.take_along_axis(row, safe, axis=1),
-                       jnp.array(0, dtype))
-        vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+        # insert column from one contiguous G row + a (b,K) point
+        # gather; gram-free, the K live entries computed directly
+        if G is not None:
+            row = jnp.take(G, idx, axis=0)
+            safe = jnp.minimum(s.indices, n - 1)
+            u1 = jnp.where(s.indices < n,
+                           jnp.take_along_axis(row, safe, axis=1),
+                           jnp.array(0, dtype))
+            vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+        else:
+            u1 = gram_u1(idx, s.indices)
+            vtv = jnp.take(gdiag, idx)
 
         # the LS rhs grows by one gathered scalar of c₀
         bnew = jnp.take_along_axis(C0, idx[:, None], axis=1)[:, 0]

@@ -418,3 +418,28 @@ def test_batch_driver_compact_output(monkeypatch):
                                    max_iterations=20, dense=False)
     np.testing.assert_allclose(
         np.asarray(ss.densify_batch(v3, i3, 256)), np.asarray(Xn), atol=0)
+
+
+def test_batch_driver_gram_free(monkeypatch):
+    """The gram-free batch driver (Omp(A, gram=False) on the driver
+    route — on-the-fly insert columns, no n² table) matches the
+    gram-enabled driver pick-for-pick and solution-for-solution."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(55)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(6):
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 7, replace=False)] = rng.uniform(0.5, 1.0, 7)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+    free = ss.Omp(A, engine="jax", gram=False)
+    plan = free.explain(batch=6, max_iterations=30)
+    assert plan["corr"] == "driver" and plan["gram_free"], plan
+    Xf, rf = free.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+    gram = ss.Omp(A, engine="jax")
+    Xg, rg = gram.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+    np.testing.assert_array_equal(np.asarray(rf.iter), np.asarray(rg.iter))
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xg), atol=2e-4)
+    assert np.asarray(rf.solution_error).max() <= 1e-2

@@ -721,13 +721,26 @@ def test_omp_sharded_batch_native_collective_contract(mesh):
     assert ops == 4, (ops, loop_ars)
 
 
+def test_omp_sharded_batch_native_gram_free(mesh):
+    """The gram-free sharded OMP driver (on-the-fly insert columns,
+    G never materialized) matches the gram driver pick-for-pick."""
+    rng = np.random.RandomState(37)
+    A, X0, Y = _sparse_batch(rng, 64, 512, 5, 8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xg, rg = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True)
+    Xf, rf = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True,
+                            gram=False)
+    np.testing.assert_array_equal(np.asarray(rg.iter), np.asarray(rf.iter))
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xg), atol=1e-4)
+    got = {frozenset(np.flatnonzero(np.abs(r) > 0.05))
+           for r in np.asarray(Xf)}
+    assert got == {frozenset(np.flatnonzero(r)) for r in X0}
+
+
 def test_omp_sharded_batch_native_validation(mesh):
     rng = np.random.RandomState(6)
     A, _, Y = _sparse_batch(rng, 32, 512, 4, 2)
     Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A), jnp.asarray(Y))
-    with pytest.raises(ValueError, match="Gram"):
-        sh.omp_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=True,
-                       gram=False)
     with pytest.raises(ValueError, match="overlap_blocks"):
         sh.omp_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=False,
                        overlap_blocks=2)
