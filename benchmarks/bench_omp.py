@@ -91,9 +91,13 @@ def main():
             os.environ["SS_BATCH_NATIVE"] = bn
         solver = ss.Omp(A, engine="jax", **kw)
         plan = solver.explain(batch=batch, max_iterations=max_iter)
-        if plan["corr"] == "driver":
-            name = (("driver_gramfree_" if plan.get("gram_free")
-                     else "driver_") + kw.get("precision", "high"))
+        driver = plan["corr"] == "driver"
+        # names and keys match the recorded omp_v5e.jsonl schema:
+        # "batch_driver[_gramfree]" + a "precision" field, and the
+        # driver's error is the post-loop certificate
+        if driver:
+            name = ("batch_driver_gramfree" if plan.get("gram_free")
+                    else "batch_driver")
         else:
             name = "corr_" + plan["corr"]
         run = lambda: solver.solve_batch_on_device(Yd, tol, max_iter)
@@ -109,14 +113,16 @@ def main():
         exact = float(np.mean([
             set(np.argsort(-np.abs(Xh[b]))[:k].tolist()) == sup_true[b]
             for b in range(batch)]))
-        emit(bench="omp_batch", formulation=name, m=m, n=n, k=k,
+        err_key = "max_err_certified" if driver else "max_err"
+        emit(bench="omp_batch", formulation=name,
+             precision=plan["precision"], m=m, n=n, k=k,
              batch=batch, tol=tol, max_iterations=max_iter,
              ms_per_batch=round(sec * 1e3, 2),
              solves_per_sec=round(batch / sec, 1),
              nnz_per_sec=round(batch * k / sec, 1),
              mean_iters=float(iters.mean()),
-             max_err=float(np.asarray(rep.solution_error).max()),
-             exact_support_rate=exact, device=dev.device_kind)
+             exact_support_rate=exact, device=dev.device_kind,
+             **{err_key: float(np.asarray(rep.solution_error).max())})
     os.environ.pop("SS_BATCH_NATIVE", None)
 
     # native host row (threaded batch) at a host-scaled shape

@@ -1145,7 +1145,6 @@ class Omp:
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
-        corr = self._route_corr(batch, max_iterations)
         if self._route_driver(batch, max_iterations):
             return {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
@@ -1156,6 +1155,7 @@ class Omp:
                                    "(fused q + in-place insert/LS"
                                    + (", gram-free)"
                                       if not self._gram_enabled else ")")}
+        corr = self._route_corr(batch, max_iterations)
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode, "precision": self._precision,
                 "corr": corr,
@@ -1190,13 +1190,15 @@ class Omp:
         where structurally valid, =0 forbids). The ``sparse`` leg keeps
         the zero-full-pass-per-pick Gram-gather vmapped core for small
         batch·k_max (the driver pays a full q pass per pick)."""
-        if batch is None or self._mode != "fast":
+        if batch is None or self._mode != "fast" or self._gram_forced:
+            # gram=True pins the Gram-gather vmapped formulation (the
+            # documented contract); the driver must not override it
             return False
         from .solvers.homotopy_batch import route_batch_native
         small = (batch * self._resolved_k_max(max_iterations)
                  < 2 * self._m)
         return route_batch_native(batch, self._n, self._A.dtype,
-                                  sparse=self._gram_enabled and small)
+                                  sparse=small)
 
     def _fn(self, max_iterations: int, batched: bool,
             corr: str | None = None, driver: bool = False,

@@ -371,12 +371,13 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if batch_native is None:
         # gram=False runs the driver gram-free (on-the-fly insert
         # columns — the config-5 large-n regime, like homotopy's); the
-        # sparse leg keeps the zero-collective Gram-gather vmapped core
-        # for small per-device batches
+        # sparse leg keeps the gather-based vmapped core below the
+        # batch·k_max < 2m crossover, and gram=True pins the
+        # Gram-gather vmapped formulation outright (api.Omp contract)
         from ..solvers.homotopy_batch import route_batch_native
-        batch_native = route_batch_native(
+        batch_native = (not gram_forced) and route_batch_native(
             local_batch, n, A.dtype,
-            sparse=bool(gram) and local_batch * k_max < 2 * m)
+            sparse=local_batch * k_max < 2 * m)
     if overlap_blocks is None:
         overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
                                 and n >= 512) else 1)

@@ -121,6 +121,79 @@ def route_batch_native(lanes: int | None, n: int, dtype, sparse: bool) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def make_qprod(A, psum, use_kernel: bool, interp: bool,
+               overlap_blocks: int, fused_q: bool | None, b: int, n: int):
+    """Shared q = AᵀA D product factory for the slot-space batch drivers
+    (homotopy and OMP — extracted so the copies cannot drift, like
+    ``route_batch_native``). Returns ``(qprod, fused_q, A16)``.
+
+    ``fused_q=None`` auto-selects the one-pass bf16 kernel in the
+    one-pass (DEFAULT) regime; at high/highest the two-gemm form honors
+    the requested passes. ``overlap_blocks`` > 1 forces the explicit
+    two-step (the fused kernel produces q whole and would serialize
+    behind a single blocking all-reduce) and splits the second gemm
+    into independently-psum'd column blocks: block j's all-reduce has
+    no data dependence on block j+1's local gemm, so XLA's async
+    collectives hide each psum behind the next block's MXU work (north
+    star: overlap collective with next matvec tile). Exact: every q
+    element is the same local-row dot followed by the same psum
+    reduction tree as the unsplit form."""
+    if overlap_blocks > 1:
+        fused_q = False
+    if fused_q is None:
+        fused_q = (use_kernel
+                   and blas.current_precision() == _lax.Precision.DEFAULT
+                   and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
+    A16 = A.astype(jnp.bfloat16) if fused_q else None
+
+    if overlap_blocks > 1:
+        blk = -(-n // overlap_blocks)
+
+        def qprod(D):
+            p = blas.xgemm(D, A, trans_b=True)       # (b, m_local) local
+            return jnp.concatenate(
+                [psum(blas.xgemm(p, _lax.slice_in_dim(A, j0,
+                                                      min(j0 + blk, n),
+                                                      axis=1)))
+                 for j0 in range(0, n, blk)], axis=1)
+    else:
+        def qprod(D):
+            """q = AᵀA D (psum'd over the row shards when sharded)."""
+            if fused_q:
+                return psum(_kern.normal_matvec_fused_bf16(
+                    A16, D, interpret=interp))
+            return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+
+    return qprod, fused_q, A16
+
+
+def make_gram_u1(A, A16, fused_q: bool, psum, dtype):
+    """Shared gram-free insert-column factory: u1[j] = ⟨A e_ind_j,
+    A e_idx⟩ over the live slots — two contiguous row gathers from a
+    transposed copy and a b·K·m batched dot (the config-5 regime where
+    the n² Gram cannot exist). At DEFAULT (one-pass) precision the
+    dot's inputs are bf16 either way, so gather from a bf16 transposed
+    copy — half the gather traffic and no post-gather convert pass."""
+    _one_pass = (blas.current_precision() == _lax.Precision.DEFAULT)
+    ATx = (A16.T if fused_q
+           else (A.astype(jnp.bfloat16).T if _one_pass else A.T))
+
+    def gram_u1(idx, indices):
+        V = jnp.take(ATx, idx, axis=0)           # (b, m)
+        # sentinel slots (index n) gather zero rows -> u1 = 0 there,
+        # matching the gram path's masked gather
+        C = jnp.take(ATx, indices, axis=0, mode="fill",
+                     fill_value=0)               # (b, K, m)
+        u1 = jnp.einsum(
+            "bkm,bm->bk", C, V,
+            precision=(None if ATx.dtype == jnp.bfloat16
+                       else blas.current_precision()),
+            preferred_element_type=jnp.float32)
+        return psum(u1).astype(dtype)
+
+    return gram_u1
+
+
 def _plan_tiers(k_max: int, max_iterations: int, ladder) -> list[int]:
     """Capacity ladder: after ``i`` iterations a lane holds at most
     ``i + 1`` support members (≤1 insert per iteration,
@@ -371,44 +444,9 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     # HBM-bound on two reads of A; the fused kernel streams a bf16 copy
     # once (ops/pallas/kernels.py normal_matvec_fused_bf16). Numerics
     # match the DEFAULT two-gemm form (same bf16 roundings) up to f32
-    # accumulation order.
-    if overlap_blocks > 1:
-        # the overlapped form is the explicit two-step: one local gemm
-        # for p = A d, then per-column-block partial products each ending
-        # in its own psum — the fused one-pass kernel produces q whole
-        # and would serialize behind a single blocking all-reduce
-        fused_q = False
-    if fused_q is None:
-        fused_q = (use_kernel
-                   and blas.current_precision() == _lax.Precision.DEFAULT
-                   and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
-    A16 = A.astype(jnp.bfloat16) if fused_q else None
-
-    if overlap_blocks > 1:
-        blk = -(-n // overlap_blocks)
-
-        def qprod(D):
-            """q = AᵀA d as overlap_blocks column-block products, each
-            psum'd independently: the all-reduce of block j has no data
-            dependence on block j+1's local gemm, so XLA's async
-            collectives (all-reduce-start/done) hide each psum behind
-            the next block's MXU work (north star: overlap collective
-            with next matvec tile). Exact: every q element is the same
-            local-row dot followed by the same psum reduction tree as
-            the unsplit form."""
-            p = blas.xgemm(D, A, trans_b=True)       # (b, m_local) local
-            return jnp.concatenate(
-                [psum(blas.xgemm(p, _lax.slice_in_dim(A, j0,
-                                                      min(j0 + blk, n),
-                                                      axis=1)))
-                 for j0 in range(0, n, blk)], axis=1)
-    else:
-        def qprod(D):
-            """q = AᵀA D (psum'd over the row shards when sharded)."""
-            if fused_q:
-                return psum(_kern.normal_matvec_fused_bf16(
-                    A16, D, interpret=interp))
-            return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
+    # accumulation order. See make_qprod for the overlapped sharded form.
+    qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
+                                     overlap_blocks, fused_q, b, n)
 
     # Gram-free insert column: the transition consumes ONLY the K live
     # entries u1[j] = (AᵀA)[ind_j, idx] = ⟨A e_ind_j, A e_idx⟩ (plus the
@@ -421,25 +459,7 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     # Same products, same f32 accumulation of the same (bf16) inputs;
     # only the MXU tiling order differs.
     if G is None:
-        # at DEFAULT (one-pass) precision the dot's inputs are bf16
-        # either way, so gather from a bf16 transposed copy — half the
-        # gather traffic and no post-gather convert pass
-        _one_pass = (blas.current_precision() == _lax.Precision.DEFAULT)
-        ATx = (A16.T if fused_q
-               else (A.astype(jnp.bfloat16).T if _one_pass else A.T))
-
-        def gram_u1(idx, indices):
-            V = jnp.take(ATx, idx, axis=0)           # (b, m)
-            # sentinel slots (index n) gather zero rows -> u1 = 0 there,
-            # matching the gram path's masked gather
-            C = jnp.take(ATx, indices, axis=0, mode="fill",
-                         fill_value=0)               # (b, K, m)
-            u1 = jnp.einsum(
-                "bkm,bm->bk", C, V,
-                precision=(None if ATx.dtype == jnp.bfloat16
-                           else blas.current_precision()),
-                preferred_element_type=jnp.float32)
-            return psum(u1).astype(dtype)
+        gram_u1 = make_gram_u1(A, A16, fused_q, psum, dtype)
 
     # --- init (solve_homotopy_core init, batched; homotopy-cpu.cpp:215-229)
     C0 = psum(blas.xgemm(Y, A))                 # c0 = Aᵀy per lane

@@ -40,7 +40,6 @@ import jax.numpy as jnp
 from jax import lax as _lax
 
 from ..ops import blas
-from ..ops.pallas import kernels as _kern
 from ..ops.pallas import omp_insert as _oins
 from .omp import OmpReportArrays
 
@@ -116,8 +115,12 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
 
     # c₀ at parity-grade precision: it is the rhs of every LS re-solve
     # (b_act gathers from it), so one-pass noise here would bias every
-    # coefficient rather than just a pick
-    with blas.precision_scope("high"):
+    # coefficient rather than just a pick. An ambient "highest" is
+    # honored, not downgraded (review finding) — the floor is "high".
+    cert_prec = ("highest"
+                 if blas.current_precision() == _lax.Precision.HIGHEST
+                 else "high")
+    with blas.precision_scope(cert_prec):
         C0 = psum(blas.xgemm(Y, A))
     yty = psum(jnp.sum(Y * Y, axis=1))
     # exact f32 column norms: feed the insert's degeneracy guard either
@@ -125,59 +128,16 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     gdiag = jnp.diagonal(G) if G is not None else psum(
         jnp.sum(A * A, axis=0))
 
-    # one-pass kernel only in the one-pass (DEFAULT) regime — at
-    # high/highest the two-gemm qprod honors the requested passes
-    # (homotopy driver rule, solvers/homotopy_batch.py). The overlapped
-    # form is the explicit two-step (the fused kernel produces q whole
-    # and would serialize behind one blocking all-reduce).
-    fused_q = (use_kernel and overlap_blocks == 1
-               and blas.current_precision() == _lax.Precision.DEFAULT
-               and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
-    A16 = A.astype(jnp.bfloat16) if fused_q else None
-
-    if overlap_blocks > 1:
-        blk = -(-n // overlap_blocks)
-
-        def qprod(D):
-            """q = AᵀA D as overlap_blocks column-block products, each
-            psum'd independently — block j's all-reduce has no data
-            dependence on block j+1's local gemm, so the scheduler
-            overlaps them (solvers/homotopy_batch.py qprod)."""
-            p = blas.xgemm(D, A, trans_b=True)       # (b, m_local) local
-            return jnp.concatenate(
-                [psum(blas.xgemm(p, _lax.slice_in_dim(
-                    A, j0, min(j0 + blk, n), axis=1)))
-                 for j0 in range(0, n, blk)], axis=1)
-    else:
-        def qprod(D):
-            """q = AᵀA D — one bf16 pass (psum'd over row shards)."""
-            if fused_q:
-                return psum(_kern.normal_matvec_fused_bf16(
-                    A16, D, interpret=interp))
-            return psum(blas.xgemm(blas.xgemm(D, A, trans_b=True), A))
-
-    # Gram-free insert column (the config-5 regime: n too large for an
-    # n² table): u1[j] = ⟨A e_ind_j, A e_idx⟩ computed directly over the
-    # live slots — two contiguous row gathers from a transposed copy and
-    # a b·K·m batched dot, the homotopy driver's gram_u1 design
-    # (solvers/homotopy_batch.py) — with vtv from the exact f32 gdiag.
+    # q product and gram-free insert column from the factories shared
+    # with the homotopy driver (solvers/homotopy_batch.py — extracted so
+    # the copies cannot drift): one fused bf16 pass in the one-pass
+    # (DEFAULT) regime, two-gemm at high/highest, column-block psums
+    # when overlapped
+    from .homotopy_batch import make_gram_u1, make_qprod
+    qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
+                                     overlap_blocks, None, b, n)
     if G is None:
-        _one_pass = (blas.current_precision() == _lax.Precision.DEFAULT)
-        ATx = (A16.T if fused_q
-               else (A.astype(jnp.bfloat16).T if _one_pass else A.T))
-
-        def gram_u1(idx, indices):
-            V = jnp.take(ATx, idx, axis=0)           # (b, m)
-            # sentinel slots (index n) gather zero rows -> u1 = 0 there,
-            # matching the gram path's masked gather
-            C = jnp.take(ATx, indices, axis=0, mode="fill",
-                         fill_value=0)               # (b, K, m)
-            u1 = jnp.einsum(
-                "bkm,bm->bk", C, V,
-                precision=(None if ATx.dtype == jnp.bfloat16
-                           else blas.current_precision()),
-                preferred_element_type=jnp.float32)
-            return psum(u1).astype(dtype)
+        gram_u1 = make_gram_u1(A, A16, fused_q, psum, dtype)
 
     init = _OBState(
         it=jnp.zeros(b, jnp.uint32),
@@ -255,7 +215,13 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
             it=jnp.where(stepped, s.it + 1, s.it),
             c=keep(c1, s.c),
             mask=keep(mask1, s.mask),
-            inv=jnp.where(stepped[:, None, None], inv1, s.inv),
+            # inv1 commits UNgated so the kernel's in-place aliasing
+            # holds (a where over s.inv kept the old buffer live and
+            # forced a (b,K,K) copy per pick): inert/degenerate lanes
+            # already get inv1 == inv bit-exact from the kernel gate,
+            # and a blown lane's inverse is never observable again (it
+            # breaks; committed coef/indices stay reverted)
+            inv=inv1,
             b_act=keep(b_act1, s.b_act),
             coef=keep(coef1, s.coef),
             indices=keep(ind1, s.indices),
@@ -273,7 +239,8 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         final.coef, mode="drop")
     # final certificate: ‖y − Ax‖₂ per lane at parity-grade precision —
     # the value a high-precision solve would report for this support
-    with blas.precision_scope("high"):
+    # (an ambient "highest" is honored, matching C0 above)
+    with blas.precision_scope(cert_prec):
         # rows stay local when sharded; the squared norm psums like
         # every other m-axis reduction (identity psum unsharded)
         R = Y - blas.xgemm(X, A, trans_b=True)

@@ -443,3 +443,44 @@ def test_batch_driver_gram_free(monkeypatch):
     np.testing.assert_array_equal(np.asarray(rf.iter), np.asarray(rg.iter))
     np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xg), atol=2e-4)
     assert np.asarray(rf.solution_error).max() <= 1e-2
+
+
+def test_gram_pin_beats_driver_routing(monkeypatch):
+    """gram=True pins the Gram-gather vmapped formulation (the
+    documented contract) — the batch driver must not override it, even
+    under SS_BATCH_NATIVE=1 (review finding)."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(3)
+    A = rng.randn(64, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    pinned = ss.Omp(A, engine="jax", gram=True)
+    plan = pinned.explain(batch=100, max_iterations=20)
+    assert plan["corr"] == "gram", plan
+    # unpinned (auto gram) still routes to the driver
+    auto = ss.Omp(A, engine="jax")
+    assert auto.explain(batch=100, max_iterations=20)["corr"] == "driver"
+
+
+def test_batch_driver_honors_highest_precision(monkeypatch):
+    """precision='highest' is not downgraded by the driver: its C0/
+    certificate scopes resolve to 'highest' (review finding), and the
+    trajectory matches the vmapped core at highest pick-for-pick."""
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    rng = np.random.RandomState(9)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(4):
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+    hi = ss.Omp(A, engine="jax", precision="highest")
+    assert hi.explain(batch=4, max_iterations=20)["corr"] == "driver"
+    X, rep = hi.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+    core = ss.Omp(A, engine="jax", precision="highest")
+    Xc, repc = core.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(repc.iter))
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xc), atol=1e-5)
