@@ -1059,7 +1059,10 @@ class Omp:
     support (default min(n, m, max_iterations) — OMP only inserts, so
     this never overflows), ``mode`` "fast"/"exact", ``precision`` MXU
     contraction precision (default "high" in fast mode / "highest" in
-    exact; "certified" is a homotopy concept and not accepted),
+    exact; "certified" runs the pick loop at one-pass precision and
+    reports a fused high-precision residual certificate ‖y−Ax‖₂ per
+    lane, with solve/solve_batch re-solving certificate-failing lanes
+    at "high" — homotopy's certified design on the ℓ₂ criterion),
     ``engine`` "jax"/"native"/"auto".
 
     ``gram``: None (default) precomputes AᵀA when n² fits in 1 GiB and
@@ -1082,11 +1085,16 @@ class Omp:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
-        if precision is not None and precision not in (
-                "highest", "high", "default"):
+        if precision is not None and precision not in _PRECISION_VALUES:
             raise ValueError(
-                "precision must be 'highest', 'high' or 'default', "
-                f"got {precision!r}")
+                "precision must be 'highest', 'high', 'default' or "
+                f"'certified', got {precision!r}")
+        if precision == "certified" and mode == "exact":
+            raise ValueError(
+                "precision='certified' runs the pick loop at one-pass "
+                "MXU precision with a high-precision residual "
+                "certificate — exact mode wants the full-precision "
+                "trajectory; use precision='highest'")
         if k_max is not None and k_max < 1:
             raise ValueError(f"k_max must be >= 1, got {k_max}")
         self._engine = engine
@@ -1146,7 +1154,7 @@ class Omp:
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
         if self._route_driver(batch, max_iterations):
-            return {"engine": "jax", "backend": jax.default_backend(),
+            plan = {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
                     "corr": "driver",
                     "gram_free": not self._gram_enabled,
@@ -1155,13 +1163,21 @@ class Omp:
                                    "(fused q + in-place insert/LS"
                                    + (", gram-free)"
                                       if not self._gram_enabled else ")")}
-        corr = self._route_corr(batch, max_iterations)
-        return {"engine": "jax", "backend": jax.default_backend(),
-                "mode": self._mode, "precision": self._precision,
-                "corr": corr,
-                "k_max": self._resolved_k_max(max_iterations),
-                "formulation": ("vmapped OMP loop" if batch is not None
-                                else "OMP loop") + f" (corr={corr})"}
+        else:
+            corr = self._route_corr(batch, max_iterations)
+            plan = {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": self._mode, "precision": self._precision,
+                    "corr": corr,
+                    "k_max": self._resolved_k_max(max_iterations),
+                    "formulation": ("vmapped OMP loop"
+                                    if batch is not None
+                                    else "OMP loop") + f" (corr={corr})"}
+        if self._precision == "certified":
+            plan["path_precision"] = "default"
+            plan["certificate"] = ("‖y−Ax‖₂ at high precision; "
+                                   "solve/solve_batch re-solve lanes "
+                                   "that miss the tolerance")
+        return plan
 
     def _route_corr(self, batch: int | None, max_iterations: int) -> str:
         """Correlation-formulation routing (solve_omp_core ``corr``):
@@ -1202,33 +1218,34 @@ class Omp:
 
     def _fn(self, max_iterations: int, batched: bool,
             corr: str | None = None, driver: bool = False,
-            dense: bool = True):
+            dense: bool = True, precision: str | None = None):
+        """Compiled solve program. ``precision`` overrides the instance
+        setting (used by the certified re-solve path)."""
         _check_max_iterations(max_iterations)
         from .solvers import omp as _omp
         k_max = self._resolved_k_max(max_iterations)
         if corr is None:
             corr = "gram" if self._gram_enabled else "sparse"
-        key = ("omp", max_iterations, k_max, batched, corr, driver, dense)
+        precision = precision or self._precision
+        certified = precision == "certified"
+        # certified: the pick loop runs at one-pass precision and the
+        # reported error is a fused high-precision residual certificate
+        # (homotopy's design, docs/design.md §3, on the ℓ₂ criterion).
+        # The batch driver computes the certificate unconditionally; the
+        # vmapped core gets the wrapper below.
+        path_precision = "default" if certified else precision
+        key = ("omp", max_iterations, k_max, batched, corr, driver,
+               dense, precision)
         fn = self._cache.get(key)
         if fn is None:
             if driver:
                 from .solvers import omp_batch as _omp_batch
 
                 def run(A, G, Y, tol):
-                    with _blas.precision_scope(self._precision):
+                    with _blas.precision_scope(path_precision):
                         return _omp_batch.solve_omp_batch(
                             A, G, Y, tol, max_iterations, k_max,
                             dense=dense)
-            elif batched and not dense:
-                def run(A, G, Y, tol):
-                    op = _operators.DenseOperator(A, G)
-                    with _blas.precision_scope(self._precision):
-                        X, rep = jax.vmap(
-                            lambda y: _omp.solve_omp_core(
-                                op, self._n, y, tol, max_iterations,
-                                k_max, mode=self._mode, corr=corr),
-                            in_axes=(0,))(Y)
-                    return _compact_from_dense_jax(X, k_max), rep
             else:
                 def core(A, G, y, tol):
                     # G rides along for the O(k) per-pick inserts
@@ -1237,13 +1254,31 @@ class Omp:
                     # G wholesale made every pick pay a full AᵀA e_j
                     # pass)
                     op = _operators.DenseOperator(A, G)
-                    with _blas.precision_scope(self._precision):
+                    with _blas.precision_scope(path_precision):
                         return _omp.solve_omp_core(
                             op, self._n, y, tol, max_iterations, k_max,
                             mode=self._mode, corr=corr)
-                run = core
+                base = core
                 if batched:
-                    run = jax.vmap(core, in_axes=(None, None, 0, None))
+                    base = jax.vmap(core, in_axes=(None, None, 0, None))
+
+                def run(A, G, Y, tol):
+                    X, rep = base(A, G, Y, tol)
+                    if certified:
+                        with _blas.precision_scope("high"):
+                            if batched:
+                                R = Y - _blas.xgemm(X, A, trans_b=True)
+                                err = jnp.sqrt(jnp.maximum(
+                                    jnp.sum(R * R, axis=1), 0))
+                            else:
+                                r = Y - _blas.xgemv(A, X)
+                                err = jnp.sqrt(jnp.maximum(
+                                    jnp.sum(r * r), 0))
+                        rep = rep._replace(solution_error=err.astype(
+                            rep.solution_error.dtype))
+                    if batched and not dense:
+                        return _compact_from_dense_jax(X, k_max), rep
+                    return X, rep
             fn = jax.jit(run)
             self._cache[key] = fn
         return fn
@@ -1265,6 +1300,14 @@ class Omp:
         x, rep = self._fn(max_iterations, batched=False, corr=corr)(
             self._A, self._G, y, tol)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
+        if (self._precision == "certified" and not (err <= tol)
+                and int(it) < max_iterations):
+            # the certificate caught a one-pass miss: re-solve at "high"
+            # (certified's guarantee; mirrors Homotopy.solve)
+            x2, rep2 = self._fn(max_iterations, batched=False, corr=corr,
+                                precision="high")(self._A, self._G, y, tol)
+            x, it, err = jax.device_get(
+                (x2, rep2.iter, rep2.solution_error))
         return x, OmpReport(iter=int(it), solution_error=float(err))
 
     def solve_batch(self, B, tolerance: float | None = None,
@@ -1293,14 +1336,36 @@ class Omp:
                 vals, idxs = _compact_from_dense(X, k_max)
                 return vals, idxs, rep
             return X, rep
-        if self._route_driver(Y.shape[0], max_iterations):
-            out, rep = self._fn(max_iterations, batched=True,
-                                driver=True, dense=dense)(
-                self._A, self._G, Y, tol)
-        else:
-            corr = self._route_corr(Y.shape[0], max_iterations)
-            out, rep = self._fn(max_iterations, batched=True, corr=corr,
-                                dense=dense)(self._A, self._G, Y, tol)
+        driver = self._route_driver(Y.shape[0], max_iterations)
+        corr = (None if driver
+                else self._route_corr(Y.shape[0], max_iterations))
+        out, rep = self._fn(max_iterations, batched=True, corr=corr,
+                            driver=driver, dense=dense)(
+            self._A, self._G, Y, tol)
+        if self._precision == "certified":
+            # lanes whose high-precision certificate misses the
+            # tolerance re-solve at "high" — one shape-stable full-batch
+            # re-solve, merged per lane (Homotopy.solve_batch's design;
+            # lanes that exhausted max_iterations are honestly
+            # non-convergent and excluded)
+            errs = np.asarray(rep.solution_error)
+            bad = (~(errs <= tol)) & (
+                np.asarray(rep.iter) < max_iterations)
+            if bad.any():
+                outh, reph = self._fn(max_iterations, batched=True,
+                                      corr=corr, driver=driver,
+                                      dense=dense, precision="high")(
+                    self._A, self._G, Y, tol)
+                sel = jnp.asarray(bad)
+                if dense:
+                    out = jnp.where(sel[:, None], outh, out)
+                else:
+                    out = (jnp.where(sel[:, None], outh[0], out[0]),
+                           jnp.where(sel[:, None], outh[1], out[1]))
+                rep = type(rep)(
+                    iter=jnp.where(sel, reph.iter, rep.iter),
+                    solution_error=jnp.where(sel, reph.solution_error,
+                                             rep.solution_error))
         if not dense:
             return out[0], out[1], rep
         return out, rep
@@ -1317,7 +1382,11 @@ class Omp:
                               dense: bool = True):
         """Jit-composable batched solve over device arrays.
         ``dense=False`` returns ((values, indices), report) — the
-        compact slot-space solution (see ``solve_batch``)."""
+        compact slot-space solution (see ``solve_batch``). Under
+        precision="certified" the report carries the high-precision
+        certificate but the data-dependent re-solve lives only in
+        ``solve_batch`` — check ``solution_error <= tolerance``
+        per lane downstream."""
         if self._route_driver(int(Y.shape[0]), max_iterations):
             return self._fn(max_iterations, batched=True, driver=True,
                             dense=dense)(

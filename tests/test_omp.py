@@ -243,7 +243,9 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         ss.Omp(A, engine="native", mode="exact")
     with pytest.raises(ValueError):
-        ss.Omp(A, precision="certified")
+        ss.Omp(A, precision="bogus")
+    with pytest.raises(ValueError):
+        ss.Omp(A, mode="exact", precision="certified")
     with pytest.raises(ValueError):
         ss.Omp(A, k_max=0)
     with pytest.raises(ValueError):
@@ -484,3 +486,52 @@ def test_batch_driver_honors_highest_precision(monkeypatch):
     np.testing.assert_array_equal(np.asarray(rep.iter),
                                   np.asarray(repc.iter))
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xc), atol=1e-5)
+
+
+def test_certified_precision(monkeypatch):
+    """precision='certified' (homotopy's design on the ℓ₂ criterion):
+    the pick loop runs at one-pass precision, the reported error is the
+    high-precision residual certificate, failing lanes re-solve at
+    'high' in solve/solve_batch, and exact mode rejects it."""
+    rng = np.random.RandomState(71)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(5):
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 6, replace=False)] = rng.uniform(0.5, 1.0, 6)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+
+    with pytest.raises(ValueError, match="certified"):
+        ss.Omp(A, mode="exact", precision="certified")
+
+    # driver route: the certificate is built in
+    monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+    cert = ss.Omp(A, engine="jax", precision="certified")
+    plan = cert.explain(batch=5, max_iterations=20)
+    assert plan["corr"] == "driver" and plan["path_precision"] == "default"
+    X, rep = cert.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    errs = np.asarray(rep.solution_error)
+    resid = np.linalg.norm(Y - np.asarray(X) @ A.T, axis=1)
+    np.testing.assert_allclose(errs, resid, rtol=1e-4, atol=1e-6)
+    assert (errs <= 1e-2).all()
+
+    # vmapped route: the certificate wrapper recomputes the error
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+    cert2 = ss.Omp(A, engine="jax", precision="certified")
+    assert cert2.explain(batch=5, max_iterations=20)["corr"] != "driver"
+    X2, rep2 = cert2.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    errs2 = np.asarray(rep2.solution_error)
+    resid2 = np.linalg.norm(Y - np.asarray(X2) @ A.T, axis=1)
+    np.testing.assert_allclose(errs2, resid2, rtol=1e-4, atol=1e-6)
+    assert (errs2 <= 1e-2).all()
+
+    # single solve + compact output compose with certified
+    x1, r1 = cert2.solve(Y[0], tolerance=1e-2, max_iterations=20)
+    assert r1.solution_error <= 1e-2
+    v, ix, rc = cert2.solve_batch(Y, tolerance=1e-2, max_iterations=20,
+                                  dense=False)
+    np.testing.assert_allclose(
+        np.asarray(ss.densify_batch(v, ix, 256)), np.asarray(X2),
+        atol=2e-4)
