@@ -285,7 +285,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     max_iterations: int, k_max: int, corr: str,
                     batch_native: bool = False, dense: bool = True,
-                    overlap_blocks: int = 1):
+                    overlap_blocks: int = 1, certified: bool = False):
     from ..solvers.omp import solve_omp_core
 
     out_spec = (P(DATA_AXIS, None) if dense
@@ -307,15 +307,28 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     A_local, G, Y_local, tol, max_iterations, k_max,
                     axis=ROW_AXIS, dense=dense,
                     overlap_blocks=overlap_blocks)
+                # the driver's reported error IS the psum'd
+                # high-precision certificate (solvers/omp_batch.py)
                 return X, (rep.iter, rep.solution_error)
             op = RowShardedOperator(A_local, ROW_AXIS, G)
             solve = lambda y_local: solve_omp_core(
                 op, n, y_local, tol, max_iterations, k_max, corr=corr)
             X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
+            err = rep.solution_error
+            if certified:
+                # sharded ℓ₂ certificate at "high": per-shard partial
+                # residual norms, one psum over the row axis (the
+                # homotopy_sharded certificate pattern on the greedy
+                # criterion)
+                with blas.precision_scope("high"):
+                    R_loc = Y_local - blas.xgemm(X, A_local, trans_b=True)
+                    err = jnp.sqrt(jnp.maximum(jax.lax.psum(
+                        jnp.sum(R_loc * R_loc, axis=1), ROW_AXIS), 0)
+                    ).astype(err.dtype)
             if not dense:
                 from ..api import _compact_from_dense_jax
                 X = _compact_from_dense_jax(X, k_max)
-        return X, (rep.iter, rep.solution_error)
+        return X, (rep.iter, err)
 
     return jax.jit(run)
 
@@ -354,13 +367,24 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     all-reduce overlaps the next block's local gemm — the same
     north-star overlap as ``homotopy_sharded``. Exact vs the unsplit
     driver.
+
+    ``precision="certified"`` mirrors ``homotopy_sharded``: the pick
+    loop runs at one-pass precision, each lane's reported error is the
+    psum'd high-precision ℓ₂ residual certificate (the driver computes
+    it unconditionally; the vmapped loop gets a per-shard partial-norm
+    psum), and lanes whose certificate misses the tolerance without
+    exhausting max_iterations re-solve once at "high" — a host-side
+    decision, so certified cannot run under an outer jit (a clear
+    ValueError replaces the tracer leak).
     """
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
-    if precision not in ("highest", "high", "default"):
+    if precision not in ("highest", "high", "default", "certified"):
         raise ValueError(
-            "precision must be 'highest', 'high' or 'default', "
-            f"got {precision!r}")
+            "precision must be 'highest', 'high', 'default' or "
+            f"'certified', got {precision!r}")
+    certified = precision == "certified"
+    path_precision = "default" if certified else precision
     m, n = A.shape
     # global-m capacity (the core would see only the local shard)
     k_max = k_max or max(1, min(max_iterations, m, n))
@@ -398,12 +422,43 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         corr = "sparse" if small else "dense"
     A, pad = _pad_rows(A, mesh)
     Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
-    fn = _omp_sharded_fn(mesh, precision, bool(gram), max_iterations,
+    fn = _omp_sharded_fn(mesh, path_precision, bool(gram), max_iterations,
                          k_max, corr, batch_native=bool(batch_native),
-                         dense=dense, overlap_blocks=overlap_blocks)
+                         dense=dense, overlap_blocks=overlap_blocks,
+                         certified=certified)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.omp import OmpReportArrays
     rep = OmpReportArrays(iter=iters, solution_error=errs)
+    if certified:
+        import numpy as np
+        if isinstance(errs, jax.core.Tracer):
+            raise ValueError(
+                "omp_sharded(precision='certified') was called under an "
+                "outer jit trace: the certified re-solve is a host-side "
+                "decision on the per-lane certificates and cannot be "
+                "staged. Call it eagerly (the solve is already compiled "
+                "through shard_map), or use precision='high' under jit "
+                "and check solution_error <= tolerance downstream")
+        bad = (~(np.asarray(errs) <= float(tolerance))
+               & (np.asarray(iters) < max_iterations))
+        if bad.any():
+            out_h = omp_sharded(
+                mesh, A[:A.shape[0] - pad] if pad else A,
+                Y[:, :Y.shape[1] - pad] if pad else Y,
+                tolerance, max_iterations, k_max=k_max, gram=gram,
+                precision="high", batch_native=batch_native,
+                dense=dense, overlap_blocks=overlap_blocks)
+            rh = out_h[-1]
+            sel = jnp.asarray(bad)
+            if dense:
+                X = jnp.where(sel[:, None], out_h[0], X)
+            else:
+                X = (jnp.where(sel[:, None], out_h[0], X[0]),
+                     jnp.where(sel[:, None], out_h[1], X[1]))
+            rep = OmpReportArrays(
+                iter=jnp.where(sel, rh.iter, rep.iter),
+                solution_error=jnp.where(sel, rh.solution_error,
+                                         rep.solution_error))
     if not dense:
         return X[0], X[1], rep
     return X, rep

@@ -751,3 +751,23 @@ def test_omp_sharded_batch_native_validation(mesh):
     with pytest.raises(ValueError, match="overlap_blocks"):
         solve_omp_batch(Aj, G, jnp.asarray(Y), 1e-2, 8, 8,
                         use_kernel=False, overlap_blocks=2)
+
+
+def test_omp_sharded_certified(mesh):
+    """Certified precision composes with omp_sharded on both legs: the
+    reported error equals the high-precision ℓ₂ residual per lane and
+    sits under the tolerance; under an outer jit it raises."""
+    rng = np.random.RandomState(41)
+    A, X0, Y = _sparse_batch(rng, 64, 512, 5, 8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    for bn in (True, False):
+        X, rep = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30,
+                                precision="certified", batch_native=bn)
+        resid = np.linalg.norm(Y - np.asarray(X) @ A.T, axis=1)
+        np.testing.assert_allclose(np.asarray(rep.solution_error), resid,
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"batch_native={bn}")
+        assert (np.asarray(rep.solution_error) <= 1e-2).all()
+    with pytest.raises(ValueError, match="certified"):
+        jax.jit(lambda a, y: sh.omp_sharded(
+            mesh, a, y, 1e-2, 8, precision="certified"))(Ad, Yd)
