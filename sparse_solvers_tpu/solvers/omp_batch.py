@@ -58,16 +58,40 @@ class _OBState(NamedTuple):
     done: jnp.ndarray     # (b,) rss stalled — stop, iterate kept
 
 
+def _embed_omp(s: _OBState, K2: int, n: int) -> _OBState:
+    """Zero-pad a capacity-K1 state into capacity K2 (> K1) at a tier
+    boundary (homotopy_batch._embed's design): exact, because padded
+    slots carry the sentinel index and zero inverse rows/columns, which
+    the insert kernel and the slot reductions treat as absent."""
+    K1 = s.b_act.shape[1]
+    p = K2 - K1
+    pad2 = lambda a: jnp.pad(a, ((0, 0), (0, p)))
+    return _OBState(
+        it=s.it, c=s.c, mask=s.mask,
+        inv=jnp.pad(s.inv, ((0, 0), (0, p), (0, p))),
+        b_act=pad2(s.b_act), coef=pad2(s.coef),
+        indices=jnp.pad(s.indices, ((0, 0), (0, p)), constant_values=n),
+        kk=s.kk, rss=s.rss, broke=s.broke, done=s.done)
+
+
 def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     tolerance, max_iterations: int, k_max: int,
                     use_kernel: bool | None = None,
                     axis: str | None = None,
                     dense: bool = True,
-                    overlap_blocks: int = 1):
+                    overlap_blocks: int = 1,
+                    ladder: bool | None = None):
     """Batched greedy solve; returns (X (b, n), OmpReportArrays).
 
     ``axis`` names a row-shard psum axis when run inside shard_map (A
     and Y row-sharded, G replicated — the homotopy driver's layout).
+
+    ``ladder`` controls the capacity-tier ladder (None = auto, the
+    homotopy driver's shared ``_plan_tiers`` rule): early picks run in
+    reduced-capacity loops — the (b,K,K) insert/LS kernel, the (b,K)
+    slot gathers and the rss reduction are capacity-proportional and
+    otherwise paid for provably-empty slots — with one exact zero-pad
+    embed per boundary.
 
     ``dense=False`` skips the final (b, n) scatter and returns the
     driver's own compact slot-space solution ``((values, indices),
@@ -133,107 +157,134 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     # the copies cannot drift): one fused bf16 pass in the one-pass
     # (DEFAULT) regime, two-gemm at high/highest, column-block psums
     # when overlapped
-    from .homotopy_batch import make_gram_u1, make_qprod
+    from .homotopy_batch import _plan_tiers, make_gram_u1, make_qprod
     qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
                                      overlap_blocks, None, b, n)
     if G is None:
         gram_u1 = make_gram_u1(A, A16, fused_q, psum, dtype)
 
-    init = _OBState(
-        it=jnp.zeros(b, jnp.uint32),
-        c=C0,
-        mask=jnp.zeros((b, n), jnp.int8),
-        inv=jnp.zeros((b, K, K), dtype),
-        b_act=jnp.zeros((b, K), dtype),
-        coef=jnp.zeros((b, K), dtype),
-        indices=jnp.full((b, K), n, jnp.int32),
-        kk=jnp.zeros(b, jnp.int32),
-        rss=yty,
-        broke=jnp.zeros(b, bool),
-        done=jnp.zeros(b, bool),
-    )
+    def make_tier(K: int, it_cap: int | None):
+        """(init, body, lane_live) at capacity K. ``it_cap`` freezes
+        lanes at the capacity-ladder phase boundary (they resume
+        unchanged in the next tier's loop — homotopy's _plan_tiers
+        design: with ≤1 insert per committed iteration, kk ≤ it, so a
+        lane capped at it < K−1 can never touch slot K−1)."""
 
-    def lane_live(s: _OBState):
-        return ((~s.broke) & (~s.done)
-                & (s.it < jnp.uint32(max_iterations))
-                & (s.kk < K)
-                & (jnp.maximum(s.rss, 0) > tol * tol))
-
-    def body(s: _OBState) -> _OBState:
-        live = lane_live(s)
-
-        # greedy pick over the inactive set (leftmost argmax)
-        scores = jnp.where(s.mask > 0, jnp.array(-1, dtype),
-                           jnp.abs(s.c))
-        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
-
-        # insert column from one contiguous G row + a (b,K) point
-        # gather; gram-free, the K live entries computed directly
-        if G is not None:
-            row = jnp.take(G, idx, axis=0)
-            safe = jnp.minimum(s.indices, n - 1)
-            u1 = jnp.where(s.indices < n,
-                           jnp.take_along_axis(row, safe, axis=1),
-                           jnp.array(0, dtype))
-            vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
-        else:
-            u1 = gram_u1(idx, s.indices)
-            vtv = jnp.take(gdiag, idx)
-
-        # the LS rhs grows by one gathered scalar of c₀
-        bnew = jnp.take_along_axis(C0, idx[:, None], axis=1)[:, 0]
-        b_act1 = jnp.where(live[:, None],
-                           s.b_act.at[bidx, s.kk].set(bnew), s.b_act)
-
-        inv1, coef1, deg = _oins.omp_insert(
-            s.inv, u1, s.kk, vtv, b_act1, live, interpret=interp)
-        stepped = live & ~deg
-
-        # ‖r‖² by the LS identity (in-loop stop only; the reported error
-        # is the post-loop high-precision certificate)
-        rss1 = yty - jnp.sum(b_act1 * coef1, axis=1)
-
-        ind1 = jnp.where(stepped[:, None],
-                         s.indices.at[bidx, s.kk].set(idx), s.indices)
-        mask1 = jnp.where(stepped[:, None],
-                          s.mask.at[bidx, idx].set(1), s.mask)
-
-        # correlation update from the new coefficients (one fused pass)
-        D = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
-            jnp.where(stepped[:, None], coef1, 0), mode="drop")
-        q = qprod(D)
-        c1 = jnp.where(stepped[:, None], C0 - q, s.c)
-
-        # a finite-state guard in the driver regime: a blown lane stops
-        # with its previous committed state
-        blew = stepped & ~(jnp.isfinite(coef1).all(axis=1)
-                           & jnp.isfinite(rss1))
-        stepped = stepped & ~blew
-
-        keep = lambda new, old: jnp.where(stepped[:, None], new, old)
-        return _OBState(
-            it=jnp.where(stepped, s.it + 1, s.it),
-            c=keep(c1, s.c),
-            mask=keep(mask1, s.mask),
-            # inv1 commits UNgated so the kernel's in-place aliasing
-            # holds (a where over s.inv kept the old buffer live and
-            # forced a (b,K,K) copy per pick): inert/degenerate lanes
-            # already get inv1 == inv bit-exact from the kernel gate,
-            # and a blown lane's inverse is never observable again (it
-            # breaks; committed coef/indices stay reverted)
-            inv=inv1,
-            b_act=keep(b_act1, s.b_act),
-            coef=keep(coef1, s.coef),
-            indices=keep(ind1, s.indices),
-            kk=jnp.where(stepped, s.kk + 1, s.kk),
-            # strictly-decreasing contract: a stall marks the identity's
-            # rounding floor (solvers/omp.py) — stop, iterate kept
-            rss=jnp.where(stepped, rss1, s.rss),
-            broke=s.broke | (live & deg) | blew,
-            done=s.done | (stepped & (rss1 >= s.rss)),
+        init = _OBState(
+            it=jnp.zeros(b, jnp.uint32),
+            c=C0,
+            mask=jnp.zeros((b, n), jnp.int8),
+            inv=jnp.zeros((b, K, K), dtype),
+            b_act=jnp.zeros((b, K), dtype),
+            coef=jnp.zeros((b, K), dtype),
+            indices=jnp.full((b, K), n, jnp.int32),
+            kk=jnp.zeros(b, jnp.int32),
+            rss=yty,
+            broke=jnp.zeros(b, bool),
+            done=jnp.zeros(b, bool),
         )
 
-    final = _lax.while_loop(lambda s: jnp.any(lane_live(s)), body, init)
+        def lane_live(s: _OBState):
+            live = ((~s.broke) & (~s.done)
+                    & (s.it < jnp.uint32(max_iterations))
+                    & (s.kk < K)
+                    & (jnp.maximum(s.rss, 0) > tol * tol))
+            if it_cap is not None:
+                live = live & (s.it < jnp.uint32(it_cap))
+            return live
+
+        def body(s: _OBState) -> _OBState:
+            live = lane_live(s)
+
+            # greedy pick over the inactive set (leftmost argmax)
+            scores = jnp.where(s.mask > 0, jnp.array(-1, dtype),
+                               jnp.abs(s.c))
+            idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+            # insert column from one contiguous G row + a (b,K) point
+            # gather; gram-free, the K live entries computed directly
+            if G is not None:
+                row = jnp.take(G, idx, axis=0)
+                safe = jnp.minimum(s.indices, n - 1)
+                u1 = jnp.where(s.indices < n,
+                               jnp.take_along_axis(row, safe, axis=1),
+                               jnp.array(0, dtype))
+                vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+            else:
+                u1 = gram_u1(idx, s.indices)
+                vtv = jnp.take(gdiag, idx)
+
+            # the LS rhs grows by one gathered scalar of c₀
+            bnew = jnp.take_along_axis(C0, idx[:, None], axis=1)[:, 0]
+            b_act1 = jnp.where(live[:, None],
+                               s.b_act.at[bidx, s.kk].set(bnew), s.b_act)
+
+            inv1, coef1, deg = _oins.omp_insert(
+                s.inv, u1, s.kk, vtv, b_act1, live, interpret=interp)
+            stepped = live & ~deg
+
+            # ‖r‖² by the LS identity (in-loop stop only; the reported error
+            # is the post-loop high-precision certificate)
+            rss1 = yty - jnp.sum(b_act1 * coef1, axis=1)
+
+            ind1 = jnp.where(stepped[:, None],
+                             s.indices.at[bidx, s.kk].set(idx), s.indices)
+            mask1 = jnp.where(stepped[:, None],
+                              s.mask.at[bidx, idx].set(1), s.mask)
+
+            # correlation update from the new coefficients (one fused pass)
+            D = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
+                jnp.where(stepped[:, None], coef1, 0), mode="drop")
+            q = qprod(D)
+            c1 = jnp.where(stepped[:, None], C0 - q, s.c)
+
+            # a finite-state guard in the driver regime: a blown lane stops
+            # with its previous committed state
+            blew = stepped & ~(jnp.isfinite(coef1).all(axis=1)
+                               & jnp.isfinite(rss1))
+            stepped = stepped & ~blew
+
+            keep = lambda new, old: jnp.where(stepped[:, None], new, old)
+            return _OBState(
+                it=jnp.where(stepped, s.it + 1, s.it),
+                c=keep(c1, s.c),
+                mask=keep(mask1, s.mask),
+                # inv1 commits UNgated so the kernel's in-place aliasing
+                # holds (a where over s.inv kept the old buffer live and
+                # forced a (b,K,K) copy per pick): inert/degenerate lanes
+                # already get inv1 == inv bit-exact from the kernel gate,
+                # and a blown lane's inverse is never observable again (it
+                # breaks; committed coef/indices stay reverted)
+                inv=inv1,
+                b_act=keep(b_act1, s.b_act),
+                coef=keep(coef1, s.coef),
+                indices=keep(ind1, s.indices),
+                kk=jnp.where(stepped, s.kk + 1, s.kk),
+                # strictly-decreasing contract: a stall marks the identity's
+                # rounding floor (solvers/omp.py) — stop, iterate kept
+                rss=jnp.where(stepped, rss1, s.rss),
+                broke=s.broke | (live & deg) | blew,
+                done=s.done | (stepped & (rss1 >= s.rss)),
+            )
+
+
+        return init, body, lane_live
+
+    # capacity-tier ladder (homotopy's _plan_tiers, shared planner): the
+    # insert/LS kernel, the u1 slot gather and the (b,K) state are all
+    # capacity-proportional and otherwise paid for provably-empty slots
+    # during the early picks; run them at reduced capacity and zero-pad
+    # the state upward at each boundary (exact — padded slots hold the
+    # sentinel index and zero rows, which the kernel treats as absent)
+    tiers = _plan_tiers(k_max, max_iterations, ladder)
+    state = None
+    for t, Kt in enumerate(tiers):
+        cap = None if t == len(tiers) - 1 else Kt - 1
+        init, body, lane_live = make_tier(Kt, cap)
+        st = init if state is None else _embed_omp(state, Kt, n)
+        state = _lax.while_loop(
+            lambda s, _live=lane_live: jnp.any(_live(s)), body, st)
+    final = state
 
     X = jnp.zeros((b, n), dtype).at[bidx[:, None], final.indices].set(
         final.coef, mode="drop")

@@ -535,3 +535,39 @@ def test_certified_precision(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(ss.densify_batch(v, ix, 256)), np.asarray(X2),
         atol=2e-4)
+
+
+def test_batch_driver_capacity_ladder_exact():
+    """The OMP driver's capacity-tier ladder (reduced-capacity early
+    loops + zero-pad embeds) continues the identical trajectory: same
+    pick counts, identical solutions vs the single-tier driver."""
+    import jax.numpy as jnp
+    from sparse_solvers_tpu.ops import blas
+    from sparse_solvers_tpu.solvers.omp_batch import solve_omp_batch
+    rng = np.random.RandomState(13)
+    A = rng.randn(128, 320).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(8):
+        x = np.zeros(320, np.float32)
+        x[rng.choice(320, 20, replace=False)] = rng.uniform(0.4, 1.0, 20)
+        Y.append(A @ x)
+    Y = jnp.asarray(np.stack(Y))
+    Aj = jnp.asarray(A)
+    G = blas.xgemm(Aj, Aj, trans_a=True)
+    X1, r1 = solve_omp_batch(Aj, G, Y, 1e-2, 30, 30,
+                             use_kernel=False, ladder=False)
+    X2, r2 = solve_omp_batch(Aj, G, Y, 1e-2, 30, 30,
+                             use_kernel=False, ladder=True)
+    np.testing.assert_array_equal(np.asarray(r1.iter), np.asarray(r2.iter))
+    np.testing.assert_array_equal(np.asarray(X1), np.asarray(X2))
+    np.testing.assert_array_equal(np.asarray(r1.solution_error),
+                                  np.asarray(r2.solution_error))
+    # gram-free ladder too
+    Xf1, rf1 = solve_omp_batch(Aj, None, Y, 1e-2, 30, 30,
+                               use_kernel=False, ladder=False)
+    Xf2, rf2 = solve_omp_batch(Aj, None, Y, 1e-2, 30, 30,
+                               use_kernel=False, ladder=True)
+    np.testing.assert_array_equal(np.asarray(rf1.iter),
+                                  np.asarray(rf2.iter))
+    np.testing.assert_array_equal(np.asarray(Xf1), np.asarray(Xf2))
