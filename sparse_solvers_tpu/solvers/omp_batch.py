@@ -157,7 +157,8 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     # the copies cannot drift): one fused bf16 pass in the one-pass
     # (DEFAULT) regime, two-gemm at high/highest, column-block psums
     # when overlapped
-    from .homotopy_batch import _plan_tiers, make_gram_u1, make_qprod
+    from .homotopy_batch import (_plan_tiers, gram_slot_gather,
+                                 make_gram_u1, make_qprod)
     qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
                                      overlap_blocks, None, b, n)
     if G is None:
@@ -201,15 +202,12 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                                jnp.abs(s.c))
             idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
-            # insert column from one contiguous G row + a (b,K) point
-            # gather; gram-free, the K live entries computed directly
+            # insert column from one streaming G-row gather + the
+            # aligned-block slot extraction (homotopy_batch.
+            # gram_slot_gather); gram-free, the K live entries computed
+            # directly
             if G is not None:
-                row = jnp.take(G, idx, axis=0)
-                safe = jnp.minimum(s.indices, n - 1)
-                u1 = jnp.where(s.indices < n,
-                               jnp.take_along_axis(row, safe, axis=1),
-                               jnp.array(0, dtype))
-                vtv = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+                u1, vtv = gram_slot_gather(G, idx, s.indices, n)
             else:
                 u1 = gram_u1(idx, s.indices)
                 vtv = jnp.take(gdiag, idx)
