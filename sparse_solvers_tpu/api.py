@@ -65,6 +65,21 @@ def _certified_error(A, x, y):
     return jnp.max(jnp.abs(c), axis=-1)
 
 
+def _certified_l2_error(A, x, y):
+    """ℓ₂ residual certificate ‖y − Ax‖₂ at parity-grade ("high") MXU
+    precision — the greedy family's convergence criterion, recomputed
+    from the returned solution (the OMP analog of ``_certified_error``;
+    the driver and sharded legs fuse their own psum'd variants). Named
+    so tests can monkeypatch it to force certificate failures and
+    exercise the re-solve merge. Batched when x/y carry a batch axis."""
+    with _blas.precision_scope("high"):
+        if x.ndim == 2:
+            r = y - _blas.xgemm(x, A, trans_b=True)
+            return jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=1), 0))
+        r = y - _blas.xgemv(A, x)
+        return jnp.sqrt(jnp.maximum(jnp.sum(r * r), 0))
+
+
 def _warn_small_problem_jax(engine: str, m: int, n: int) -> None:
     """Explicitly forcing engine="jax" below the dispatch-latency floor
     costs ~100 ms of device round trips per solve on remote accelerators
@@ -1265,15 +1280,7 @@ class Omp:
                 def run(A, G, Y, tol):
                     X, rep = base(A, G, Y, tol)
                     if certified:
-                        with _blas.precision_scope("high"):
-                            if batched:
-                                R = Y - _blas.xgemm(X, A, trans_b=True)
-                                err = jnp.sqrt(jnp.maximum(
-                                    jnp.sum(R * R, axis=1), 0))
-                            else:
-                                r = Y - _blas.xgemv(A, X)
-                                err = jnp.sqrt(jnp.maximum(
-                                    jnp.sum(r * r), 0))
+                        err = _certified_l2_error(A, X, Y)
                         rep = rep._replace(solution_error=err.astype(
                             rep.solution_error.dtype))
                     if batched and not dense:
@@ -1372,7 +1379,12 @@ class Omp:
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
-        """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        """Jit-composable solve: device arrays in, (x, report pytree)
+        out. Under precision="certified" the report carries the
+        high-precision residual certificate but no automatic re-solve
+        happens here (data-dependent work cannot live under jit —
+        ``solve`` has it); check ``solution_error <= tolerance``
+        downstream."""
         corr = self._route_corr(None, max_iterations)
         return self._fn(max_iterations, batched=False, corr=corr)(
             self._A, self._G, y, tolerance)

@@ -64,6 +64,15 @@ def _pad_vec(y, pad):
 _SHARDED_GRAM_AUTO_BYTES = 1 << 30
 
 
+def _cert_failures(errs, iters, tolerance, max_iterations: int):
+    """Certified-mode failure mask: lanes whose high-precision
+    certificate missed the tolerance without exhausting max_iterations
+    (a non-finite certificate counts as failing). Module-level so tests
+    can monkeypatch it to force the re-solve/merge branch."""
+    return (~(np.asarray(errs) <= float(tolerance))
+            & (np.asarray(iters) < max_iterations))
+
+
 @functools.lru_cache(maxsize=128)
 def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                          batch_native: bool, overlap_split: int,
@@ -255,8 +264,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 "staged. Call it eagerly (the solve is already compiled "
                 "through shard_map), or use precision='high' under jit "
                 "and check solution_error <= tolerance downstream")
-        bad = (~(np.asarray(errs) <= float(tolerance))
-               & (np.asarray(iters) < max_iterations))
+        bad = _cert_failures(errs, iters, tolerance, max_iterations)
         if bad.any():
             out_h = homotopy_sharded(
                 mesh, A[:A.shape[0] - pad] if pad else A,
@@ -388,6 +396,10 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     m, n = A.shape
     # global-m capacity (the core would see only the local shard)
     k_max = k_max or max(1, min(max_iterations, m, n))
+    gram_arg = gram  # the user's argument — the certified re-solve
+    # recursion must pass THIS through, not the auto-resolved bool (an
+    # auto-True handed back as gram=True would become gram_forced and
+    # pin corr='gram' past the crossover — review finding)
     gram_forced = gram is True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
@@ -439,13 +451,12 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 "staged. Call it eagerly (the solve is already compiled "
                 "through shard_map), or use precision='high' under jit "
                 "and check solution_error <= tolerance downstream")
-        bad = (~(np.asarray(errs) <= float(tolerance))
-               & (np.asarray(iters) < max_iterations))
+        bad = _cert_failures(errs, iters, tolerance, max_iterations)
         if bad.any():
             out_h = omp_sharded(
                 mesh, A[:A.shape[0] - pad] if pad else A,
                 Y[:, :Y.shape[1] - pad] if pad else Y,
-                tolerance, max_iterations, k_max=k_max, gram=gram,
+                tolerance, max_iterations, k_max=k_max, gram=gram_arg,
                 precision="high", batch_native=batch_native,
                 dense=dense, overlap_blocks=overlap_blocks)
             rh = out_h[-1]

@@ -571,3 +571,53 @@ def test_batch_driver_capacity_ladder_exact():
     np.testing.assert_array_equal(np.asarray(rf1.iter),
                                   np.asarray(rf2.iter))
     np.testing.assert_array_equal(np.asarray(Xf1), np.asarray(Xf2))
+
+
+def test_certified_resolve_merge(monkeypatch):
+    """Force a certificate failure through the _certified_l2_error seam
+    and verify the re-solve merge: the failing lane's solution/report
+    come from the 'high' re-solve, other lanes keep the certified run
+    (dense and compact legs)."""
+    import jax.numpy as jnp
+    from sparse_solvers_tpu import api as _api
+    monkeypatch.setenv("SS_BATCH_NATIVE", "0")  # vmapped route (the
+    # wrapper with the seam); the driver fuses its own certificate
+    rng = np.random.RandomState(77)
+    A = rng.randn(96, 256).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = []
+    for _ in range(4):
+        x = np.zeros(256, np.float32)
+        x[rng.choice(256, 5, replace=False)] = rng.uniform(0.5, 1.0, 5)
+        Y.append(A @ x)
+    Y = np.stack(Y)
+
+    real = _api._certified_l2_error
+
+    def spoofed(Aj, X, Yj):
+        err = real(Aj, X, Yj)
+        if err.ndim == 1:  # batched: lane 0 "fails" its certificate
+            err = err.at[0].add(jnp.asarray(1.0, err.dtype))
+        return err
+
+    monkeypatch.setattr(_api, "_certified_l2_error", spoofed)
+    cert = ss.Omp(A, engine="jax", precision="certified")
+    X, rep = cert.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+    v, ix, repc = cert.solve_batch(Y, tolerance=1e-2, max_iterations=20,
+                                   dense=False)
+    monkeypatch.setattr(_api, "_certified_l2_error", real)
+    hi = ss.Omp(A, engine="jax", precision="high")
+    Xh, reph = hi.solve_batch(Y, tolerance=1e-2, max_iterations=20)
+
+    # lane 0 was re-solved at "high": exact match with the high run
+    np.testing.assert_array_equal(np.asarray(X)[0], np.asarray(Xh)[0])
+    assert int(np.asarray(rep.iter)[0]) == int(np.asarray(reph.iter)[0])
+    # its merged error is the high run's (un-spoofed) residual
+    assert float(np.asarray(rep.solution_error)[0]) <= 1e-2
+    # other lanes keep the certified run's (spoof-free) results
+    assert (np.asarray(rep.solution_error)[1:] <= 1e-2).all()
+    # compact leg merged identically
+    np.testing.assert_array_equal(
+        np.asarray(ss.densify_batch(v, ix, 256)), np.asarray(X))
+    np.testing.assert_array_equal(np.asarray(repc.iter),
+                                  np.asarray(rep.iter))

@@ -771,3 +771,31 @@ def test_omp_sharded_certified(mesh):
     with pytest.raises(ValueError, match="certified"):
         jax.jit(lambda a, y: sh.omp_sharded(
             mesh, a, y, 1e-2, 8, precision="certified"))(Ad, Yd)
+
+
+def test_omp_sharded_certified_resolve_merge(mesh, monkeypatch):
+    """Force a sharded certificate failure through the _cert_failures
+    seam: the failing lane re-solves at 'high' (same routing — the
+    recursion passes the user's gram argument, not the auto-resolved
+    bool) and merges; other lanes keep the certified run."""
+    rng = np.random.RandomState(43)
+    A, X0, Y = _sparse_batch(rng, 64, 512, 5, 8)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+
+    real = sh._cert_failures
+
+    def spoofed(errs, iters, tolerance, max_iterations):
+        bad = real(errs, iters, tolerance, max_iterations)
+        bad = bad.copy()
+        bad[0] = True
+        return bad
+
+    monkeypatch.setattr(sh, "_cert_failures", spoofed)
+    X, rep = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30,
+                            precision="certified", batch_native=True)
+    monkeypatch.setattr(sh, "_cert_failures", real)
+    Xh, reph = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, precision="high",
+                              batch_native=True)
+    np.testing.assert_array_equal(np.asarray(X)[0], np.asarray(Xh)[0])
+    assert int(np.asarray(rep.iter)[0]) == int(np.asarray(reph.iter)[0])
+    assert (np.asarray(rep.solution_error) <= 1e-2).all()
