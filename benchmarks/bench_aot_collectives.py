@@ -1,0 +1,88 @@
+"""AOT collective-structure evidence for the sharded overlapped drivers.
+
+No multi-chip hardware is reachable in this environment, but the real
+TPU compiler is: this script AOT-compiles the sharded batch-native
+homotopy and OMP solves (overlap_blocks=4) against a v5e:2x4 8-chip
+topology (jax.experimental.topologies) and reports, for each:
+
+  * the StableHLO while-body all_reduce count (the S independent
+    column-block collectives the overlap emits — the dataflow an
+    async-collective scheduler hides behind the next block's gemm);
+  * the compiled loop collective's operand count (XLA's combiner merges
+    the S block all-reduces into ONE variadic all-reduce whose operands
+    remain the per-block partial products);
+  * the TPU backend's collective_algorithm_config (the ring emitter
+    actually chosen — docs/design.md §9 records the round-4 findings).
+
+Run:  JAX_PLATFORMS=cpu is NOT needed — the script forces the cpu
+client itself and compiles against the AOT topology.
+    timeout 900 python benchmarks/bench_aot_collectives.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def loop_allreduce_operands(txt: str) -> int:
+    loop_ars = [l for l in txt.splitlines()
+                if re.search(r"= .*all-reduce\(", l) and "while" in l]
+    return sum(l.split("all-reduce(")[1].split(")")[0].count("%")
+               for l in loop_ars)
+
+
+def backend_config(txt: str) -> str:
+    for l in txt.splitlines():
+        if "collective_algorithm_config" in l:
+            m = re.search(r'collective_algorithm_config[^}]*', l)
+            return m.group(0)[:160]
+    return "(none found)"
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    from sparse_solvers_tpu.parallel import sharding as sh
+
+    topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    devs = np.asarray(topo.devices).reshape(2, 4)
+    mesh = Mesh(devs, (sh.DATA_AXIS, sh.ROW_AXIS))
+
+    m, n, b = 64, 512, 8
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.randn(m, n).astype(np.float32))
+    Y = jnp.asarray(rng.randn(b, m).astype(np.float32))
+
+    cases = {
+        "homotopy_overlap4": lambda a, y: sh.homotopy_sharded(
+            mesh, a, y, 1e-2, 8, gram=True, batch_native=True,
+            overlap_blocks=4),
+        "omp_overlap4": lambda a, y: sh.omp_sharded(
+            mesh, a, y, 1e-2, 8, batch_native=True, overlap_blocks=4),
+    }
+    for name, f in cases.items():
+        low = jax.jit(f).lower(A, Y)
+        s = low.as_text()
+        txt = low.compile().as_text()
+        print(json.dumps({
+            "bench": "aot_collectives", "case": name,
+            "topology": "v5e:2x4",
+            "stablehlo_all_reduce": s.count("stablehlo.all_reduce"),
+            "loop_allreduce_operands": loop_allreduce_operands(txt),
+            "backend": backend_config(txt),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -621,3 +621,52 @@ def test_certified_resolve_merge(monkeypatch):
         np.asarray(ss.densify_batch(v, ix, 256)), np.asarray(X))
     np.testing.assert_array_equal(np.asarray(repc.iter),
                                   np.asarray(rep.iter))
+
+
+def test_fuzz_driver_vs_core(monkeypatch):
+    """Randomized driver-vs-vmapped-core sweep across awkward shapes:
+    unaligned n (gram_slot_gather's take_along fallback + the scan
+    kernels' own padding), odd batch sizes (the insert kernel's 32-lane
+    pad), small k_max capacity edges, and gram/gram-free. tol=1e-2
+    keeps tol² above the rss floor so both formulations stop
+    identically; near-tie pick forks are tolerated only if both sides
+    recovered."""
+    rng = np.random.RandomState(99)
+    forks = 0
+    trials = 14
+    for t in range(trials):
+        m = int(rng.choice([40, 64, 96]))
+        n = int(rng.choice([128, 200, 256, 384]))  # 200: n % 128 != 0
+        b = int(rng.choice([1, 3, 8, 33]))
+        k = int(rng.randint(1, max(2, min(m, n) // 8)))
+        # gram=True pins the vmapped Gram-gather formulation (documented
+        # contract), so the driver fuzz draws auto (None) vs gram-free
+        gram = None if rng.randint(0, 2) else False
+        A = rng.randn(m, n).astype(np.float32)
+        A /= np.linalg.norm(A, axis=0)
+        Y = np.zeros((b, m), np.float32)
+        for i in range(b):
+            x = np.zeros(n, np.float32)
+            x[rng.choice(n, k, replace=False)] = rng.uniform(0.4, 1.0, k)
+            Y[i] = A @ x
+        kw = dict(tolerance=1e-2, max_iterations=30)
+        monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+        drv = ss.Omp(A, engine="jax", gram=gram)
+        assert drv.explain(batch=b, max_iterations=30)["corr"] == "driver"
+        Xd, rd = drv.solve_batch(Y, **kw)
+        monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+        core = ss.Omp(A, engine="jax", gram=gram)
+        Xc, rc = core.solve_batch(Y, **kw)
+        same = np.asarray(rd.iter) == np.asarray(rc.iter)
+        if not same.all():
+            forks += 1  # fp near-tie fork: both sides must still be good
+            ed = np.asarray(rd.solution_error)
+            ec = np.asarray(rc.solution_error)
+            assert (ed <= 1e-2).all() and (ec <= 1e-2).all(), (t, m, n, b)
+            continue
+        np.testing.assert_allclose(np.asarray(Xd), np.asarray(Xc),
+                                   atol=5e-4,
+                                   err_msg=f"t={t} {m}x{n} b={b} k={k} "
+                                           f"gram={gram}")
+        assert (np.asarray(rd.solution_error) <= 1e-2).all()
+    assert forks <= trials // 5, f"{forks}/{trials} driver forks"
