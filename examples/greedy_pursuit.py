@@ -45,10 +45,14 @@ def main():
     Y = (Xtrue @ A.T).astype(np.float32)
 
     results = {}
+    # tol 1e-2: the OMP batch driver's in-loop stop squares the
+    # residual, so an f32 tolerance must sit above the rss rounding
+    # floor ~sqrt(eps)·‖y‖ (solvers/omp.py) for the exactly-k-picks
+    # contract below — tighter tolerances may add one stall pick
     for name, solver in [("omp", ss.Omp(A)), ("homotopy", ss.Homotopy(A))]:
         print(f"{name} plan:", solver.explain(batch=batch))
         t0 = time.perf_counter()
-        X, rep = solver.solve_batch(Y, tolerance=1e-3, max_iterations=100)
+        X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=100)
         iters = np.asarray(rep.iter)        # fences the device work
         dt = time.perf_counter() - t0
         X = np.asarray(X)

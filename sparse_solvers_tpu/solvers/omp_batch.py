@@ -13,9 +13,9 @@ regime:
     (b,K,K) inverse (ops/pallas/omp_insert.py) — no functional-update
     HBM round trip per iteration;
   * all slot state is incremental: OMP only inserts, so A_Γᵀy grows by
-    one gathered scalar per pick (c₀ is computed once at "high"
-    precision — it is every LS right-hand side) and membership is one
-    scattered mask byte;
+    one gathered scalar per pick (c₀ is computed once at full 6-pass
+    precision — it is every LS right-hand side and the rss identity's
+    dominant noise term) and membership is one scattered mask byte;
   * per-lane ‖r‖² uses the LS identity ‖y‖² − (A_Γᵀy)ᵀx_Γ in-loop (its
     rounding floor only affects *when* a lane stops — the stall
     detector bounds it), and the REPORTED error is a final
@@ -137,14 +137,19 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     psum = (lambda v: _lax.psum(v, axis)) if axis is not None else (
         lambda v: v)
 
-    # c₀ at parity-grade precision: it is the rhs of every LS re-solve
-    # (b_act gathers from it), so one-pass noise here would bias every
-    # coefficient rather than just a pick. An ambient "highest" is
-    # honored, not downgraded (review finding) — the floor is "high".
+    # c₀ at full 6-pass precision: it is the rhs of every LS re-solve
+    # (b_act gathers from it) AND the dominant noise term of the in-loop
+    # rss identity ‖y‖² − b_actᵀx̂ — at 3-pass its ~1e-5 absolute noise
+    # inflates the identity's floor to ~2·δ·Σ|x̂| ≈ 1e-4, which sits
+    # exactly at tol² for tol = 1e-2 and cost one spurious pick per lane
+    # on TPU (measured: every headline lane at 65 instead of 64 picks).
+    # C0 is one gemm per SOLVE, so the 6-pass cost is amortized to
+    # nothing; the certificate below stays at parity-grade "high"
+    # (honoring an ambient "highest").
     cert_prec = ("highest"
                  if blas.current_precision() == _lax.Precision.HIGHEST
                  else "high")
-    with blas.precision_scope(cert_prec):
+    with blas.precision_scope("highest"):
         C0 = psum(blas.xgemm(Y, A))
     yty = psum(jnp.sum(Y * Y, axis=1))
     # exact f32 column norms: feed the insert's degeneracy guard either
