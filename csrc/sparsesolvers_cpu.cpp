@@ -170,11 +170,16 @@ inline void ger(int rows, int cols, double alpha, const double* x,
 // pool is the parallelism, nested vendor threading would oversubscribe
 // the cores (the batch workers each issue their own gemvs).
 struct ThreadClamp {
+  // Clamp the vendor BLAS to 1 thread only when its previous count can
+  // be read back and restored: a getter-less CBLAS (set_threads without
+  // get_threads) would otherwise be left permanently clamped for the
+  // whole process — including numpy sharing the same OpenBLAS (advisor
+  // finding, round 4).
   int64_t prev = -1;
   explicit ThreadClamp(int nworkers) {
-    if (active() && nworkers > 1 && g.set_threads) {
-      prev = g.get_threads ? g.get_threads() : -1;
-      g.set_threads(1);
+    if (active() && nworkers > 1 && g.set_threads && g.get_threads) {
+      prev = g.get_threads();
+      if (prev > 0) g.set_threads(1);
     }
   }
   ~ThreadClamp() {

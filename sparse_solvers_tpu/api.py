@@ -1085,7 +1085,11 @@ class Omp:
     correlation-update formulation per call (Gram-column gathers vs one
     amortized MXU pass over A — the per-pick insert uses the Gram
     either way); True additionally pins the Gram-gather formulation;
-    False disables the Gram entirely.
+    False disables the Gram entirely. In ``mode="exact"`` the Gram is
+    never used (``gram=True`` raises): the cached AᵀA is computed at
+    the fast path's MXU precision, so exact mode recomputes every Gram
+    entry per pick at 6-pass precision to keep its bit-faithful
+    fp-trajectory contract.
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
@@ -1110,6 +1114,14 @@ class Omp:
                 "MXU precision with a high-precision residual "
                 "certificate — exact mode wants the full-precision "
                 "trajectory; use precision='highest'")
+        if gram is True and mode == "exact":
+            raise ValueError(
+                "gram=True pins the precomputed-Gram formulation, but "
+                "mode='exact' never reads the cached AᵀA (it is built "
+                "at fast-path MXU precision; exact mode recomputes "
+                "Gram entries per pick at 6-pass precision to keep the "
+                "bit-faithful trajectory contract) — drop gram=True or "
+                "use mode='fast'")
         if k_max is not None and k_max < 1:
             raise ValueError(f"k_max must be >= 1, got {k_max}")
         self._engine = engine

@@ -179,11 +179,23 @@ def _blas_candidates():
     if spec == "0":
         return
     if spec:
+        # A library path may itself contain ':' — prefer the longest
+        # ':'-joined prefix that names an existing file as the path and
+        # parse prefix/suffix/ilp64 from what remains (advisor finding:
+        # a naive 4-way split silently mis-pinned such paths). A
+        # non-existent pin falls through to the plain left-split so the
+        # failure surfaces below.
         parts = spec.split(":")
-        yield (parts[0],
-               parts[1] if len(parts) > 1 else "",
-               parts[2] if len(parts) > 2 else "",
-               int(parts[3]) if len(parts) > 3 else 0)
+        path, rest = parts[0], parts[1:]
+        for i in range(len(parts), 0, -1):
+            cand = ":".join(parts[:i])
+            if os.path.exists(cand):
+                path, rest = cand, parts[i:]
+                break
+        yield (path,
+               rest[0] if len(rest) > 0 else "",
+               rest[1] if len(rest) > 1 else "",
+               int(rest[2]) if len(rest) > 2 else 0)
         return
     for pkg in ("numpy", "scipy"):
         try:
@@ -230,6 +242,15 @@ def _load_blas(lib: ctypes.CDLL) -> None:
                 return
         except Exception:  # pragma: no cover - defensive per-candidate
             continue
+    if os.environ.get("SS_NATIVE_BLAS", "") not in ("", "0"):
+        # an explicit pin that did not resolve would otherwise degrade
+        # silently to scalar fallbacks (advisor finding)
+        import warnings
+        warnings.warn(
+            "SS_NATIVE_BLAS=%r did not load (missing file or symbols); "
+            "the native engine runs with scalar fallbacks — see "
+            "blas_info()" % os.environ["SS_NATIVE_BLAS"],
+            RuntimeWarning, stacklevel=2)
 
 
 def blas_info() -> dict:

@@ -23,17 +23,32 @@ def solve(A: np.ndarray, y: np.ndarray, tolerance: float,
     support: list[int] = []
     coef = np.zeros(0, A.dtype)
     r = y.copy()
+    rnorm = float(np.linalg.norm(r))
     it = 0
     while (it < max_iterations and len(support) < k_max
-           and np.linalg.norm(r) > tolerance):
+           and rnorm > tolerance):
         it += 1
-        c = A.T @ r
-        c[support] = 0  # greedy pick over the inactive set
-        idx = int(np.argmax(np.abs(c)))  # leftmost tie-break
+        # greedy pick over the inactive set: mask actives with -inf (a 0
+        # mask could re-pick an active column when every inactive
+        # correlation is exactly 0, duplicating the support index so the
+        # final fancy-index scatter drops a coefficient)
+        ac = np.abs(A.T @ r)
+        ac[support] = -np.inf
+        idx = int(np.argmax(ac))  # leftmost tie-break
+        if not ac[idx] > 0:
+            it -= 1  # degenerate pick: discarded wholesale, like the
+            break    # engines' deg guard (solvers/omp.py)
         support.append(idx)
         cols = A[:, support]
         coef, *_ = np.linalg.lstsq(cols, y, rcond=None)
         r = y - cols @ coef
+        rnext = float(np.linalg.norm(r))
+        if rnext >= rnorm:
+            # rss stall at the rounding floor — stop with the iterate
+            # kept (the engines' done guard, solvers/omp.py:208)
+            rnorm = rnext
+            break
+        rnorm = rnext
 
     x = np.zeros(n, A.dtype)
     x[support] = coef

@@ -342,3 +342,22 @@ def test_cpp_embedding_smoke():
         # DID load one and the facade could not
         assert not native.blas_info()["active"], \
             "wrapper loaded a CBLAS but the facade could not"
+
+
+def test_blas_pin_parsing_colon_path(tmp_path, monkeypatch):
+    """SS_NATIVE_BLAS pins whose library path contains ':' resolve as
+    the longest existing-file prefix (advisor finding: the naive 4-way
+    split silently mis-pinned such paths)."""
+    lib = tmp_path / "weird:name.so"
+    lib.write_bytes(b"")
+    # bare colon-path
+    monkeypatch.setenv("SS_NATIVE_BLAS", str(lib))
+    assert list(native._blas_candidates()) == [(str(lib), "", "", 0)]
+    # colon-path + prefix/suffix/ilp64 fields
+    monkeypatch.setenv("SS_NATIVE_BLAS", f"{lib}:scipy_:64_:1")
+    assert list(native._blas_candidates()) == [
+        (str(lib), "scipy_", "64_", 1)]
+    # non-existent path falls back to the plain left-split
+    monkeypatch.setenv("SS_NATIVE_BLAS", "/no/such/lib.so:p_:s_:1")
+    assert list(native._blas_candidates()) == [
+        ("/no/such/lib.so", "p_", "s_", 1)]

@@ -82,6 +82,32 @@ def test_oracle_parity(m, n, k, dtype):
     assert set(np.flatnonzero(np.abs(x) > 10 * tol).tolist()) == sup
 
 
+def test_oracle_degenerate_orthogonal_residual():
+    """Oracle stall/degenerate guards (advisor finding, round 4): when
+    every inactive correlation is exactly 0 with ‖r‖ > tol the oracle
+    must stop without duplicating a support index (a duplicate
+    fancy-index scatter silently drops a coefficient) instead of
+    spinning to max_iterations."""
+    # y orthogonal to every column: c = Aᵀy = 0 on the first pick
+    A = np.zeros((4, 3), np.float64)
+    A[:2, 0] = [1.0, 0.0]
+    A[:2, 1] = [0.0, 1.0]
+    A[:2, 2] = [1.0, 1.0]
+    y = np.array([0.0, 0.0, 1.0, 1.0])
+    x, it, err, picks = oracle.solve(A, y, tolerance=1e-6,
+                                     max_iterations=50)
+    assert it == 0 and picks == [] and np.all(x == 0)
+    assert err == pytest.approx(np.sqrt(2.0))
+    # rss stall: after the informative pick the residual cannot improve
+    # (remaining residual orthogonal to the column space) — the oracle
+    # stops with the iterate kept, like the engines' done guard
+    y2 = np.array([1.0, 0.0, 1.0, 1.0])
+    x2, it2, err2, picks2 = oracle.solve(A[:, :1], y2, tolerance=1e-6,
+                                         max_iterations=50)
+    assert it2 <= 2 and len(picks2) == len(set(picks2))
+    assert err2 == pytest.approx(np.sqrt(2.0))
+
+
 @pytest.mark.parametrize("mode", ["fast", "exact"])
 def test_mode_parity(mode):
     A, x_true, y = _problem(64, 160, 6, seed=9)
@@ -246,6 +272,10 @@ def test_validation_errors():
         ss.Omp(A, precision="bogus")
     with pytest.raises(ValueError):
         ss.Omp(A, mode="exact", precision="certified")
+    with pytest.raises(ValueError):
+        # exact mode never reads the cached Gram (built at fast-path
+        # precision) — pinning it is a contradiction, not a no-op
+        ss.Omp(A, mode="exact", gram=True)
     with pytest.raises(ValueError):
         ss.Omp(A, k_max=0)
     with pytest.raises(ValueError):
