@@ -12,7 +12,12 @@ topology (jax.experimental.topologies) and reports, for each:
     the S block all-reduces into ONE variadic all-reduce whose operands
     remain the per-block partial products);
   * the TPU backend's collective_algorithm_config (the ring emitter
-    actually chosen — docs/design.md §9 records the round-4 findings).
+    actually chosen — docs/design.md §9 records the round-4 findings);
+  * for overlap_mode="ppermute" (round 5): the while-body
+    collective-permute count — the hand-pipelined collective-matmul
+    ring's S−1 chained permutes, which the all-reduce combiner cannot
+    merge (each is data-dependent on the previous step's accumulation),
+    interleaved with the local column-block gemms.
 
 Run:  JAX_PLATFORMS=cpu is NOT needed — the script forces the cpu
 client itself and compiles against the AOT topology.
@@ -29,6 +34,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def loop_collective_permutes(txt: str) -> int:
+    """collective-permute ops inside while-loop computations (fusion
+    regions included via the body-computation naming convention)."""
+    n = 0
+    in_body = False
+    for l in txt.splitlines():
+        if re.match(r"\s*%?[\w.\-]*while[\w.\-]*body[\w.\-]*\s*\(.*\{", l):
+            in_body = True
+        elif in_body and l.strip() == "}":
+            in_body = False
+        elif in_body and re.search(r"= .*collective-permute(-start)?\(", l):
+            n += 1
+    return n
+
+
+def total_collective_permutes(txt: str) -> int:
+    return len(re.findall(r"= .*collective-permute(?:-start)?\(", txt))
+
+
+def async_permute_pairs(txt: str) -> int:
+    """collective-permute-start definitions — each is an ASYNC permute
+    whose done the scheduler can place after independent local work
+    (the overlap all-reduce never got from this toolchain: round-4
+    evidence showed zero all-reduce-start pairs)."""
+    return len(re.findall(r"= .*\bcollective-permute-start\(", txt))
 
 
 def loop_allreduce_operands(txt: str) -> int:
@@ -67,9 +99,16 @@ def main():
     cases = {
         "homotopy_overlap4": lambda a, y: sh.homotopy_sharded(
             mesh, a, y, 1e-2, 8, gram=True, batch_native=True,
-            overlap_blocks=4),
+            overlap_blocks=4, overlap_mode="psum"),
         "omp_overlap4": lambda a, y: sh.omp_sharded(
-            mesh, a, y, 1e-2, 8, batch_native=True, overlap_blocks=4),
+            mesh, a, y, 1e-2, 8, batch_native=True, overlap_blocks=4,
+            overlap_mode="psum"),
+        "homotopy_ppermute": lambda a, y: sh.homotopy_sharded(
+            mesh, a, y, 1e-2, 8, gram=True, batch_native=True,
+            overlap_mode="ppermute"),
+        "omp_ppermute": lambda a, y: sh.omp_sharded(
+            mesh, a, y, 1e-2, 8, batch_native=True,
+            overlap_mode="ppermute"),
     }
     for name, f in cases.items():
         low = jax.jit(f).lower(A, Y)
@@ -79,7 +118,11 @@ def main():
             "bench": "aot_collectives", "case": name,
             "topology": "v5e:2x4",
             "stablehlo_all_reduce": s.count("stablehlo.all_reduce"),
+            "stablehlo_collective_permute":
+                s.count("stablehlo.collective_permute"),
             "loop_allreduce_operands": loop_allreduce_operands(txt),
+            "compiled_collective_permutes": total_collective_permutes(txt),
+            "async_permute_pairs": async_permute_pairs(txt),
             "backend": backend_config(txt),
         }), flush=True)
 

@@ -77,7 +77,8 @@ def _cert_failures(errs, iters, tolerance, max_iterations: int):
 def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                          batch_native: bool, overlap_split: int,
                          max_iterations: int, k_max: int, certified: bool,
-                         dense: bool = True, overlap_blocks: int = 1):
+                         dense: bool = True, overlap_blocks: int = 1,
+                         overlap_mode: str = "psum"):
     """Build (and cache) the jitted shard_map'd homotopy solve for one
     static configuration. Caching at module level makes repeated *eager*
     ``homotopy_sharded`` calls amortized like the construct-once
@@ -104,7 +105,17 @@ def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                 X, rep = solve_homotopy_batch(
                     A_local, G, Y_local, tol, max_iterations, k_max,
                     axis=ROW_AXIS, dense=dense,
-                    overlap_blocks=overlap_blocks)
+                    overlap_blocks=overlap_blocks,
+                    overlap_mode=overlap_mode,
+                    axis_size=mesh.shape[ROW_AXIS],
+                    # ppermute's rendezvous is unscoped: divergent
+                    # while counts across the data axis deadlock, so
+                    # the loop carries a globally-psum'd continue flag
+                    # (homotopy_batch.synced_while)
+                    sync_axes=((DATA_AXIS, ROW_AXIS)
+                               if (overlap_mode == "ppermute"
+                                   and mesh.shape[DATA_AXIS] > 1)
+                               else None))
             else:
                 op = RowShardedOperator(A_local, ROW_AXIS, G,
                                         split=overlap_split)
@@ -144,7 +155,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      precision: str = "high",
                      batch_native: bool | None = None,
                      dense: bool = True,
-                     overlap_blocks: int | None = None):
+                     overlap_blocks: int | None = None,
+                     overlap_mode: str | None = None):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
@@ -193,6 +205,20 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     with the next block's local gemv (benchmarks/bench_scaling.py
     records the experiment).
 
+    ``overlap_mode`` (batch-native driver only): "ppermute" replaces
+    the driver's q psum with the hand-pipelined collective-matmul ring
+    (solvers/homotopy_batch.make_qprod) — S = row-axis chained
+    ``lax.ppermute`` steps interleaved with the local column-block
+    gemms, which XLA's all-reduce combiner cannot re-merge (the
+    measured failure mode of the psum block form, docs/design.md §9) —
+    so the transfer genuinely rides ICI behind MXU work on this
+    toolchain. "auto" (default) picks it whenever the row axis is
+    sharded and ring chunks stay lane-aligned (n ≥ 128·S) unless an
+    explicit ``overlap_blocks`` keeps the psum form; "psum" keeps the
+    round-4 column-block psums. Ring summation order differs from the
+    psum tree by f32 ulps (the MXU-precision-ladder class of
+    difference; certified precision covers it).
+
     ``batch_native`` (default auto: on-TPU f32 with lane-aligned n, like
     ``Homotopy.solve_batch``; SS_BATCH_NATIVE=1/0 forces/forbids) runs
     the slot-space Pallas throughput driver *inside* the shard_map —
@@ -235,11 +261,39 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                       and k_max < n)
             batch_native = route_batch_native(local_batch, n, A.dtype,
                                               sparse)
-    if overlap_blocks is None:
-        # auto: overlap only when there is a psum to hide (row axis
-        # actually sharded) and enough columns for ≥128-lane blocks
-        overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
-                                and n >= 512) else 1)
+    S = mesh.shape[ROW_AXIS]
+    if overlap_mode not in (None, "auto", "psum", "ppermute"):
+        raise ValueError(
+            "overlap_mode must be 'auto', 'psum' or 'ppermute', got "
+            f"{overlap_mode!r}")
+    if overlap_mode in (None, "auto"):
+        # auto: the hand-pipelined ppermute ring whenever there is a
+        # reduction to hide and the ring chunks stay lane-aligned
+        # (n/S ≥ 128) — on this toolchain it is the only form whose
+        # overlap survives XLA's all-reduce combiner (docs/design.md
+        # §9); an explicit overlap_blocks request keeps the psum form
+        # an explicit overlap_blocks (even 1 = "plain psum") opts out
+        overlap_mode = ("ppermute"
+                        if (batch_native and S > 1 and n >= 128 * S
+                            and overlap_blocks is None)
+                        else "psum")
+    if overlap_mode == "ppermute":
+        if not batch_native or S < 2:
+            raise ValueError(
+                "overlap_mode='ppermute' ring-pipelines the batch-native "
+                "driver's q reduction over the row shards; it needs "
+                "batch_native=True and a row axis of size >= 2")
+        if overlap_blocks not in (None, 1):
+            raise ValueError(
+                "overlap_blocks is the psum-mode knob; the ppermute ring "
+                "always uses S = row-axis chunks")
+        overlap_blocks = 1
+    elif overlap_blocks is None:
+        # psum-mode auto: offer the column-block overlap when there is a
+        # psum to hide and enough columns for ≥128-lane blocks (XLA's
+        # combiner currently declines the offer — see overlap_mode)
+        overlap_blocks = (4 if (batch_native and S > 1 and n >= 512)
+                          else 1)
     if overlap_blocks > 1 and not batch_native:
         raise ValueError(
             "overlap_blocks splits the batch-native driver's q psum; "
@@ -250,7 +304,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     fn = _homotopy_sharded_fn(mesh, path_precision, bool(gram),
                               bool(batch_native), overlap_split,
                               max_iterations, k_max, certified,
-                              dense=dense, overlap_blocks=overlap_blocks)
+                              dense=dense, overlap_blocks=overlap_blocks,
+                              overlap_mode=overlap_mode)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.homotopy import HomotopyReportArrays
     rep = HomotopyReportArrays(iter=iters, solution_error=errs)
@@ -272,7 +327,7 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 tolerance, max_iterations, k_max=k_max, gram=gram,
                 overlap_split=overlap_split, precision="high",
                 batch_native=batch_native, dense=dense,
-                overlap_blocks=overlap_blocks)
+                overlap_blocks=overlap_blocks, overlap_mode=overlap_mode)
             rh = out_h[-1]
             sel = jnp.asarray(bad)
             if dense:
@@ -293,7 +348,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
 def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     max_iterations: int, k_max: int, corr: str,
                     batch_native: bool = False, dense: bool = True,
-                    overlap_blocks: int = 1, certified: bool = False):
+                    overlap_blocks: int = 1, certified: bool = False,
+                    overlap_mode: str = "psum"):
     from ..solvers.omp import solve_omp_core
 
     out_spec = (P(DATA_AXIS, None) if dense
@@ -314,7 +370,13 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                 X, rep = solve_omp_batch(
                     A_local, G, Y_local, tol, max_iterations, k_max,
                     axis=ROW_AXIS, dense=dense,
-                    overlap_blocks=overlap_blocks)
+                    overlap_blocks=overlap_blocks,
+                    overlap_mode=overlap_mode,
+                    axis_size=mesh.shape[ROW_AXIS],
+                    sync_axes=((DATA_AXIS, ROW_AXIS)
+                               if (overlap_mode == "ppermute"
+                                   and mesh.shape[DATA_AXIS] > 1)
+                               else None))
                 # the driver's reported error IS the psum'd
                 # high-precision certificate (solvers/omp_batch.py)
                 return X, (rep.iter, rep.solution_error)
@@ -345,7 +407,8 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 max_iterations: int, k_max: int | None = None,
                 gram: bool | None = None, precision: str = "highest",
                 batch_native: bool | None = None, dense: bool = True,
-                overlap_blocks: int | None = None):
+                overlap_blocks: int | None = None,
+                overlap_mode: str | None = None):
     """Row-sharded, batch-sharded OMP (solvers/omp.py — the greedy
     beyond-reference family) over the same (data, row) mesh layout as
     ``homotopy_sharded``: per-iteration residual correlations psum once
@@ -374,7 +437,9 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     q = AᵀA D psum into that many column-block collectives so each
     all-reduce overlaps the next block's local gemm — the same
     north-star overlap as ``homotopy_sharded``. Exact vs the unsplit
-    driver.
+    driver. ``overlap_mode`` ("auto" default) upgrades the sharded
+    driver to the ppermute collective-matmul ring exactly as in
+    ``homotopy_sharded`` (ulp-level ring-order fp differences).
 
     ``precision="certified"`` mirrors ``homotopy_sharded``: the pick
     loop runs at one-pass precision, each lane's reported error is the
@@ -414,9 +479,32 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         batch_native = (not gram_forced) and route_batch_native(
             local_batch, n, A.dtype,
             sparse=local_batch * k_max < 2 * m)
-    if overlap_blocks is None:
-        overlap_blocks = (4 if (batch_native and mesh.shape[ROW_AXIS] > 1
-                                and n >= 512) else 1)
+    S = mesh.shape[ROW_AXIS]
+    if overlap_mode not in (None, "auto", "psum", "ppermute"):
+        raise ValueError(
+            "overlap_mode must be 'auto', 'psum' or 'ppermute', got "
+            f"{overlap_mode!r}")
+    if overlap_mode in (None, "auto"):
+        # homotopy_sharded's auto rule: the ppermute ring is the only
+        # overlap the current toolchain actually schedules
+        overlap_mode = ("ppermute"
+                        if (batch_native and S > 1 and n >= 128 * S
+                            and overlap_blocks is None)
+                        else "psum")
+    if overlap_mode == "ppermute":
+        if not batch_native or S < 2:
+            raise ValueError(
+                "overlap_mode='ppermute' ring-pipelines the batch-native "
+                "driver's q reduction over the row shards; it needs "
+                "batch_native=True and a row axis of size >= 2")
+        if overlap_blocks not in (None, 1):
+            raise ValueError(
+                "overlap_blocks is the psum-mode knob; the ppermute ring "
+                "always uses S = row-axis chunks")
+        overlap_blocks = 1
+    elif overlap_blocks is None:
+        overlap_blocks = (4 if (batch_native and S > 1 and n >= 512)
+                          else 1)
     if overlap_blocks > 1 and not batch_native:
         raise ValueError(
             "overlap_blocks splits the batch-native driver's q psum; "
@@ -437,7 +525,7 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     fn = _omp_sharded_fn(mesh, path_precision, bool(gram), max_iterations,
                          k_max, corr, batch_native=bool(batch_native),
                          dense=dense, overlap_blocks=overlap_blocks,
-                         certified=certified)
+                         certified=certified, overlap_mode=overlap_mode)
     X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
     from ..solvers.omp import OmpReportArrays
     rep = OmpReportArrays(iter=iters, solution_error=errs)
@@ -458,7 +546,8 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 Y[:, :Y.shape[1] - pad] if pad else Y,
                 tolerance, max_iterations, k_max=k_max, gram=gram_arg,
                 precision="high", batch_native=batch_native,
-                dense=dense, overlap_blocks=overlap_blocks)
+                dense=dense, overlap_blocks=overlap_blocks,
+                overlap_mode=overlap_mode)
             rh = out_h[-1]
             sel = jnp.asarray(bad)
             if dense:
@@ -473,6 +562,89 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if not dense:
         return X[0], X[1], rep
     return X, rep
+
+
+@functools.lru_cache(maxsize=32)
+def _qr_sharded_fn(mesh: Mesh, passes: int):
+    """Cached jitted shard_map'd CholeskyQR factorization (see
+    qr_sharded)."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None),),
+             out_specs=(P(ROW_AXIS, None), P(None, None)),
+             check_vma=False)
+    def run(A_local):
+        from ..ops import blas
+        n = A_local.shape[1]
+        eye = jnp.eye(n, dtype=A_local.dtype)
+        with blas.precision_scope("highest"):
+            Q, R = A_local, eye
+            for _ in range(passes):
+                # Gram psum → replicated Cholesky → local Q·R₁⁻¹ gemm:
+                # the only collective per pass is the (n, n) psum; the
+                # O(m·n²) work is local MXU gemms (vs. the reference's
+                # sequential Householder sweep, qr_decomposition.h:
+                # 94-137, which is unshardable over rows)
+                G = jax.lax.psum(blas.xgemm(Q, Q, trans_a=True), ROW_AXIS)
+                R1 = jnp.linalg.cholesky(G).T          # upper, positive diag
+                R1inv = blas.xtrsm(R1, eye, lower=False)
+                Q = blas.xgemm(Q, R1inv)
+                R = blas.xgemm(R1, R)
+        return Q, R
+
+    return jax.jit(run)
+
+
+def qr_sharded(mesh: Mesh, A: jnp.ndarray, passes: int = 2):
+    """Mesh-native economy QR of a row-sharded A (m, n), m ≥ n —
+    CholeskyQR2.
+
+    Returns ``(Q, R)``: Q (m_padded, n) row-sharded over the "row" axis,
+    R (n, n) upper-triangular with positive diagonal, replicated. Each
+    pass computes the replicated Gram QᵀQ with ONE (n, n) psum over the
+    row shards, Cholesky-factors it locally, and applies R₁⁻¹ as a
+    local MXU gemm; ``passes=2`` (CholeskyQR2) squares away the first
+    pass's κ(A)-dependent orthogonality loss, reaching Householder-
+    grade ‖QᵀQ−I‖ for κ(A) ≲ 1/√eps (tests/test_sharding.py pins
+    QᵀQ≈I, QR≈A and LS-solve parity vs np.linalg.qr at the reference
+    tolerances in f32+f64).
+
+    This closes the reference's construct-once amortization
+    (src/lib.cpp:51-57 — the QR computed once in ``irls_state``) at
+    mesh scale, where a host ``np.linalg.qr`` of the gathered A is
+    infeasible. Rows are zero-padded to the row-axis multiple (inert:
+    zero rows change neither QᵀQ nor any Qᵀy product, and their Q rows
+    come out exactly zero); the returned Q keeps the padded row count
+    so it feeds ``irls_sharded`` / ``shard_inputs`` without a reshard.
+
+    The positive-diagonal R is the canonical QR sign convention; IRLS
+    is invariant to it (api.Irls._qr). Requires full column rank —
+    rank deficiency surfaces as NaNs from the first Cholesky (the
+    reference's QR asserts m ≥ n and divides by a zero pivot there,
+    qr_decomposition.h:101,227)."""
+    m, n = A.shape
+    if m < n:
+        raise ValueError(
+            f"qr_sharded requires m >= n (economy QR); got {m}x{n}")
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    A = jnp.asarray(A)
+    A, _pad = _pad_rows(A, mesh)
+    A = jax.device_put(A, NamedSharding(mesh, P(ROW_AXIS, None)))
+    return _qr_sharded_fn(mesh, passes)(A)
+
+
+def irls_sharded_from_a(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray,
+                        tolerance, max_iterations: int, **kwargs):
+    """irls_sharded constructed directly from a row-sharded A: the
+    economy QR comes from ``qr_sharded`` (CholeskyQR2 — no host
+    factorization anywhere), then the solve proceeds sharded. For the
+    construct-once shape (factor once, solve many), hold the
+    ``qr_sharded`` result and call ``irls_sharded`` per batch — or use
+    ``api.Irls(A, mesh=...)``."""
+    Q, R = qr_sharded(mesh, A)
+    return irls_sharded(mesh, Q, R, Y, tolerance, max_iterations,
+                        **kwargs)
 
 
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
@@ -503,7 +675,11 @@ def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
         newton = "trsm"
     use_rinv = mode == "fast" and newton == "gemm"
     Q, pad = _pad_rows(Q, mesh)
-    Y = jnp.pad(Y, ((0, 0), (0, pad))) if pad else Y
+    # qr_sharded returns Q pre-padded to the row-axis multiple; pad Y up
+    # to Q's row count either way (zero y rows meet zero Q rows — Qᵀy is
+    # unchanged)
+    extra = Q.shape[0] - Y.shape[1]
+    Y = jnp.pad(Y, ((0, 0), (0, extra))) if extra else Y
 
     fn = _irls_sharded_fn(mesh, mode, use_rinv, max_iterations,
                           bool(stabilized))

@@ -122,7 +122,9 @@ def route_batch_native(lanes: int | None, n: int, dtype, sparse: bool) -> bool:
 
 
 def make_qprod(A, psum, use_kernel: bool, interp: bool,
-               overlap_blocks: int, fused_q: bool | None, b: int, n: int):
+               overlap_blocks: int, fused_q: bool | None, b: int, n: int,
+               overlap_mode: str = "psum", axis: str | None = None,
+               axis_size: int | None = None):
     """Shared q = AᵀA D product factory for the slot-space batch drivers
     (homotopy and OMP — extracted so the copies cannot drift, like
     ``route_batch_native``). Returns ``(qprod, fused_q, A16)``.
@@ -133,11 +135,47 @@ def make_qprod(A, psum, use_kernel: bool, interp: bool,
     two-step (the fused kernel produces q whole and would serialize
     behind a single blocking all-reduce) and splits the second gemm
     into independently-psum'd column blocks: block j's all-reduce has
-    no data dependence on block j+1's local gemm, so XLA's async
-    collectives hide each psum behind the next block's MXU work (north
-    star: overlap collective with next matvec tile). Exact: every q
-    element is the same local-row dot followed by the same psum
-    reduction tree as the unsplit form."""
+    no data dependence on block j+1's local gemm, so an async-capable
+    scheduler CAN hide each psum behind the next block's MXU work.
+    Exact: every q element is the same local-row dot followed by the
+    same psum reduction tree as the unsplit form. Caveat measured on
+    this toolchain (docs/design.md §9): XLA's all-reduce combiner
+    re-merges the S independent all-reduces into one variadic
+    all-reduce, so the offered overlap is declined — which is what
+    ``overlap_mode="ppermute"`` exists to fix.
+
+    ``overlap_mode="ppermute"`` (sharded only) hand-pipelines the
+    reduction as a collective-matmul ring (the scaling-book pattern the
+    combiner cannot touch): q's columns split into S = axis_size
+    chunks; at ring step t each device computes its LOCAL partial for
+    chunk ((i−t) mod S) on the MXU and accumulates it into the chunk
+    arriving from its ring predecessor, then ``lax.ppermute``s the
+    running sum onward. The S−1 permutes are chained through distinct
+    data (no combiner can merge them) and each is dataflow-independent
+    of the NEXT step's local gemm, so the transfer rides ICI behind
+    MXU work. After S steps device i holds the fully-reduced chunk
+    (i+1) mod S; one all_gather rebuilds q. Wire bytes equal the ring
+    all-reduce's reduce-scatter phase + gather phase — no extra
+    traffic. Algebraically exact (every element is the same set of
+    per-shard partial dots); the ring fixes the summation order to
+    ring-visit order, which may differ from the psum tree's by
+    f32-rounding ulps — the same class of difference as the MXU
+    precision ladder, covered by the certified error path
+    (tests pin trajectory + solution parity on the virtual mesh)."""
+    if overlap_mode not in ("psum", "ppermute"):
+        raise ValueError(
+            f"overlap_mode must be 'psum' or 'ppermute', got {overlap_mode!r}")
+    if overlap_mode == "ppermute":
+        if axis is None or not axis_size or axis_size < 2:
+            raise ValueError(
+                "overlap_mode='ppermute' ring-pipelines the row-shard "
+                "reduction; it needs axis=... with axis_size >= 2 "
+                f"(got axis={axis!r}, axis_size={axis_size})")
+        if overlap_blocks > 1:
+            raise ValueError(
+                "overlap_blocks is the psum-mode knob; the ppermute ring "
+                "always uses S = axis_size chunks")
+        fused_q = False
     if overlap_blocks > 1:
         fused_q = False
     if fused_q is None:
@@ -146,7 +184,31 @@ def make_qprod(A, psum, use_kernel: bool, interp: bool,
                    and _kern._bf16_eligible(-(-b // 8) * 8, A.shape[0], n))
     A16 = A.astype(jnp.bfloat16) if fused_q else None
 
-    if overlap_blocks > 1:
+    if overlap_mode == "ppermute":
+        S = axis_size
+        blk = -(-n // S)
+        npad = S * blk
+        perm = [(s, (s + 1) % S) for s in range(S)]
+        Ap = jnp.pad(A, ((0, 0), (0, npad - n))) if npad != n else A
+
+        def qprod(D):
+            p = blas.xgemm(D, A, trans_b=True)      # (b, m_local) local
+            my = _lax.axis_index(axis)
+            acc = None
+            for t in range(S):
+                j = (my - t) % S                    # this step's chunk
+                Ablk = _lax.dynamic_slice_in_dim(Ap, j * blk, blk, axis=1)
+                contrib = blas.xgemm(p, Ablk)       # local partial (b, blk)
+                acc = contrib if acc is None else acc + contrib
+                if t < S - 1:
+                    acc = _lax.ppermute(acc, axis, perm)
+            # device i now owns the reduced chunk (i+1) mod S; rebuild q
+            # in column order (chunk j sits at device (j-1) mod S)
+            gathered = _lax.all_gather(acc, axis, axis=0)   # (S, b, blk)
+            q = jnp.concatenate([gathered[(j - 1) % S] for j in range(S)],
+                                axis=1)
+            return q[:, :n] if npad != n else q
+    elif overlap_blocks > 1:
         blk = -(-n // overlap_blocks)
 
         def qprod(D):
@@ -276,6 +338,35 @@ def _plan_tiers(k_max: int, max_iterations: int, ladder) -> list[int]:
     return tiers
 
 
+def synced_while(body, live_fn, st, sync_axes):
+    """Driver while loop, optionally with a globally-uniform trip count.
+
+    ``sync_axes=None``: the plain per-device loop (each device stops
+    when its own lanes freeze — group-scoped all-reduces let groups
+    progress independently). With axis names: every device carries a
+    continue flag psum'd over ``sync_axes`` each iteration, so ALL
+    devices execute identical trip counts — required whenever the body
+    contains a collective WITHOUT subgroup scoping (``lax.ppermute``:
+    its rendezvous spans every device in the pair list, so divergent
+    counts across the data axis deadlock — measured on the virtual
+    mesh, round 5). Frozen lanes pass through the extra iterations
+    unchanged (the body's ``live`` masking), so results are identical
+    to the unsynced loop."""
+    if not sync_axes:
+        return lax.while_loop(lambda s: jnp.any(live_fn(s)), body, st)
+
+    def cont_of(s):
+        return _lax.psum(jnp.any(live_fn(s)).astype(jnp.int32),
+                         sync_axes) > 0
+
+    def body2(c):
+        s1 = body(c[0])
+        return (s1, cont_of(s1))
+
+    state, _ = lax.while_loop(lambda c: c[1], body2, (st, cont_of(st)))
+    return state
+
+
 def _embed(s: "_BState", K2: int, n: int) -> "_BState":
     """Zero-pad a capacity-K1 state into capacity K2 (> K1). Exact: the
     kernels derive slot liveness from kk/indices, and reductions over
@@ -302,7 +393,10 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
                          axis: str | None = None,
                          dense: bool = True,
                          record_path: bool = False,
-                         overlap_blocks: int = 1):
+                         overlap_blocks: int = 1,
+                         overlap_mode: str = "psum",
+                         axis_size: int | None = None,
+                         sync_axes: tuple | None = None):
     """Fast-mode batched homotopy — the slot-space throughput driver.
 
     A: (m, n); G = AᵀA (n, n) or None; Y: (b, m). Returns (X (b, n),
@@ -354,7 +448,16 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
     next matvec tile", SURVEY.md §2.4). The per-element products are
     identical (each q element is still one dot over the local rows
     followed by the same psum tree), so the path is exact vs the
-    unsplit driver."""
+    unsplit driver.
+
+    ``overlap_mode="ppermute"`` (sharded only; needs ``axis_size`` =
+    the row-axis device count) replaces the psum with the hand-
+    pipelined collective-matmul ring of ``make_qprod`` — S chained
+    ``lax.ppermute`` steps interleaved with the local column-block
+    gemms, which XLA's all-reduce combiner cannot re-merge (the psum
+    block form's measured failure mode, docs/design.md §9). Summation
+    order is ring-visit order — ulp-level fp differences from the psum
+    tree, same class as the MXU precision ladder."""
     n = A.shape[1]
     T = max_iterations + 1
     if Y.shape[0] == 0:
@@ -382,11 +485,11 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
         cap = None if t == len(tiers) - 1 else Kt - 1
         init, body, lane_live = make_stepper(
             A, G, Y, tolerance, max_iterations, Kt, use_kernel, it_cap=cap,
-            fused_q=fused_q, axis=axis, overlap_blocks=overlap_blocks)
+            fused_q=fused_q, axis=axis, overlap_blocks=overlap_blocks,
+            overlap_mode=overlap_mode, axis_size=axis_size)
         st = init if state is None else _embed(state, Kt, n)
         if not record_path:
-            state = lax.while_loop(
-                lambda s, _live=lane_live: jnp.any(_live(s)), body, st)
+            state = synced_while(body, lane_live, st, sync_axes)
             continue
         # breakpoint history (slot space, like the core's): row 0 is the
         # λ-max end of the path (x = 0, λ0 = ‖Aᵀy‖∞); each live lane's
@@ -414,9 +517,9 @@ def solve_homotopy_batch(A: jnp.ndarray, G: jnp.ndarray | None,
             hl = hl.at[bidx, rows].set(s1.c_inf, mode="drop")
             return s1, (hv, hi, hl)
 
-        state, hist = lax.while_loop(
-            lambda c, _live=lane_live: jnp.any(_live(c[0])),
-            rec_body, (st, hist))
+        state, hist = synced_while(
+            rec_body, lambda c, _live=lane_live: _live(c[0]),
+            (st, hist), sync_axes)
     final = state
     if dense:
         out = jnp.zeros((b, n), A.dtype).at[
@@ -444,7 +547,8 @@ def densify_batch(values: jnp.ndarray, indices: jnp.ndarray, n: int):
 def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
                  use_kernel: bool | None = None, it_cap: int | None = None,
                  fused_q: bool | None = None, axis: str | None = None,
-                 overlap_blocks: int = 1):
+                 overlap_blocks: int = 1, overlap_mode: str = "psum",
+                 axis_size: int | None = None):
     """Build (initial state, body, lane_live) for the batch driver —
     exposed so tests can step the iteration eagerly. ``it_cap`` freezes
     lanes at an iteration bound (the capacity-ladder phase boundary:
@@ -483,7 +587,9 @@ def make_stepper(A, G, Y, tolerance, max_iterations: int, k_max: int,
     # match the DEFAULT two-gemm form (same bf16 roundings) up to f32
     # accumulation order. See make_qprod for the overlapped sharded form.
     qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
-                                     overlap_blocks, fused_q, b, n)
+                                     overlap_blocks, fused_q, b, n,
+                                     overlap_mode=overlap_mode,
+                                     axis=axis, axis_size=axis_size)
 
     # Gram-free insert column: the transition consumes ONLY the K live
     # entries u1[j] = (AᵀA)[ind_j, idx] = ⟨A e_ind_j, A e_idx⟩ (plus the

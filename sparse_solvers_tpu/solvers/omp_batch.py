@@ -80,7 +80,10 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     axis: str | None = None,
                     dense: bool = True,
                     overlap_blocks: int = 1,
-                    ladder: bool | None = None):
+                    ladder: bool | None = None,
+                    overlap_mode: str = "psum",
+                    axis_size: int | None = None,
+                    sync_axes: tuple | None = None):
     """Batched greedy solve; returns (X (b, n), OmpReportArrays).
 
     ``axis`` names a row-shard psum axis when run inside shard_map (A
@@ -107,6 +110,13 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     j+1's local MXU gemm (the homotopy driver's north-star overlap,
     solvers/homotopy_batch.py). Exact: identical local-row dots and
     psum trees per element.
+
+    ``overlap_mode="ppermute"`` (sharded only; ``axis_size`` = row-axis
+    device count) hand-pipelines the q reduction as the collective-
+    matmul ring of ``make_qprod`` — chained ``lax.ppermute`` steps
+    interleaved with the local block gemms, immune to XLA's all-reduce
+    combiner (docs/design.md §9); ring summation order differs from
+    the psum tree by f32 ulps.
     """
     b, _ = Y.shape
     n = A.shape[1]
@@ -163,9 +173,11 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     # (DEFAULT) regime, two-gemm at high/highest, column-block psums
     # when overlapped
     from .homotopy_batch import (_plan_tiers, gram_slot_gather,
-                                 make_gram_u1, make_qprod)
+                                 make_gram_u1, make_qprod, synced_while)
     qprod, fused_q, A16 = make_qprod(A, psum, use_kernel, interp,
-                                     overlap_blocks, None, b, n)
+                                     overlap_blocks, None, b, n,
+                                     overlap_mode=overlap_mode,
+                                     axis=axis, axis_size=axis_size)
     if G is None:
         gram_u1 = make_gram_u1(A, A16, fused_q, psum, dtype)
 
@@ -285,8 +297,7 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         cap = None if t == len(tiers) - 1 else Kt - 1
         init, body, lane_live = make_tier(Kt, cap)
         st = init if state is None else _embed_omp(state, Kt, n)
-        state = _lax.while_loop(
-            lambda s, _live=lane_live: jnp.any(_live(s)), body, st)
+        state = synced_while(body, lane_live, st, sync_axes)
     final = state
 
     X = jnp.zeros((b, n), dtype).at[bidx[:, None], final.indices].set(

@@ -71,6 +71,60 @@ def test_irls_sharded_matches_single(mesh):
                                   np.asarray(reps.iter))
 
 
+@pytest.mark.parametrize("dtype,tol", [(np.float32, 1e-4),
+                                       (np.float64, 1e-10)])
+@pytest.mark.parametrize("m,n", [(40, 20), (37, 24), (64, 64)])
+def test_qr_sharded_choleskyqr2(mesh, dtype, tol, m, n):
+    """Mesh-native CholeskyQR2 reaches Householder-grade factors at the
+    reference property tolerances (qr_decomposition_test.cpp:38-85:
+    QR≈A and QᵀQ≈I within 1e-4 on seeded randn): orthogonality,
+    reconstruction, and LS-solve parity vs np.linalg.qr, f32+f64,
+    including the non-divisible-m padding path (m=37)."""
+    rng = np.random.RandomState(m + n)
+    A = rng.randn(m, n).astype(dtype)
+    Q, R = sh.qr_sharded(mesh, A)
+    Q, R = np.asarray(Q), np.asarray(R)
+    assert Q.shape[1] == n and R.shape == (n, n)
+    # padded rows of Q are exactly zero
+    np.testing.assert_array_equal(Q[m:], 0)
+    np.testing.assert_allclose(Q.T @ Q, np.eye(n), atol=tol)
+    np.testing.assert_allclose(Q[:m] @ R, A, atol=tol)
+    # upper triangular, positive diagonal (the canonical convention)
+    np.testing.assert_array_equal(np.tril(R, -1), 0)
+    assert np.all(np.diag(R) > 0)
+    # LS-solve parity vs the host factorization
+    y = rng.randn(m).astype(dtype)
+    x_ref = np.linalg.lstsq(A, y, rcond=None)[0]
+    x_chol = np.linalg.solve(R, Q[:m].T @ y)
+    np.testing.assert_allclose(x_chol, x_ref, atol=10 * tol)
+
+
+def test_irls_sharded_from_a_no_host_qr(mesh):
+    """irls_sharded_from_a constructs the QR on the mesh (CholeskyQR2)
+    and must match the host-np.linalg.qr sharded solve at the reference
+    IRLS tolerance with equal iteration counts."""
+    rng = np.random.RandomState(7)
+    A, Y = _problem(rng, 45, 20, 8, 3)  # 45 % 4 != 0: padding path
+    A32, Y32 = A.astype(np.float32), Y.astype(np.float32)
+    X, rep = sh.irls_sharded_from_a(mesh, A32, jnp.asarray(Y32),
+                                    0.001, 50)
+    Qh, Rh = np.linalg.qr(A)
+    Qd, Yd = sh.shard_inputs(mesh, Qh.astype(np.float32), Y32)
+    Xh, reph = sh.irls_sharded(mesh, Qd,
+                               jnp.asarray(Rh.astype(np.float32)),
+                               Yd, 0.001, 50)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xh), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(reph.iter))
+
+
+def test_qr_sharded_validation(mesh):
+    with pytest.raises(ValueError):
+        sh.qr_sharded(mesh, np.zeros((3, 5), np.float32))
+    with pytest.raises(ValueError):
+        sh.qr_sharded(mesh, np.zeros((5, 3), np.float32), passes=0)
+
+
 def test_homotopy_sharded_under_jit(mesh):
     """The sharded solve must compose under jit (the pod 'training step')."""
     rng = np.random.RandomState(2)
@@ -142,6 +196,44 @@ def _loop_body_collectives(txt):
         out[body] = (len(re.findall(r"= .*all-reduce\(", text)),
                      len(re.findall(r"= .*all-gather\(", text)),
                      "while(" in text)
+    return out
+
+
+def _loop_body_permutes(txt):
+    """Per while-body collective-permute counts (the ppermute ring's
+    signature op) — same body-closure walk as _loop_body_collectives."""
+    import re
+
+    comps = {}
+    name = None
+    buf = []
+    for l in txt.splitlines():
+        m = re.match(r"\s*(%[\w.\-]+)\s*\(.*\{\s*$", l)
+        if m and name is None:
+            name = m.group(1)
+            buf = []
+            continue
+        if name is not None:
+            if l.strip() == "}":
+                comps[name] = "\n".join(buf)
+                name = None
+            else:
+                buf.append(l)
+    bodies = set(re.findall(r"body=(%[\w.\-]+)", txt))
+    out = {}
+    for body in bodies:
+        seen = set()
+        frontier = [body]
+        while frontier:
+            c = frontier.pop()
+            if c in seen or c not in comps:
+                continue
+            seen.add(c)
+            for ref in re.findall(r"(%[\w.\-]+)", comps[c]):
+                if ref in comps and ref not in seen and ref not in bodies:
+                    frontier.append(ref)
+        text = "\n".join(comps[c] for c in seen)
+        out[body] = len(re.findall(r"= .*collective-permute\(", text))
     return out
 
 
@@ -799,3 +891,178 @@ def test_omp_sharded_certified_resolve_merge(mesh, monkeypatch):
     np.testing.assert_array_equal(np.asarray(X)[0], np.asarray(Xh)[0])
     assert int(np.asarray(rep.iter)[0]) == int(np.asarray(reph.iter)[0])
     assert (np.asarray(rep.solution_error) <= 1e-2).all()
+
+
+# ----------------------------------------------- ppermute collective-matmul
+
+def test_homotopy_sharded_ppermute_matches_driver(mesh):
+    """overlap_mode="ppermute" (the hand-pipelined collective-matmul
+    ring, round-5 north-star item) matches the psum form and the
+    single-device driver: identical per-lane iteration counts, f32
+    ulp-level solutions (ring summation order vs psum tree), exact
+    support recovery."""
+    rng = np.random.RandomState(7)
+    m, n, k, b = 64, 512, 5, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+
+    Xp, rp = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 60,
+                                 batch_native=True,
+                                 overlap_mode="ppermute")
+    Xa, ra = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 60,
+                                 batch_native=True)  # auto -> ppermute
+    Xs, rs = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 60,
+                                 batch_native=True, overlap_mode="psum")
+    np.testing.assert_array_equal(np.asarray(Xp), np.asarray(Xa))
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(ra.iter))
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xs), atol=1e-5)
+
+    from sparse_solvers_tpu.solvers.homotopy_batch import solve_homotopy_batch
+    from sparse_solvers_tpu.ops import blas
+    Aj = jnp.asarray(A)
+    G = blas.xgemm(Aj, Aj, trans_a=True)
+    Xd, rd = solve_homotopy_batch(Aj, G, jnp.asarray(Y), 1e-3, 60, 61,
+                                  use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(rd.iter))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xd), atol=1e-5)
+    got = {frozenset(np.where(np.abs(r) > 0.05)[0]) for r in np.asarray(Xp)}
+    want = {frozenset(np.where(r > 0)[0]) for r in X0}
+    assert got == want
+
+
+def test_homotopy_sharded_ppermute_gram_free(mesh):
+    """The ring composes with the gram-free driver (config-5 regime)."""
+    rng = np.random.RandomState(11)
+    m, n, k, b = 48, 512, 4, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xp, rp = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 50, gram=False,
+                                 batch_native=True,
+                                 overlap_mode="ppermute")
+    Xs, rs = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 50, gram=False,
+                                 batch_native=True, overlap_mode="psum")
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xs), atol=1e-5)
+
+
+def test_homotopy_sharded_ppermute_hlo_contract(mesh):
+    """The compiled while body carries the ring's S−1 chained
+    collective-permutes (which the all-reduce combiner cannot merge —
+    the psum block form's measured defeat, docs/design.md §9), one
+    all-gather rebuilding q, and all-reduces only for the loop-sync
+    flag (data axis > 1) — the q reduction itself emits none."""
+    rng = np.random.RandomState(0)
+    A, Y = _problem(rng, 32, 512, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+    S = mesh.shape["row"]
+    txt = _compiled_text(
+        lambda a, y: sh.homotopy_sharded(
+            mesh, a, y, 1e-2, 8, gram=True, batch_native=True,
+            overlap_mode="ppermute"),
+        Ad, Yd)
+    cps = _loop_body_permutes(txt)
+    colls = _loop_body_collectives(txt)
+    for body, n_cp in cps.items():
+        ar, ag, _ = colls[body]
+        assert n_cp == S - 1, (body, cps)
+        assert ag == 1, (body, colls)     # the q all-gather
+        assert ar == 1, (body, colls)     # the sync-flag psum only
+    # auto picks the ring in this regime (n >= 128*S, row axis sharded)
+    txt_auto = _compiled_text(
+        lambda a, y: sh.homotopy_sharded(
+            mesh, a, y, 1e-2, 8, gram=True, batch_native=True),
+        Ad, Yd)
+    assert any(v > 0 for v in _loop_body_permutes(txt_auto).values())
+
+
+def test_omp_sharded_ppermute_matches_psum(mesh):
+    rng = np.random.RandomState(5)
+    m, n, k, b = 64, 512, 5, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xp, rp = sh.omp_sharded(mesh, Ad, Yd, 1e-3, 30, batch_native=True,
+                            overlap_mode="ppermute")
+    Xs, rs = sh.omp_sharded(mesh, Ad, Yd, 1e-3, 30, batch_native=True,
+                            overlap_mode="psum")
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xs), atol=1e-5)
+    txt = _compiled_text(
+        lambda a, y: sh.omp_sharded(mesh, a, y, 1e-3, 8,
+                                    batch_native=True,
+                                    overlap_mode="ppermute"),
+        Ad, Yd)
+    assert any(v == mesh.shape["row"] - 1
+               for v in _loop_body_permutes(txt).values())
+
+
+def test_sharded_ppermute_row_only_mesh():
+    """No data axis -> ring partners share trip counts and no sync flag
+    is needed; the ring still matches the psum form."""
+    mesh = sh.make_mesh(n_row=4, n_data=1,
+                        devices=jax.devices()[:4])
+    rng = np.random.RandomState(3)
+    m, n, k, b = 32, 512, 3, 4
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xp, rp = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 40,
+                                 batch_native=True,
+                                 overlap_mode="ppermute")
+    Xs, rs = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 40,
+                                 batch_native=True, overlap_mode="psum")
+    np.testing.assert_array_equal(np.asarray(rp.iter), np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xs), atol=1e-5)
+    # without a data axis the while body carries no sync all-reduce
+    txt = _compiled_text(
+        lambda a, y: sh.homotopy_sharded(mesh, a, y, 1e-3, 8,
+                                         gram=True, batch_native=True,
+                                         overlap_mode="ppermute"),
+        Ad, Yd)
+    for body, (ar, ag, _) in _loop_body_collectives(txt).items():
+        assert ar == 0 and ag == 1, (body, ar, ag)
+
+
+def test_sharded_overlap_mode_validation(mesh):
+    rng = np.random.RandomState(1)
+    A, Y = _problem(rng, 32, 512, 4, 2)
+    Ad, Yd = sh.shard_inputs(mesh, jnp.asarray(A, jnp.float32),
+                             jnp.asarray(Y, jnp.float32))
+    with pytest.raises(ValueError, match="overlap_mode"):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 8, overlap_mode="ring")
+    with pytest.raises(ValueError, match="batch_native"):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=False,
+                            overlap_mode="ppermute")
+    with pytest.raises(ValueError, match="psum-mode knob"):
+        sh.homotopy_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=True,
+                            overlap_mode="ppermute", overlap_blocks=4)
+    with pytest.raises(ValueError, match="batch_native"):
+        sh.omp_sharded(mesh, Ad, Yd, 1e-2, 8, batch_native=False,
+                       overlap_mode="ppermute")
+    # data-parallel-only mesh: no row shards -> ppermute refused
+    mesh_dp = sh.make_mesh(n_row=1, n_data=2, devices=jax.devices()[:2])
+    Ad2, Yd2 = sh.shard_inputs(mesh_dp, jnp.asarray(A, jnp.float32),
+                               jnp.asarray(Y, jnp.float32))
+    with pytest.raises(ValueError, match="row axis"):
+        sh.homotopy_sharded(mesh_dp, Ad2, Yd2, 1e-2, 8,
+                            batch_native=True, overlap_mode="ppermute")
