@@ -139,6 +139,66 @@ def _lazy_gram(solver):
     return solver._G_cache
 
 
+def _check_mesh(mesh, mode: str, engine: str):
+    """Validate the façades' ``mesh=`` argument (jax.sharding.Mesh with
+    the framework's ("data", "row") axes — parallel.sharding.make_mesh
+    builds one). Mesh-sharded solving runs the fast-path formulations on
+    the jax engine."""
+    from jax.sharding import Mesh
+    from .parallel import sharding as _sh
+    if not isinstance(mesh, Mesh):
+        raise ValueError(
+            f"mesh must be a jax.sharding.Mesh, got {type(mesh).__name__}")
+    for ax in (_sh.DATA_AXIS, _sh.ROW_AXIS):
+        if ax not in mesh.shape:
+            raise ValueError(
+                f"mesh must carry the ('{_sh.DATA_AXIS}', "
+                f"'{_sh.ROW_AXIS}') axes (use parallel.sharding."
+                f"make_mesh); got axes {tuple(mesh.shape)}")
+    if engine == "native":
+        raise ValueError(
+            "mesh-sharded solving runs on the jax engine; drop "
+            "engine='native' or the mesh")
+
+
+def _mesh_place_rows(mesh, A):
+    """Pad A's rows to the row-axis multiple and place it row-sharded
+    (the construct-once placement of the mesh façades)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel import sharding as _sh
+    A, _pad = _sh._pad_rows(jnp.asarray(A), mesh)
+    return jax.device_put(A, NamedSharding(mesh, P(_sh.ROW_AXIS, None)))
+
+
+def _mesh_prep_batch(mesh, Y, m_padded: int):
+    """Pad a (batch, m) signal block to the mesh multiples (batch → the
+    data axis, rows → the placed A's padded m) and place it
+    (data, row)-sharded. Zero signals/rows are inert (they meet zero A
+    rows / solve trivially and are trimmed from the results). Returns
+    (Y_placed, batch_pad)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel import sharding as _sh
+    Y = jnp.asarray(Y)
+    bpad = (-Y.shape[0]) % mesh.shape[_sh.DATA_AXIS]
+    if bpad:
+        Y = jnp.pad(Y, ((0, bpad), (0, 0)))
+    extra = m_padded - Y.shape[1]
+    if extra:
+        Y = jnp.pad(Y, ((0, 0), (0, extra)))
+    return jax.device_put(
+        Y, NamedSharding(mesh, P(_sh.DATA_AXIS, _sh.ROW_AXIS))), bpad
+
+
+def _trim_batch(out, rep, bpad: int, dense: bool):
+    """Drop the data-axis padding lanes from a sharded batch result."""
+    if not bpad:
+        return out, rep
+    cut = lambda a: a[:-bpad]
+    out = cut(out) if dense else (cut(out[0]), cut(out[1]))
+    return out, type(rep)(**{f: cut(getattr(rep, f))
+                             for f in rep._fields})
+
+
 def _update_column_impl(solver, j: int, col) -> None:
     """Shared in-place sensing-column replacement (gallery churn) with
     the incremental Gram row/col rewrite — one Aᵀ·v product instead of
@@ -165,6 +225,10 @@ def _update_column_impl(solver, j: int, col) -> None:
                                         solver._G_cache)
     else:
         solver._A, _ = fn(jnp.asarray(solver._A), v, j)
+    if getattr(solver, "_mesh", None) is not None:
+        # the row-sharded placement and replicated mesh Gram are stale;
+        # re-place lazily on the next sharded solve
+        solver._A_mesh = solver._G_mesh = None
 
 
 class Homotopy:
@@ -199,12 +263,23 @@ class Homotopy:
         are at least as accurate as precision="high" while the common
         case runs one-pass fast). Solves routed to the native host
         engine compute in exact f32 FMA arithmetic, so certification
-        adds nothing there and is skipped. Default None = "high" in
-        fast mode, "highest" in exact mode.
+        adds nothing there and is skipped. Default None = "certified"
+        in fast mode (measured ~1.65x the "high" route at the headline
+        shape with an equally trustworthy reported error — BASELINE.md),
+        "highest" in exact mode.
     engine : "jax" (accelerator/XLA), "native" (C++ host backend, csrc/),
         or "auto" (default) — native for problems small enough that a
         device dispatch dominates the solve itself, jax otherwise. The
         native engine implements the identical fast-path algorithm.
+    mesh : optional ``jax.sharding.Mesh`` with ("data", "row") axes
+        (parallel.sharding.make_mesh). The construct-once object form of
+        the sharded functional API: A is placed row-sharded once at
+        first use, the replicated Gram is psum'd once per mesh and
+        cached, and ``solve``/``solve_batch`` route through
+        ``parallel.sharding.homotopy_sharded`` (batch padded to the
+        data-axis multiple and trimmed). ``explain()`` reports the mesh
+        plan. Fast mode, jax engine only; ``solve_path*`` stays
+        single-device.
     """
 
     # Below this m·n the device round trip (~200 µs) exceeds the host
@@ -213,7 +288,7 @@ class Homotopy:
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
                  gram: bool | None = None, precision: str | None = None,
-                 engine: str = "auto"):
+                 engine: str = "auto", mesh=None):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         if engine not in ("auto", "jax", "native"):
@@ -233,19 +308,34 @@ class Homotopy:
                 "precision='certified' runs the path at one-pass MXU "
                 "precision; mode='exact' (operation-for-operation "
                 "reference parity) requires 'high' or 'highest'")
+        if mesh is not None:
+            if mode == "exact":
+                raise ValueError(
+                    "mesh-sharded solving runs the fast-path "
+                    "formulation; mode='exact' is single-device")
+            _check_mesh(mesh, mode, engine)
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
-        _warn_small_problem_jax(engine, self._m, self._n)
+        if mesh is None:
+            _warn_small_problem_jax(engine, self._m, self._n)
         self._k_max = k_max
         self._mode = mode
-        self._precision = precision or ("high" if mode == "fast"
+        # Fast-mode default is "certified" (round 5): measured ~1.65x
+        # the 3-pass "high" route at the headline shape (7073 vs 4269
+        # solves/s, BASELINE.md) with an equally trustworthy reported
+        # error — the certificate IS a high-precision ‖Aᵀ(y−Ax)‖∞ and
+        # failing lanes re-solve at "high". Tolerance semantics are
+        # unchanged (reference defaults, binding.cpp:108-110).
+        self._precision = precision or ("certified" if mode == "fast"
                                         else "highest")
         if gram is None:
             gram = (self._n * self._n * self._A.dtype.itemsize
                     <= _GRAM_AUTO_BYTES)
         self._gram_enabled = bool(gram and mode == "fast")
         self._G_cache = None
+        self._mesh = mesh
+        self._A_mesh = self._G_mesh = None  # lazy sharded placements
         self._cache: dict = {}
 
     @property
@@ -274,6 +364,38 @@ class Homotopy:
         (policies.h:42), so callers there rebuild the solver.
         """
         _update_column_impl(self, j, col)
+
+    def _mesh_arrays(self):
+        """Construct-once sharded state: A placed row-sharded (padded to
+        the row-axis multiple) and, when the Gram is enabled, the
+        replicated AᵀA psum'd ONCE per mesh at highest precision
+        (parallel.sharding.gram_replicated) — the reference's
+        construct-once amortization (src/lib.cpp:51-57) extended to the
+        mesh. Recomputed lazily after ``update_column``."""
+        if self._A_mesh is None:
+            from .parallel import sharding as _sh
+            self._A_mesh = _mesh_place_rows(self._mesh, self._A)
+            if self._gram_enabled:
+                self._G_mesh = _sh.gram_replicated(self._mesh,
+                                                   self._A_mesh)
+        return self._A_mesh, self._G_mesh
+
+    def _solve_batch_mesh(self, Y, tol, max_iterations: int,
+                          dense: bool = True):
+        from .parallel import sharding as _sh
+        A, G = self._mesh_arrays()
+        Yd, bpad = _mesh_prep_batch(self._mesh, Y, A.shape[0])
+        k_max = self._k_max or min(self._n, max_iterations + 1)
+        out = _sh.homotopy_sharded(
+            self._mesh, A, Yd, tol, max_iterations, k_max=k_max,
+            gram=self._gram_enabled if G is None else None, G=G,
+            precision=self._precision, dense=dense)
+        rep = out[-1]
+        X = out[0] if dense else (out[0], out[1])
+        X, rep = _trim_batch(X, rep, bpad, dense)
+        if not dense:
+            return X[0], X[1], rep
+        return X, rep
 
     def _plan(self, max_iterations: int, batch: int | None,
               record_path: bool = False):
@@ -320,6 +442,33 @@ class Homotopy:
         if self._use_native(probe=True):
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            S = self._mesh.shape[_sh.ROW_AXIS]
+            k_max = self._k_max or min(self._n, max_iterations + 1)
+            local_b = -(-(batch or 1) // self._mesh.shape[_sh.DATA_AXIS])
+            sparse = (self._gram_enabled
+                      and local_b * k_max < 2 * self._m and k_max < self._n)
+            bn = _homotopy_batch.route_batch_native(
+                local_b, self._n, self._A.dtype, sparse)
+            plan = {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": self._mode, "precision": self._precision,
+                    "mesh": dict(self._mesh.shape), "sharded": True,
+                    "gram": self._gram_enabled,
+                    "gram_cached": self._G_mesh is not None,
+                    "k_max": k_max, "batch_native": bn,
+                    "overlap_mode": ("ppermute"
+                                     if bn and S > 1 and self._n >= 128 * S
+                                     else "psum"),
+                    "formulation": ("row+data shard_map solve "
+                                    "(parallel/sharding.homotopy_sharded"
+                                    + (", slot-space driver)" if bn
+                                       else ", vmapped core)"))}
+            if self._precision == "certified":
+                plan["path_precision"] = "default"
+                plan["certificate"] = ("psum'd ‖Aᵀ(y−Ax)‖∞ at high "
+                                       "precision; failing lanes re-solve")
+            return plan
         k_max, sparse, batch_native = self._plan(max_iterations, batch)
         plan = {
             "engine": "jax",
@@ -425,7 +574,8 @@ class Homotopy:
     def _use_native(self, probe: bool = False) -> bool:
         # exact mode is jax-only: the native engine implements the fast
         # path, not the reference's per-iteration recomputation
-        if self._engine == "jax" or self._mode == "exact":
+        if (self._engine == "jax" or self._mode == "exact"
+                or self._mesh is not None):
             return False
         return _route_native(self._engine, self._m, self._n, probe)
 
@@ -435,6 +585,13 @@ class Homotopy:
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            X, rep = self._solve_batch_mesh(y[None, :], tol,
+                                            max_iterations)
+            x, it, err = jax.device_get(
+                (X[0], rep.iter[0], rep.solution_error[0]))
+            return x, HomotopyReport(iter=int(it),
+                                     solution_error=float(err))
         if self._use_native():
             from .backend import native as _native
             k_max = self._k_max or min(self._n, max_iterations + 1)
@@ -485,6 +642,11 @@ class Homotopy:
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            raise ValueError(
+                "solve_path is single-device (the breakpoint history is "
+                "not plumbed through the sharded drivers); construct "
+                "without mesh= for path extraction")
         precision = ("high" if self._precision == "certified"
                      else self._precision)
         fn = self._fn(max_iterations, batch=None, precision=precision,
@@ -513,6 +675,11 @@ class Homotopy:
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            raise ValueError(
+                "solve_path_batch is single-device (the breakpoint "
+                "history is not plumbed through the sharded drivers); "
+                "construct without mesh= for path extraction")
         precision = ("high" if self._precision == "certified"
                      else self._precision)
         fn = self._fn(max_iterations, batch=Y.shape[0], precision=precision,
@@ -545,6 +712,8 @@ class Homotopy:
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            return self._solve_batch_mesh(Y, tol, max_iterations, dense)
         if self._use_native():
             from .backend import native as _native
             k_max = self._k_max or min(self._n, max_iterations + 1)
@@ -603,6 +772,11 @@ class Homotopy:
         here (a data-dependent re-solve cannot live under jit) — check
         ``solution_error <= tolerance`` downstream, or use ``solve``.
         """
+        if self._mesh is not None:
+            X, rep = self.solve_batch_on_device(y[None, :], tolerance,
+                                                max_iterations)
+            return X[0], type(rep)(iter=rep.iter[0],
+                                   solution_error=rep.solution_error[0])
         return self._fn(max_iterations, batch=None)(
             self._A, self._G, y, tolerance)
 
@@ -624,7 +798,20 @@ class Homotopy:
         failing lanes lives only in ``solve_batch`` (data-dependent work
         cannot live under jit) — check ``solution_error <= tolerance``
         per lane downstream.
+
+        With ``mesh=`` the solve routes through the sharded driver
+        (Y must already be (batch_padded, m_padded) matching the placed
+        A; certified raises under an outer jit — see homotopy_sharded).
         """
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            A, G = self._mesh_arrays()
+            k_max = self._k_max or min(self._n, max_iterations + 1)
+            out = _sh.homotopy_sharded(
+                self._mesh, A, Y, tolerance, max_iterations, k_max=k_max,
+                gram=self._gram_enabled if G is None else None, G=G,
+                precision=self._precision, dense=dense)
+            return ((out[0], out[1]), out[2]) if not dense else out
         return self._fn(max_iterations, batch=Y.shape[0], dense=dense)(
             self._A, self._G, Y, tolerance)
 
@@ -647,6 +834,13 @@ class Irls:
     solution_error is the reweighting schedule's eps (irls-cpu.cpp:123),
     not a residual, so there is no convergence criterion to certify.
 
+    ``mesh=`` (jax.sharding.Mesh with ("data", "row") axes) makes this
+    the construct-once sharded solver object: the economy QR is computed
+    ONCE on the mesh itself by CholeskyQR2 (parallel.sharding.qr_sharded
+    — no host factorization) and cached; solve/solve_batch route through
+    ``parallel.sharding.irls_sharded`` with batch/row padding handled
+    here.
+
     ``stabilized=True`` (beyond reference) normalizes each Newton
     iterate by its maximum before the threshold/eps/weight updates,
     removing the reference recurrence's intrinsic scale divergence —
@@ -659,7 +853,8 @@ class Irls:
     """
 
     def __init__(self, A, engine: str = "auto", mode: str = "fast",
-                 precision: str = "highest", stabilized: bool = False):
+                 precision: str = "highest", stabilized: bool = False,
+                 mesh=None):
         if engine not in ("auto", "jax", "native"):
             raise ValueError(
                 f"engine must be 'auto', 'jax' or 'native', got {engine!r}")
@@ -673,6 +868,8 @@ class Irls:
             raise ValueError(
                 "stabilized IRLS runs on the jax engine (the native host "
                 "backend implements the reference recurrence)")
+        if mesh is not None:
+            _check_mesh(mesh, mode, engine)
         self._engine = engine
         self._precision = precision
         self._mode = mode
@@ -680,7 +877,8 @@ class Irls:
         self._native = None
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
-        _warn_small_problem_jax(engine, self._m, self._n)
+        if mesh is None:
+            _warn_small_problem_jax(engine, self._m, self._n)
         if self._m < self._n:
             raise ValueError(
                 "Irls requires m >= n (underdetermined systems not "
@@ -688,6 +886,8 @@ class Irls:
             )
         self._QR_cache = None
         self._Rinv_cache = None
+        self._mesh = mesh
+        self._QR_mesh = None  # (Q row-sharded, R replicated), lazy
         self._cache: dict = {}
 
     def _qr(self):
@@ -731,6 +931,28 @@ class Irls:
             self._Rinv_cache = Rinv
         return self._Rinv_cache
 
+    def _mesh_qr(self):
+        """Construct-once mesh factorization: CholeskyQR2 on the mesh
+        itself (parallel.sharding.qr_sharded — Gram psum → replicated
+        Cholesky → local gemms; no host factorization anywhere), cached
+        per instance. The reference's QR-at-construction amortization
+        (src/lib.cpp:51-57) at mesh scale."""
+        if self._QR_mesh is None:
+            from .parallel import sharding as _sh
+            self._QR_mesh = _sh.qr_sharded(self._mesh,
+                                           jnp.asarray(self._A))
+        return self._QR_mesh
+
+    def _solve_batch_mesh(self, Y, tol, max_iterations: int):
+        from .parallel import sharding as _sh
+        Q, R = self._mesh_qr()
+        Yd, bpad = _mesh_prep_batch(self._mesh, Y, Q.shape[0])
+        X, rep = _sh.irls_sharded(
+            self._mesh, Q, R, Yd, tol, max_iterations, mode=self._mode,
+            newton="gemm" if self._newton_gemm(batched=True) else "trsm",
+            stabilized=self._stabilized)
+        return _trim_batch(X, rep, bpad, dense=True)
+
     def _newton_gemm(self, batched: bool) -> bool:
         """Whether the batched fast path applies the cached R⁻¹ by gemm
         (SS_IRLS_GEMM=1 opt-in). Measured on v5e (benchmarks/results/
@@ -756,6 +978,18 @@ class Irls:
         if self._use_native(probe=True):
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)"}
+        if self._mesh is not None:
+            plan = {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": self._mode, "mesh": dict(self._mesh.shape),
+                    "sharded": True,
+                    "formulation": ("row+data shard_map IRLS "
+                                    "(parallel/sharding.irls_sharded; "
+                                    "construction QR = mesh-native "
+                                    "CholeskyQR2)"),
+                    "qr_cached": self._QR_mesh is not None}
+            if self._stabilized:
+                plan["stabilized"] = True
+            return plan
         plan = {"engine": "jax", "backend": jax.default_backend(),
                 "mode": self._mode,
                 "formulation": ("vmapped IRLS iteration" if batch is not None
@@ -794,7 +1028,8 @@ class Irls:
     def _use_native(self, probe: bool = False) -> bool:
         # stabilized mode exists only in the jax engine (ctor rejects an
         # explicit engine="native"; auto routing skips it here)
-        if self._engine == "jax" or self._stabilized:
+        if (self._engine == "jax" or self._stabilized
+                or self._mesh is not None):
             return False
         return _route_native(self._engine, self._m, self._n, probe)
 
@@ -804,6 +1039,14 @@ class Irls:
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            X, rep = self._solve_batch_mesh(y[None, :], tol,
+                                            max_iterations)
+            x, it, err, spd = jax.device_get(
+                (X[0], rep.iter[0], rep.solution_error[0],
+                 rep.spd_failure[0]))
+            return x, IrlsReport(iter=int(it), solution_error=float(err),
+                                 spd_failure=bool(spd))
         if self._use_native():
             from .backend import native as _native
             if self._native is None:
@@ -826,6 +1069,8 @@ class Irls:
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            return self._solve_batch_mesh(Y, tol, max_iterations)
         if self._use_native():
             # threaded C++ batch over the cached QR handle; one worker
             # workspace per thread running the identical single-solve
@@ -852,12 +1097,29 @@ class Irls:
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
         """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        if self._mesh is not None:
+            X, rep = self.solve_batch_on_device(y[None, :], tolerance,
+                                                max_iterations)
+            return X[0], type(rep)(
+                iter=rep.iter[0], solution_error=rep.solution_error[0],
+                spd_failure=rep.spd_failure[0])
         return self._fn(max_iterations, batched=False)(
             self._Q, self._R, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 100):
-        """Jit-composable batched solve (see Homotopy.solve_batch_on_device)."""
+        """Jit-composable batched solve (see Homotopy.solve_batch_on_device).
+        With ``mesh=``, Y must already match the placed Q's padded row
+        count (use ``solve_batch`` for host-side padding/trimming)."""
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            Q, R = self._mesh_qr()
+            return _sh.irls_sharded(
+                self._mesh, Q, R, Y, tolerance, max_iterations,
+                mode=self._mode,
+                newton="gemm" if self._newton_gemm(batched=True)
+                else "trsm",
+                stabilized=self._stabilized)
         return self._fn(max_iterations, batched=True)(
             self._Q, self._R, Y, tolerance)
 
@@ -905,7 +1167,8 @@ class IrlsCg:
     def __init__(self, A, p: float = 1.0, k_sparsity: int | None = None,
                  cg_max_iterations: int | None = None,
                  cg_tolerance: float | None = None,
-                 precision: str = "highest", engine: str = "auto"):
+                 precision: str = "highest", engine: str = "auto",
+                 mesh=None):
         if precision not in ("highest", "high", "default"):
             raise ValueError(
                 "precision must be 'highest', 'high' or 'default', "
@@ -935,7 +1198,12 @@ class IrlsCg:
         self._cg_tol = cg_tolerance
         self._precision = precision
         self._engine = engine
-        _warn_small_problem_jax(engine, self._m, self._n)
+        if mesh is not None:
+            _check_mesh(mesh, "fast", engine)
+        else:
+            _warn_small_problem_jax(engine, self._m, self._n)
+        self._mesh = mesh
+        self._A_mesh = None  # lazy column-sharded placement
         self._cache: dict = {}
 
     @property
@@ -959,11 +1227,46 @@ class IrlsCg:
             fn = jax.jit(lambda A, v, j: A.at[:, j].set(v))
             self._cache[("colupd",)] = fn
         self._A = fn(jnp.asarray(self._A), v, j)
+        self._A_mesh = None  # mesh placement is stale
 
     def _use_native(self, probe: bool = False) -> bool:
-        if self._engine == "jax":
+        if self._engine == "jax" or self._mesh is not None:
             return False
         return _route_native(self._engine, self._m, self._n, probe)
+
+    def _mesh_a(self):
+        """Construct-once column-sharded placement (the n axis is the
+        large dimension in the basis-pursuit regime; columns padded to
+        the mesh multiple — zero columns are inert,
+        parallel.sharding.irls_cg_sharded)."""
+        if self._A_mesh is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import sharding as _sh
+            n_dev = self._mesh.shape[_sh.ROW_AXIS]
+            pad = (-self._n) % n_dev
+            A = jnp.asarray(self._A)
+            if pad:
+                A = jnp.pad(A, ((0, 0), (0, pad)))
+            self._A_mesh = jax.device_put(
+                A, NamedSharding(self._mesh, P(None, _sh.ROW_AXIS)))
+        return self._A_mesh
+
+    def _solve_batch_mesh(self, Y, tol, max_iterations: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel import sharding as _sh
+        A = self._mesh_a()
+        Y = jnp.asarray(Y)
+        bpad = (-Y.shape[0]) % self._mesh.shape[_sh.DATA_AXIS]
+        if bpad:
+            Y = jnp.pad(Y, ((0, bpad), (0, 0)))
+        Y = jax.device_put(
+            Y, NamedSharding(self._mesh, P(_sh.DATA_AXIS, None)))
+        X, rep = _sh.irls_cg_sharded(
+            self._mesh, A, Y, tol, max_iterations, p=self._p,
+            k_sparsity=self._k, cg_max_iterations=self._cg_max,
+            cg_tolerance=self._cg_tol)
+        X = X[:, :self._n]
+        return _trim_batch(X, rep, bpad, dense=True)
 
     def explain(self, batch: int | None = None,
                 max_iterations: int = 100) -> dict:
@@ -972,6 +1275,14 @@ class IrlsCg:
             return {"engine": "native", "mode": "cg",
                     "backend": "csrc host (C++)",
                     "factorization_free": True}
+        if self._mesh is not None:
+            return {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": "cg", "precision": self._precision,
+                    "p": self._p, "mesh": dict(self._mesh.shape),
+                    "sharded": True,
+                    "formulation": ("column+data shard_map CG-IRLS "
+                                    "(parallel/sharding."
+                                    "irls_cg_sharded)")}
         return {"engine": "jax", "backend": jax.default_backend(),
                 "mode": "cg", "precision": self._precision,
                 "p": self._p,
@@ -1014,6 +1325,14 @@ class IrlsCg:
                 cg_max_iterations=self._cg_max, cg_tolerance=self._cg_tol)
             return xn, IrlsReport(iter=it, solution_error=eps,
                                   spd_failure=broke)
+        if self._mesh is not None:
+            X, rep = self._solve_batch_mesh(y[None, :], tol,
+                                            max_iterations)
+            x, it, err, spd = jax.device_get(
+                (X[0], rep.iter[0], rep.solution_error[0],
+                 rep.spd_failure[0]))
+            return x, IrlsReport(iter=int(it), solution_error=float(err),
+                                 spd_failure=bool(spd))
         x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
         x, it, err, spd = jax.device_get(
             (x, rep.iter, rep.solution_error, rep.spd_failure))
@@ -1026,6 +1345,8 @@ class IrlsCg:
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            return self._solve_batch_mesh(Y, tol, max_iterations)
         if self._use_native():
             from .backend import native as _native
             # one device→host transfer each for the whole batch (reads
@@ -1046,11 +1367,25 @@ class IrlsCg:
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 100):
         """Jit-composable solve: device arrays in, (x, report pytree) out."""
+        if self._mesh is not None:
+            X, rep = self.solve_batch_on_device(y[None, :], tolerance,
+                                                max_iterations)
+            return X[0], type(rep)(
+                iter=rep.iter[0], solution_error=rep.solution_error[0],
+                spd_failure=rep.spd_failure[0])
         return self._fn(max_iterations, batched=False)(self._A, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 100):
         """Jit-composable batched solve over device arrays."""
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            X, rep = _sh.irls_cg_sharded(
+                self._mesh, self._mesh_a(), Y, tolerance, max_iterations,
+                p=self._p, k_sparsity=self._k,
+                cg_max_iterations=self._cg_max,
+                cg_tolerance=self._cg_tol)
+            return X[:, :self._n], rep
         return self._fn(max_iterations, batched=True)(self._A, Y, tolerance)
 
     def _tol(self, tolerance):
@@ -1073,8 +1408,8 @@ class Omp:
     Parameters mirror ``Homotopy`` where they apply: ``k_max`` caps the
     support (default min(n, m, max_iterations) — OMP only inserts, so
     this never overflows), ``mode`` "fast"/"exact", ``precision`` MXU
-    contraction precision (default "high" in fast mode / "highest" in
-    exact; "certified" runs the pick loop at one-pass precision and
+    contraction precision (default "certified" in fast mode /
+    "highest" in exact; "certified" runs the pick loop at one-pass precision and
     reports a fused high-precision residual certificate ‖y−Ax‖₂ per
     lane, with solve/solve_batch re-solving certificate-failing lanes
     at "high" — homotopy's certified design on the ℓ₂ criterion),
@@ -1094,7 +1429,7 @@ class Omp:
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
                  gram: bool | None = None, precision: str | None = None,
-                 engine: str = "auto"):
+                 engine: str = "auto", mesh=None):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         if engine not in ("auto", "jax", "native"):
@@ -1104,6 +1439,12 @@ class Omp:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
+        if mesh is not None:
+            if mode == "exact":
+                raise ValueError(
+                    "mesh-sharded solving runs the fast-path "
+                    "formulation; mode='exact' is single-device")
+            _check_mesh(mesh, mode, engine)
         if precision is not None and precision not in _PRECISION_VALUES:
             raise ValueError(
                 "precision must be 'highest', 'high', 'default' or "
@@ -1127,14 +1468,16 @@ class Omp:
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
-        _warn_small_problem_jax(engine, self._m, self._n)
+        if mesh is None:
+            _warn_small_problem_jax(engine, self._m, self._n)
         self._k_max = k_max
         self._mode = mode
-        # Homotopy's convention: parity-grade 3-pass contractions on the
-        # fast path (trajectories stay pick-for-pick with the oracle at
-        # test tolerances; measured 2373 vs 1650 solves/s over "highest"
-        # at the headline shape), bit-faithful 6-pass in exact mode.
-        self._precision = precision or ("high" if mode == "fast"
+        # Homotopy's convention (round 5): certified one-pass + fused
+        # high-precision residual certificate on the fast path — 7100
+        # vs 4564 solves/s at the headline shape with the reported
+        # error recomputed at high precision and failing lanes
+        # re-solved; bit-faithful 6-pass in exact mode.
+        self._precision = precision or ("certified" if mode == "fast"
                                         else "highest")
         self._gram_forced = gram is True  # explicit True pins the
         # Gram-gather correlation formulation (auto only routes it)
@@ -1143,6 +1486,8 @@ class Omp:
                     <= _GRAM_AUTO_BYTES)
         self._gram_enabled = bool(gram and mode == "fast")
         self._G_cache = None
+        self._mesh = mesh
+        self._A_mesh = self._G_mesh = None  # lazy sharded placements
         self._cache: dict = {}
 
     @property
@@ -1164,9 +1509,45 @@ class Omp:
         _update_column_impl(self, j, col)
 
     def _use_native(self, probe: bool = False) -> bool:
-        if self._engine == "jax" or self._mode == "exact":
+        if (self._engine == "jax" or self._mode == "exact"
+                or self._mesh is not None):
             return False
         return _route_native(self._engine, self._m, self._n, probe)
+
+    def _mesh_arrays(self):
+        """Construct-once sharded state (see Homotopy._mesh_arrays)."""
+        if self._A_mesh is None:
+            from .parallel import sharding as _sh
+            self._A_mesh = _mesh_place_rows(self._mesh, self._A)
+            if self._gram_enabled:
+                self._G_mesh = _sh.gram_replicated(self._mesh,
+                                                   self._A_mesh)
+        return self._A_mesh, self._G_mesh
+
+    def _mesh_gram_arg(self):
+        """gram flag for omp_sharded: explicit True pins the Gram-gather
+        formulation; auto-enabled passes None (the precomputed G flips
+        it on without pinning); disabled is False."""
+        if self._gram_forced:
+            return True
+        return None if self._gram_enabled else False
+
+    def _solve_batch_mesh(self, Y, tol, max_iterations: int,
+                          dense: bool = True):
+        from .parallel import sharding as _sh
+        A, G = self._mesh_arrays()
+        Yd, bpad = _mesh_prep_batch(self._mesh, Y, A.shape[0])
+        out = _sh.omp_sharded(
+            self._mesh, A, Yd, tol, max_iterations,
+            k_max=self._resolved_k_max(max_iterations),
+            gram=self._mesh_gram_arg(), G=G,
+            precision=self._precision, dense=dense)
+        rep = out[-1]
+        X = out[0] if dense else (out[0], out[1])
+        X, rep = _trim_batch(X, rep, bpad, dense)
+        if not dense:
+            return X[0], X[1], rep
+        return X, rep
 
     def _resolved_k_max(self, max_iterations: int) -> int:
         if self._k_max is not None:
@@ -1180,6 +1561,21 @@ class Omp:
             return {"engine": "native", "mode": self._mode,
                     "backend": "csrc host (C++)",
                     "k_max": self._resolved_k_max(max_iterations)}
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            plan = {"engine": "jax", "backend": jax.default_backend(),
+                    "mode": self._mode, "precision": self._precision,
+                    "mesh": dict(self._mesh.shape), "sharded": True,
+                    "gram": self._gram_enabled,
+                    "gram_cached": self._G_mesh is not None,
+                    "k_max": self._resolved_k_max(max_iterations),
+                    "formulation": ("row+data shard_map OMP "
+                                    "(parallel/sharding.omp_sharded)")}
+            if self._precision == "certified":
+                plan["certificate"] = ("psum'd ‖y−Ax‖₂ at high "
+                                       "precision; failing lanes "
+                                       "re-solve")
+            return plan
         if self._route_driver(batch, max_iterations):
             plan = {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
@@ -1309,6 +1705,12 @@ class Omp:
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
+        if self._mesh is not None:
+            X, rep = self._solve_batch_mesh(y[None, :], tol,
+                                            max_iterations)
+            x, it, err = jax.device_get(
+                (X[0], rep.iter[0], rep.solution_error[0]))
+            return x, OmpReport(iter=int(it), solution_error=float(err))
         if self._use_native():
             from .backend import native as _native
             xn, it, err = _native.omp_solve(
@@ -1343,6 +1745,8 @@ class Omp:
         tol = self._tol(tolerance)
         _check_max_iterations(max_iterations)
         k_max = self._resolved_k_max(max_iterations)
+        if self._mesh is not None:
+            return self._solve_batch_mesh(Y, tol, max_iterations, dense)
         if self._use_native():
             from .backend import native as _native
             X, its, errs = _native.omp_solve_batch(
@@ -1397,6 +1801,11 @@ class Omp:
         happens here (data-dependent work cannot live under jit —
         ``solve`` has it); check ``solution_error <= tolerance``
         downstream."""
+        if self._mesh is not None:
+            X, rep = self.solve_batch_on_device(y[None, :], tolerance,
+                                                max_iterations)
+            return X[0], type(rep)(
+                iter=rep.iter[0], solution_error=rep.solution_error[0])
         corr = self._route_corr(None, max_iterations)
         return self._fn(max_iterations, batched=False, corr=corr)(
             self._A, self._G, y, tolerance)
@@ -1411,6 +1820,15 @@ class Omp:
         certificate but the data-dependent re-solve lives only in
         ``solve_batch`` — check ``solution_error <= tolerance``
         per lane downstream."""
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            A, G = self._mesh_arrays()
+            out = _sh.omp_sharded(
+                self._mesh, A, Y, tolerance, max_iterations,
+                k_max=self._resolved_k_max(max_iterations),
+                gram=self._mesh_gram_arg(), G=G,
+                precision=self._precision, dense=dense)
+            return ((out[0], out[1]), out[2]) if not dense else out
         if self._route_driver(int(Y.shape[0]), max_iterations):
             return self._fn(max_iterations, batched=True, driver=True,
                             dense=dense)(

@@ -78,7 +78,8 @@ def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
                          batch_native: bool, overlap_split: int,
                          max_iterations: int, k_max: int, certified: bool,
                          dense: bool = True, overlap_blocks: int = 1,
-                         overlap_mode: str = "psum"):
+                         overlap_mode: str = "psum",
+                         gram_in: bool = False):
     """Build (and cache) the jitted shard_map'd homotopy solve for one
     static configuration. Caching at module level makes repeated *eager*
     ``homotopy_sharded`` calls amortized like the construct-once
@@ -88,18 +89,29 @@ def _homotopy_sharded_fn(mesh: Mesh, path_precision: str, gram: bool,
     out_spec = (P(DATA_AXIS, None) if dense
                 else (P(DATA_AXIS, None), P(DATA_AXIS, None)))
 
+    g_spec = (P(None, None),) if gram_in else ()
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
+             in_specs=(P(ROW_AXIS, None),) + g_spec
+                      + (P(DATA_AXIS, ROW_AXIS), P()),
              out_specs=(out_spec,
                         (P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
-    def run(A_local, Y_local, tol):
+    def run(A_local, *rest):
         from ..ops import blas
+        if gram_in:
+            G_in, Y_local, tol = rest
+        else:
+            G_in = None
+            Y_local, tol = rest
         n = A_local.shape[1]  # row shards keep every column (global n)
         m_global = A_local.shape[0] * mesh.shape[ROW_AXIS]
         with blas.precision_scope(path_precision):
-            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
-                              ROW_AXIS) if gram else None)
+            # a precomputed replicated Gram (the mesh facade's construct-
+            # once amortization) skips the per-call psum'd build
+            G = (G_in if gram_in else
+                 (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                               ROW_AXIS) if gram else None))
             if batch_native:
                 from ..solvers.homotopy_batch import solve_homotopy_batch
                 X, rep = solve_homotopy_batch(
@@ -156,7 +168,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                      batch_native: bool | None = None,
                      dense: bool = True,
                      overlap_blocks: int | None = None,
-                     overlap_mode: str | None = None):
+                     overlap_mode: str | None = None,
+                     G: jnp.ndarray | None = None):
     """Row-sharded, batch-sharded homotopy solve.
 
     A: (m, n) — rows sharded over the "row" axis, replicated over "data".
@@ -238,6 +251,10 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     path_precision = "default" if certified else precision
     n = A.shape[1]
     k_max = k_max or min(n, max_iterations + 1)
+    if G is not None:
+        if gram is False:
+            raise ValueError("a precomputed G was passed with gram=False")
+        gram = True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
     if batch_native and overlap_split > 1:
@@ -305,8 +322,11 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                               bool(batch_native), overlap_split,
                               max_iterations, k_max, certified,
                               dense=dense, overlap_blocks=overlap_blocks,
-                              overlap_mode=overlap_mode)
-    X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
+                              overlap_mode=overlap_mode,
+                              gram_in=G is not None)
+    args = (A,) + (() if G is None else (G,)) + (
+        Y, jnp.asarray(tolerance, A.dtype))
+    X, (iters, errs) = fn(*args)
     from ..solvers.homotopy import HomotopyReportArrays
     rep = HomotopyReportArrays(iter=iters, solution_error=errs)
     if certified:
@@ -327,7 +347,8 @@ def homotopy_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 tolerance, max_iterations, k_max=k_max, gram=gram,
                 overlap_split=overlap_split, precision="high",
                 batch_native=batch_native, dense=dense,
-                overlap_blocks=overlap_blocks, overlap_mode=overlap_mode)
+                overlap_blocks=overlap_blocks, overlap_mode=overlap_mode,
+                G=G)
             rh = out_h[-1]
             sel = jnp.asarray(bad)
             if dense:
@@ -349,22 +370,30 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     max_iterations: int, k_max: int, corr: str,
                     batch_native: bool = False, dense: bool = True,
                     overlap_blocks: int = 1, certified: bool = False,
-                    overlap_mode: str = "psum"):
+                    overlap_mode: str = "psum", gram_in: bool = False):
     from ..solvers.omp import solve_omp_core
 
     out_spec = (P(DATA_AXIS, None) if dense
                 else (P(DATA_AXIS, None), P(DATA_AXIS, None)))
+    g_spec = (P(None, None),) if gram_in else ()
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
+             in_specs=(P(ROW_AXIS, None),) + g_spec
+                      + (P(DATA_AXIS, ROW_AXIS), P()),
              out_specs=(out_spec, (P(DATA_AXIS), P(DATA_AXIS))),
              check_vma=False)
-    def run(A_local, Y_local, tol):
+    def run(A_local, *rest):
         from ..ops import blas
+        if gram_in:
+            G_in, Y_local, tol = rest
+        else:
+            G_in = None
+            Y_local, tol = rest
         n = A_local.shape[1]
         with blas.precision_scope(precision):
-            G = (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
-                              ROW_AXIS) if gram else None)
+            G = (G_in if gram_in else
+                 (jax.lax.psum(blas.xgemm(A_local, A_local, trans_a=True),
+                               ROW_AXIS) if gram else None))
             if batch_native:
                 from ..solvers.omp_batch import solve_omp_batch
                 X, rep = solve_omp_batch(
@@ -408,7 +437,8 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 gram: bool | None = None, precision: str = "highest",
                 batch_native: bool | None = None, dense: bool = True,
                 overlap_blocks: int | None = None,
-                overlap_mode: str | None = None):
+                overlap_mode: str | None = None,
+                G: jnp.ndarray | None = None):
     """Row-sharded, batch-sharded OMP (solvers/omp.py — the greedy
     beyond-reference family) over the same (data, row) mesh layout as
     ``homotopy_sharded``: per-iteration residual correlations psum once
@@ -466,6 +496,10 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     # auto-True handed back as gram=True would become gram_forced and
     # pin corr='gram' past the crossover — review finding)
     gram_forced = gram is True
+    if G is not None:
+        if gram is False:
+            raise ValueError("a precomputed G was passed with gram=False")
+        gram = True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
     local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
@@ -525,8 +559,11 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     fn = _omp_sharded_fn(mesh, path_precision, bool(gram), max_iterations,
                          k_max, corr, batch_native=bool(batch_native),
                          dense=dense, overlap_blocks=overlap_blocks,
-                         certified=certified, overlap_mode=overlap_mode)
-    X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
+                         certified=certified, overlap_mode=overlap_mode,
+                         gram_in=G is not None)
+    args = (A,) + (() if G is None else (G,)) + (
+        Y, jnp.asarray(tolerance, A.dtype))
+    X, (iters, errs) = fn(*args)
     from ..solvers.omp import OmpReportArrays
     rep = OmpReportArrays(iter=iters, solution_error=errs)
     if certified:
@@ -547,7 +584,7 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 tolerance, max_iterations, k_max=k_max, gram=gram_arg,
                 precision="high", batch_native=batch_native,
                 dense=dense, overlap_blocks=overlap_blocks,
-                overlap_mode=overlap_mode)
+                overlap_mode=overlap_mode, G=G)
             rh = out_h[-1]
             sel = jnp.asarray(bad)
             if dense:
@@ -562,6 +599,28 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if not dense:
         return X[0], X[1], rep
     return X, rep
+
+
+@functools.lru_cache(maxsize=32)
+def _gram_replicated_fn(mesh: Mesh):
+    @partial(shard_map, mesh=mesh, in_specs=(P(ROW_AXIS, None),),
+             out_specs=P(None, None), check_vma=False)
+    def run(A_local):
+        from ..ops import blas
+        with blas.precision_scope("highest"):
+            return jax.lax.psum(blas.xgemm(A_local, A_local,
+                                           trans_a=True), ROW_AXIS)
+    return jax.jit(run)
+
+
+def gram_replicated(mesh: Mesh, A: jnp.ndarray) -> jnp.ndarray:
+    """AᵀA of a row-sharded A, replicated on every device — one psum'd
+    gemm. The mesh façade's construct-once Gram (api.Homotopy/Omp with
+    ``mesh=``): computed once at highest MXU precision (the unsharded
+    ``_lazy_gram`` convention) and passed into every ``*_sharded`` call
+    via their ``G=`` argument, so serving calls skip the per-call
+    build."""
+    return _gram_replicated_fn(mesh)(A)
 
 
 @functools.lru_cache(maxsize=32)

@@ -342,11 +342,15 @@ def test_api_routes_gram_disabled_to_gram_free_driver():
     Y = (X0 @ A.T).astype(np.float32)
     os.environ["SS_BATCH_NATIVE"] = "1"
     try:
-        s = ss.Homotopy(A, gram=False, engine="jax")
+        # "high" pins the formulation-parity regime: the round-5
+        # certified default runs the path one-pass, where gram-free
+        # bf16 insert columns vs the f32 Gram table are a documented
+        # ulp-divergence class (certified has its own tests)
+        s = ss.Homotopy(A, gram=False, engine="jax", precision="high")
         plan = s.explain(batch=b, max_iterations=60)
         assert plan["batch_native"] and plan.get("gram_free") is True
         X, rep = s.solve_batch(Y, tolerance=1e-3, max_iterations=60)
-        sg = ss.Homotopy(A, engine="jax")
+        sg = ss.Homotopy(A, engine="jax", precision="high")
         assert "gram_free" not in sg.explain(batch=b, max_iterations=60)
         Xg, rg = sg.solve_batch(Y, tolerance=1e-3, max_iterations=60)
         np.testing.assert_array_equal(np.asarray(rep.iter),

@@ -198,3 +198,28 @@ def test_certified_native_routing_is_exact_and_skipped():
     assert rep.solution_error <= 1e-2
     c = (Y[0] - np.asarray(x) @ A.T) @ A
     assert np.max(np.abs(c)) <= 1e-2
+
+
+def test_certified_is_fast_mode_default():
+    """Round-5 default flip: fast-mode Homotopy and Omp default to
+    precision="certified" (measured free at the headline shape with an
+    equally trustworthy reported error — BASELINE.md); exact mode keeps
+    "highest". Parity: the default route's support is exact, its
+    reported error is the high-precision certificate, and it matches
+    the "high" route at test tolerances."""
+    import sparse_solvers_tpu as ss
+    A, Y = make_problem(48, 160, 5, 8, seed=11)
+    for cls in (ss.Homotopy, ss.Omp):
+        solver = cls(A, engine="jax")
+        assert solver._precision == "certified"
+        assert cls(A, mode="exact", engine="jax")._precision == "highest"
+        plan = solver.explain(batch=8)
+        assert plan["precision"] == "certified"
+        X, rep = solver.solve_batch(Y, tolerance=1e-2, max_iterations=40)
+        Xh, reph = cls(A, engine="jax", precision="high").solve_batch(
+            Y, tolerance=1e-2, max_iterations=40)
+        np.testing.assert_array_equal(np.asarray(rep.iter),
+                                      np.asarray(reph.iter))
+        np.testing.assert_allclose(np.asarray(X), np.asarray(Xh),
+                                   atol=1e-5)
+        assert np.all(np.asarray(rep.solution_error) <= 1e-2)

@@ -466,11 +466,16 @@ def test_batch_driver_gram_free(monkeypatch):
         x[rng.choice(256, 7, replace=False)] = rng.uniform(0.5, 1.0, 7)
         Y.append(A @ x)
     Y = np.stack(Y)
-    free = ss.Omp(A, engine="jax", gram=False)
+    # formulation parity is asserted at "high" path precision: the
+    # round-5 "certified" default runs picks at one-pass precision,
+    # where the gram-free bf16 insert columns vs the f32 Gram table are
+    # a documented ulp-divergence class (certified behavior has its own
+    # tests)
+    free = ss.Omp(A, engine="jax", gram=False, precision="high")
     plan = free.explain(batch=6, max_iterations=30)
     assert plan["corr"] == "driver" and plan["gram_free"], plan
     Xf, rf = free.solve_batch(Y, tolerance=1e-2, max_iterations=30)
-    gram = ss.Omp(A, engine="jax")
+    gram = ss.Omp(A, engine="jax", precision="high")
     Xg, rg = gram.solve_batch(Y, tolerance=1e-2, max_iterations=30)
     np.testing.assert_array_equal(np.asarray(rf.iter), np.asarray(rg.iter))
     np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xg), atol=2e-4)
@@ -681,11 +686,14 @@ def test_fuzz_driver_vs_core(monkeypatch):
             Y[i] = A @ x
         kw = dict(tolerance=1e-2, max_iterations=30)
         monkeypatch.setenv("SS_BATCH_NATIVE", "1")
-        drv = ss.Omp(A, engine="jax", gram=gram)
+        # "high" pins the 3-pass formulation-parity regime (the
+        # certified default's one-pass picks add a documented
+        # bf16-divergence class between gram-free and core)
+        drv = ss.Omp(A, engine="jax", gram=gram, precision="high")
         assert drv.explain(batch=b, max_iterations=30)["corr"] == "driver"
         Xd, rd = drv.solve_batch(Y, **kw)
         monkeypatch.setenv("SS_BATCH_NATIVE", "0")
-        core = ss.Omp(A, engine="jax", gram=gram)
+        core = ss.Omp(A, engine="jax", gram=gram, precision="high")
         Xc, rc = core.solve_batch(Y, **kw)
         same = np.asarray(rd.iter) == np.asarray(rc.iter)
         if not same.all():
