@@ -226,9 +226,16 @@ def _update_column_impl(solver, j: int, col) -> None:
     else:
         solver._A, _ = fn(jnp.asarray(solver._A), v, j)
     if getattr(solver, "_mesh", None) is not None:
-        # the row-sharded placement and replicated mesh Gram are stale;
-        # re-place lazily on the next sharded solve
-        solver._A_mesh = solver._G_mesh = None
+        if solver._A_mesh is not None:
+            # incremental mesh rewrite: shard-local column set + ONE
+            # psum'd Aᵀv gemv for the replicated Gram's row/col
+            # (parallel.sharding.update_column_sharded) — the
+            # single-device incremental update at mesh scale
+            from .parallel import sharding as _sh
+            solver._A_mesh, solver._G_mesh = _sh.update_column_sharded(
+                solver._mesh, solver._A_mesh, solver._G_mesh, v, j)
+        # else: nothing placed yet — the lazy placement reads the
+        # already-updated host A
 
 
 class Homotopy:

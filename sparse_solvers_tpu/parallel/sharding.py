@@ -624,6 +624,60 @@ def gram_replicated(mesh: Mesh, A: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+def _update_column_fn(mesh: Mesh, with_gram: bool):
+    """Cached jitted in-place column replacement on the mesh (the
+    façades' serving gallery churn — api._update_column_impl): column j
+    of the row-sharded A is rewritten shard-locally from the row-sharded
+    new column, and the replicated Gram's row/column j is rebuilt with
+    ONE psum'd Aᵀv gemv — the single-device incremental rewrite
+    (api.py upd) at mesh scale, instead of re-placing A and re-psumming
+    the full n² Gram."""
+    g_spec = (P(None, None),) if with_gram else ()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None),) + g_spec + (P(ROW_AXIS), P()),
+             out_specs=((P(ROW_AXIS, None), P(None, None)) if with_gram
+                        else P(ROW_AXIS, None)),
+             check_vma=False)
+    def run(A_local, *rest):
+        from ..ops import blas
+        if with_gram:
+            G, v_local, j = rest
+        else:
+            v_local, j = rest
+        A2 = jax.lax.dynamic_update_slice(A_local, v_local[:, None],
+                                          (jnp.int32(0), j))
+        if not with_gram:
+            return A2
+        with blas.precision_scope("highest"):
+            g = jax.lax.psum(blas.xgemv(A2, v_local, trans=True),
+                             ROW_AXIS)
+        G2 = jax.lax.dynamic_update_slice(G, g[:, None], (jnp.int32(0), j))
+        G2 = jax.lax.dynamic_update_slice(G2, g[None, :], (j, jnp.int32(0)))
+        return A2, G2
+
+    return jax.jit(run)
+
+
+def update_column_sharded(mesh: Mesh, A: jnp.ndarray, G, v, j: int):
+    """Replace column j of a row-sharded A (and the replicated Gram's
+    row/col, if held) in place on the mesh. ``v`` is the (m,) new
+    column at the UNPADDED row count; rows are padded to A's placed
+    count with zeros (inert). Returns (A2, G2) with G2=None when G is
+    None."""
+    v = jnp.asarray(v)
+    extra = A.shape[0] - v.shape[0]
+    if extra:
+        v = jnp.pad(v, ((0, extra),))
+    v = jax.device_put(v, NamedSharding(mesh, P(ROW_AXIS)))
+    fn = _update_column_fn(mesh, G is not None)
+    j = jnp.asarray(j, jnp.int32)
+    if G is None:
+        return fn(A, v, j), None
+    return fn(A, G, v, j)
+
+
+@functools.lru_cache(maxsize=32)
 def _qr_sharded_fn(mesh: Mesh, passes: int):
     """Cached jitted shard_map'd CholeskyQR factorization (see
     qr_sharded)."""

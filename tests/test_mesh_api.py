@@ -148,17 +148,32 @@ def test_mesh_validation_errors(mesh):
         ss.Homotopy(A, mesh=mesh).solve_path(np.ones(8, np.float32))
 
 
-def test_mesh_update_column_invalidates(mesh):
+def test_mesh_update_column_incremental(mesh):
+    """Gallery churn at mesh scale: update_column rewrites the placed
+    row-sharded A shard-locally and the replicated Gram's row/col with
+    one psum'd Aᵀv gemv (update_column_sharded) — no re-placement, no
+    n² Gram rebuild — and subsequent solves see the new column."""
     rng = np.random.RandomState(6)
-    A, X0, Y = _sparse_problem(rng, 32, 48, 4, 2)
+    A, X0, Y = _sparse_problem(rng, 37, 48, 4, 2)  # padded rows too
     solver = ss.Homotopy(A, mesh=mesh)
     solver.solve_batch(Y, tolerance=1e-3, max_iterations=30)
     assert solver._A_mesh is not None
-    v = rng.randn(32).astype(np.float32)
+    v = rng.randn(37).astype(np.float32)
     solver.update_column(5, v / np.linalg.norm(v))
-    assert solver._A_mesh is None  # re-placed lazily
+    # incremental: placements stay live (not invalidated)
+    assert solver._A_mesh is not None and solver._G_mesh is not None
     A2 = np.array(np.asarray(solver._A))
+    np.testing.assert_allclose(np.asarray(solver._G_mesh), A2.T @ A2,
+                               atol=1e-5)
     X, rep = solver.solve_batch(Y, tolerance=1e-3, max_iterations=30)
     Xs, reps = ss.Homotopy(A2, engine="jax").solve_batch(
         Y, tolerance=1e-3, max_iterations=30)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(reps.iter))
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-5)
+    # churn before first placement: lazy path reads the updated host A
+    s2 = ss.Homotopy(A, mesh=mesh)
+    s2.update_column(3, v / np.linalg.norm(v))
+    assert s2._A_mesh is None
+    s2.solve_batch(Y, tolerance=1e-3, max_iterations=30)
+    assert s2._A_mesh is not None
