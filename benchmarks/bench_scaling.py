@@ -75,7 +75,7 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (virtual device mesh)")
     ap.add_argument("--axes", default="row,data,overhead,gram_false,"
-                    "batch_native,overlap", help="comma-separated axis subset — on a "
+                    "batch_native,overlap,ppermute", help="comma-separated axis subset — on a "
                     "single real chip, 'row,overhead' records the "
                     "sharded-vs-unsharded overhead without paying the "
                     "remote compiles of the other legs")
@@ -201,6 +201,34 @@ def main():
              results_match=same, all_reduce_ops_split1=ar1,
              all_reduce_ops_split2=ar2,
              note=("virtual CPU mesh: timings indicative only; real-ICI "
+                   "overlap requires >=2 physical chips"
+                   if platform == "cpu" else "real devices"))
+
+    # --- 5b. ppermute collective-matmul ring (round 5) ------------------
+    # the hand-pipelined reduction the all-reduce combiner cannot merge;
+    # on real multi-chip hardware this axis is THE overlap measurement
+    # (the AOT evidence shows async collective-permute-start/done pairs)
+    if "ppermute" in axes and ndev >= 2:
+        meshP = sh.make_mesh(n_row=min(4, ndev), n_data=1)
+        dtp, Xp, itp, runp, pargs = _time_sharded(
+            jax, sh, meshP, A, Y, tol, max_iter,
+            batch_native=True, gram=False, overlap_mode="ppermute")
+        dts, Xs2, _, runs_, _ = _time_sharded(
+            jax, sh, meshP, A, Y, tol, max_iter,
+            batch_native=True, gram=False, overlap_mode="psum")
+        same = bool(np.allclose(np.asarray(Xp), np.asarray(Xs2),
+                                atol=1e-5))
+        hlop = runp.lower(*pargs).compile().as_text()
+        emit(bench="scaling", axis="ppermute_ring", platform=platform,
+             devices=min(4, ndev),
+             ppermute_solves_per_sec=round(batch / dtp, 3),
+             psum_solves_per_sec=round(batch / dts, 3),
+             results_match=same,
+             collective_permutes=hlop.count("collective-permute-start(")
+             or len([l for l in hlop.splitlines()
+                     if "collective-permute(" in l]),
+             note=("virtual CPU mesh: timings indicative only; the ring "
+                   "pays CPU thread rendezvous per permute — real-ICI "
                    "overlap requires >=2 physical chips"
                    if platform == "cpu" else "real devices"))
 
