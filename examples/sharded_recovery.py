@@ -84,6 +84,37 @@ def main():
           f"{np.asarray(repb.iter).mean():.1f}; matches vmapped core: "
           f"{agree}")
 
+    # round 5: the ring-pipelined reduction (lax.ppermute collective
+    # matmul — the overlap XLA's all-reduce combiner cannot undo; auto
+    # on sharded row axes at n >= 128*S, forced here for the demo)
+    if mesh.shape[sh.ROW_AXIS] > 1:
+        Xp, repp = sh.homotopy_sharded(mesh, Ad, Yd, tolerance=1e-2,
+                                       max_iterations=4 * k,
+                                       batch_native=True, gram=False,
+                                       overlap_mode="ppermute")
+        print(f"ppermute collective-matmul ring: matches psum driver: "
+              f"{np.allclose(np.asarray(Xp), np.asarray(Xb), atol=1e-5)}")
+
+    # round 5: the construct-once facade on the mesh — A placed once,
+    # the replicated Gram psum'd once and cached, batch padding handled
+    import sparse_solvers_tpu as ss
+    solver = ss.Homotopy(A, mesh=mesh)
+    Xf, repf = solver.solve_batch(Y, tolerance=1e-2,
+                                  max_iterations=4 * k)
+    print(f"mesh facade Homotopy(A, mesh=...): matches functional path: "
+          f"{np.allclose(np.asarray(Xf), X, atol=1e-4)}; plan: "
+          f"{solver.explain(batch=batch)['formulation']}")
+
+    # round 5: IRLS on the mesh with its construction QR computed BY the
+    # mesh (CholeskyQR2 — no host factorization; IRLS needs m >= n, so
+    # a tall sub-dictionary)
+    At = A[:, : m // 2]
+    Yt = (X_true[:, : m // 2] @ At.T).astype(np.float32)
+    irls = ss.Irls(At, mesh=mesh)
+    Xi, repi = irls.solve_batch(Yt, tolerance=1e-3, max_iterations=30)
+    print(f"mesh facade Irls (CholeskyQR2 construction, "
+          f"{m}x{m // 2}): mean iters {np.asarray(repi.iter).mean():.1f}")
+
     # the underdetermined regime shards the other way: columns of a wide
     # A over the tensor axis, CG-IRLS replicating only m-sized iterates
     # (one psum per CG step — docs/design.md §4)

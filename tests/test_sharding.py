@@ -125,6 +125,18 @@ def test_qr_sharded_validation(mesh):
         sh.qr_sharded(mesh, np.zeros((5, 3), np.float32), passes=0)
 
 
+def test_qr_sharded_rank_deficiency_surfaces(mesh):
+    """Rank deficiency surfaces as NaNs from the first Cholesky (the
+    documented contract — the reference's QR divides by a zero pivot
+    there, qr_decomposition.h:227) rather than silently returning a
+    wrong factorization."""
+    rng = np.random.RandomState(0)
+    A = rng.randn(24, 6).astype(np.float32)
+    A[:, 3] = A[:, 1]  # exact rank deficiency
+    Q, R = sh.qr_sharded(mesh, A)
+    assert not np.isfinite(np.asarray(Q)).all() or         not np.isfinite(np.asarray(R)).all()
+
+
 def test_homotopy_sharded_under_jit(mesh):
     """The sharded solve must compose under jit (the pod 'training step')."""
     rng = np.random.RandomState(2)
