@@ -1078,3 +1078,62 @@ def test_sharded_overlap_mode_validation(mesh):
     with pytest.raises(ValueError, match="row axis"):
         sh.homotopy_sharded(mesh_dp, Ad2, Yd2, 1e-2, 8,
                             batch_native=True, overlap_mode="ppermute")
+
+
+def test_ppermute_survives_data_slice_divergence(mesh):
+    """The unscoped-rendezvous hazard, stressed directly: data slice 0's
+    lanes converge in ~3 iterations while slice 1's run an order of
+    magnitude longer — without the globally-psum'd continue flag
+    (synced_while) the per-slice rings deadlock (the round-5 measured
+    failure). Results must match the psum form lane-for-lane."""
+    rng = np.random.RandomState(21)
+    m, n = 64, 512
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = np.zeros((8, m), np.float32)
+    for i in range(4):          # data slice 0: trivial 1-sparse lanes
+        x = np.zeros(n, np.float32)
+        x[rng.randint(n)] = 1.0
+        Y[i] = A @ x
+    for i in range(4, 8):       # data slice 1: hard 24-sparse lanes
+        x = np.zeros(n, np.float32)
+        x[rng.choice(n, 24, replace=False)] = rng.uniform(0.2, 1, 24)
+        Y[i] = A @ x
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xp, rp = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 80,
+                                 batch_native=True,
+                                 overlap_mode="ppermute")
+    Xs, rs = sh.homotopy_sharded(mesh, Ad, Yd, 1e-3, 80,
+                                 batch_native=True, overlap_mode="psum")
+    it = np.asarray(rp.iter)
+    assert it[:4].max() < it[4:].min()  # the divergence really happened
+    np.testing.assert_array_equal(it, np.asarray(rs.iter))
+    # the hard lanes exhaust max_iterations (thrash regime): ring-order
+    # ulps accumulate along the 80-iteration path — the documented
+    # divergence class; 1e-4 covers it while the easy lanes match to 0
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xs), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(Xp)[:4], np.asarray(Xs)[:4])
+
+
+def test_mesh_facade_on_device_composes_under_jit(mesh):
+    """The mesh façades' *_on_device entries compose under an outer
+    jax.jit at a concrete precision (the serving-step shape); certified
+    raises its documented error instead of leaking a tracer."""
+    rng = np.random.RandomState(8)
+    m, n, b, k = 32, 512, 8, 3
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    solver = ss.Homotopy(A, mesh=mesh, precision="high")
+    A_placed, _ = solver._mesh_arrays()
+    _, Yd = sh.shard_inputs(mesh, A, Y)
+    step = jax.jit(lambda y: solver.solve_batch_on_device(y, 1e-3, 50))
+    X, rep = step(Yd)
+    Xs, reps = solver.solve_batch(Y, tolerance=1e-3, max_iterations=50)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-6)
+    cert = ss.Homotopy(A, mesh=mesh)  # certified default
+    with pytest.raises(ValueError, match="outer jit"):
+        jax.jit(lambda y: cert.solve_batch_on_device(y, 1e-3, 50))(Yd)
