@@ -37,18 +37,38 @@ import numpy as np
 
 
 def loop_collective_permutes(txt: str) -> int:
-    """collective-permute ops inside while-loop computations (fusion
-    regions included via the body-computation naming convention)."""
-    n = 0
-    in_body = False
+    """collective-permute(-start) defs reachable from while-loop body
+    computations (transitive closure over referenced computations — the
+    tests' _loop_body_permutes parse)."""
+    comps, name, buf = {}, None, []
     for l in txt.splitlines():
-        if re.match(r"\s*%?[\w.\-]*while[\w.\-]*body[\w.\-]*\s*\(.*\{", l):
-            in_body = True
-        elif in_body and l.strip() == "}":
-            in_body = False
-        elif in_body and re.search(r"= .*collective-permute(-start)?\(", l):
-            n += 1
-    return n
+        m = re.match(r"\s*(%[\w.\-]+)\s*\(.*\{\s*$", l)
+        if m and name is None:
+            name = m.group(1)
+            buf = []
+            continue
+        if name is not None:
+            if l.strip() == "}":
+                comps[name] = "\n".join(buf)
+                name = None
+            else:
+                buf.append(l)
+    bodies = set(re.findall(r"body=(%[\w.\-]+)", txt))
+    total = 0
+    for body in bodies:
+        seen, frontier = set(), [body]
+        while frontier:
+            c = frontier.pop()
+            if c in seen or c not in comps:
+                continue
+            seen.add(c)
+            for ref in re.findall(r"(%[\w.\-]+)", comps[c]):
+                if ref in comps and ref not in seen and ref not in bodies:
+                    frontier.append(ref)
+        text = "\n".join(comps[c] for c in seen)
+        total += len(re.findall(r"= .*collective-permute(?:-start)?\(",
+                                text))
+    return total
 
 
 def total_collective_permutes(txt: str) -> int:
@@ -122,6 +142,7 @@ def main():
                 s.count("stablehlo.collective_permute"),
             "loop_allreduce_operands": loop_allreduce_operands(txt),
             "compiled_collective_permutes": total_collective_permutes(txt),
+            "loop_collective_permutes": loop_collective_permutes(txt),
             "async_permute_pairs": async_permute_pairs(txt),
             "backend": backend_config(txt),
         }), flush=True)

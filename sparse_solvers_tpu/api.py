@@ -139,7 +139,7 @@ def _lazy_gram(solver):
     return solver._G_cache
 
 
-def _check_mesh(mesh, mode: str, engine: str):
+def _check_mesh(mesh, engine: str):
     """Validate the façades' ``mesh=`` argument (jax.sharding.Mesh with
     the framework's ("data", "row") axes — parallel.sharding.make_mesh
     builds one). Mesh-sharded solving runs the fast-path formulations on
@@ -187,6 +187,19 @@ def _mesh_prep_batch(mesh, Y, m_padded: int):
         Y = jnp.pad(Y, ((0, 0), (0, extra)))
     return jax.device_put(
         Y, NamedSharding(mesh, P(_sh.DATA_AXIS, _sh.ROW_AXIS))), bpad
+
+
+def _mesh_pad_jit(mesh, Y, m_padded: int):
+    """jit-safe (jnp-only) batch/row padding for the on-device mesh
+    entries: batch to the data-axis multiple, rows to the placed A's
+    padded count (zero pads are inert and trimmed from the results).
+    Returns (Y_padded, batch_pad)."""
+    from .parallel import sharding as _sh
+    bpad = (-Y.shape[0]) % mesh.shape[_sh.DATA_AXIS]
+    extra = m_padded - Y.shape[1]
+    if bpad or extra:
+        Y = jnp.pad(Y, ((0, bpad), (0, extra)))
+    return Y, bpad
 
 
 def _trim_batch(out, rep, bpad: int, dense: bool):
@@ -320,7 +333,7 @@ class Homotopy:
                 raise ValueError(
                     "mesh-sharded solving runs the fast-path "
                     "formulation; mode='exact' is single-device")
-            _check_mesh(mesh, mode, engine)
+            _check_mesh(mesh, engine)
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
@@ -454,8 +467,11 @@ class Homotopy:
             S = self._mesh.shape[_sh.ROW_AXIS]
             k_max = self._k_max or min(self._n, max_iterations + 1)
             local_b = -(-(batch or 1) // self._mesh.shape[_sh.DATA_AXIS])
+            # the padded row count — the m the sharded route actually
+            # tests its crossovers against (review finding)
+            m_pad = self._m + ((-self._m) % S)
             sparse = (self._gram_enabled
-                      and local_b * k_max < 2 * self._m and k_max < self._n)
+                      and local_b * k_max < 2 * m_pad and k_max < self._n)
             bn = _homotopy_batch.route_batch_native(
                 local_b, self._n, self._A.dtype, sparse)
             plan = {"engine": "jax", "backend": jax.default_backend(),
@@ -813,12 +829,16 @@ class Homotopy:
         if self._mesh is not None:
             from .parallel import sharding as _sh
             A, G = self._mesh_arrays()
+            Y, bpad = _mesh_pad_jit(self._mesh, Y, A.shape[0])
             k_max = self._k_max or min(self._n, max_iterations + 1)
             out = _sh.homotopy_sharded(
                 self._mesh, A, Y, tolerance, max_iterations, k_max=k_max,
                 gram=self._gram_enabled if G is None else None, G=G,
                 precision=self._precision, dense=dense)
-            return ((out[0], out[1]), out[2]) if not dense else out
+            rep = out[-1]
+            X = out[0] if dense else (out[0], out[1])
+            X, rep = _trim_batch(X, rep, bpad, dense)
+            return ((X[0], X[1]), rep) if not dense else (X, rep)
         return self._fn(max_iterations, batch=Y.shape[0], dense=dense)(
             self._A, self._G, Y, tolerance)
 
@@ -876,7 +896,7 @@ class Irls:
                 "stabilized IRLS runs on the jax engine (the native host "
                 "backend implements the reference recurrence)")
         if mesh is not None:
-            _check_mesh(mesh, mode, engine)
+            _check_mesh(mesh, engine)
         self._engine = engine
         self._precision = precision
         self._mode = mode
@@ -1121,12 +1141,14 @@ class Irls:
         if self._mesh is not None:
             from .parallel import sharding as _sh
             Q, R = self._mesh_qr()
-            return _sh.irls_sharded(
+            Y, bpad = _mesh_pad_jit(self._mesh, Y, Q.shape[0])
+            X, rep = _sh.irls_sharded(
                 self._mesh, Q, R, Y, tolerance, max_iterations,
                 mode=self._mode,
                 newton="gemm" if self._newton_gemm(batched=True)
                 else "trsm",
                 stabilized=self._stabilized)
+            return _trim_batch(X, rep, bpad, dense=True)
         return self._fn(max_iterations, batched=True)(
             self._Q, self._R, Y, tolerance)
 
@@ -1206,7 +1228,7 @@ class IrlsCg:
         self._precision = precision
         self._engine = engine
         if mesh is not None:
-            _check_mesh(mesh, "fast", engine)
+            _check_mesh(mesh, engine)
         else:
             _warn_small_problem_jax(engine, self._m, self._n)
         self._mesh = mesh
@@ -1387,12 +1409,15 @@ class IrlsCg:
         """Jit-composable batched solve over device arrays."""
         if self._mesh is not None:
             from .parallel import sharding as _sh
+            bpad = (-Y.shape[0]) % self._mesh.shape[_sh.DATA_AXIS]
+            if bpad:
+                Y = jnp.pad(Y, ((0, bpad), (0, 0)))
             X, rep = _sh.irls_cg_sharded(
                 self._mesh, self._mesh_a(), Y, tolerance, max_iterations,
                 p=self._p, k_sparsity=self._k,
                 cg_max_iterations=self._cg_max,
                 cg_tolerance=self._cg_tol)
-            return X[:, :self._n], rep
+            return _trim_batch(X[:, :self._n], rep, bpad, dense=True)
         return self._fn(max_iterations, batched=True)(self._A, Y, tolerance)
 
     def _tol(self, tolerance):
@@ -1451,7 +1476,7 @@ class Omp:
                 raise ValueError(
                     "mesh-sharded solving runs the fast-path "
                     "formulation; mode='exact' is single-device")
-            _check_mesh(mesh, mode, engine)
+            _check_mesh(mesh, engine)
         if precision is not None and precision not in _PRECISION_VALUES:
             raise ValueError(
                 "precision must be 'highest', 'high', 'default' or "
@@ -1570,12 +1595,23 @@ class Omp:
                     "k_max": self._resolved_k_max(max_iterations)}
         if self._mesh is not None:
             from .parallel import sharding as _sh
+            from .solvers.homotopy_batch import route_batch_native
+            S = self._mesh.shape[_sh.ROW_AXIS]
+            k_max = self._resolved_k_max(max_iterations)
+            local_b = -(-(batch or 1) // self._mesh.shape[_sh.DATA_AXIS])
+            m_pad = self._m + ((-self._m) % S)
+            bn = ((not self._gram_forced) and route_batch_native(
+                local_b, self._n, self._A.dtype,
+                sparse=local_b * k_max < 2 * m_pad))
             plan = {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
                     "mesh": dict(self._mesh.shape), "sharded": True,
                     "gram": self._gram_enabled,
                     "gram_cached": self._G_mesh is not None,
-                    "k_max": self._resolved_k_max(max_iterations),
+                    "k_max": k_max, "batch_native": bn,
+                    "overlap_mode": ("ppermute"
+                                     if bn and S > 1 and self._n >= 128 * S
+                                     else "psum"),
                     "formulation": ("row+data shard_map OMP "
                                     "(parallel/sharding.omp_sharded)")}
             if self._precision == "certified":
@@ -1830,12 +1866,16 @@ class Omp:
         if self._mesh is not None:
             from .parallel import sharding as _sh
             A, G = self._mesh_arrays()
+            Y, bpad = _mesh_pad_jit(self._mesh, Y, A.shape[0])
             out = _sh.omp_sharded(
                 self._mesh, A, Y, tolerance, max_iterations,
                 k_max=self._resolved_k_max(max_iterations),
                 gram=self._mesh_gram_arg(), G=G,
                 precision=self._precision, dense=dense)
-            return ((out[0], out[1]), out[2]) if not dense else out
+            rep = out[-1]
+            X = out[0] if dense else (out[0], out[1])
+            X, rep = _trim_batch(X, rep, bpad, dense)
+            return ((X[0], X[1]), rep) if not dense else (X, rep)
         if self._route_driver(int(Y.shape[0]), max_iterations):
             return self._fn(max_iterations, batched=True, driver=True,
                             dense=dense)(

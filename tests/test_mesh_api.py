@@ -177,3 +177,35 @@ def test_mesh_update_column_incremental(mesh):
     assert s2._A_mesh is None
     s2.solve_batch(Y, tolerance=1e-3, max_iterations=30)
     assert s2._A_mesh is not None
+
+
+def test_mesh_on_device_pads_batch_and_rows(mesh):
+    """Review regression (round 5): the on-device mesh wrappers must
+    pad a batch not divisible by the data axis AND rows not divisible
+    by the row axis (m=37 on row=4) — feeding raw shapes into the
+    shard_map crashed before the fix; results must be trimmed back."""
+    rng = np.random.RandomState(9)
+    A, X0, Y = _sparse_problem(rng, 37, 128, 5, 3)  # b=5 % data=2 != 0
+    solver = ss.Homotopy(A, mesh=mesh, precision="high")
+    Yd = jnp.asarray(Y)
+    X, rep = solver.solve_batch_on_device(Yd, 1e-3, 50)
+    assert np.asarray(X).shape == (5, 128)
+    Xs, reps = solver.solve_batch(Y, tolerance=1e-3, max_iterations=50)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rep.iter),
+                                  np.asarray(reps.iter))
+    # single solve through the on-device entry (batch 1 on data=2)
+    x1, r1 = solver.solve_on_device(Yd[0], 1e-3, 50)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(Xs)[0],
+                               atol=1e-6)
+    # Omp and Irls wrappers share the fix
+    om = ss.Omp(A, mesh=mesh, precision="high")
+    Xo, ro = om.solve_batch_on_device(Yd, 1e-3, 20)
+    assert np.asarray(Xo).shape == (5, 128)
+    ir = ss.Irls(A[:, :20], mesh=mesh)
+    Yi = jnp.asarray((X0[:, :20] @ A[:, :20].T).astype(np.float32))
+    Xi, ri = ir.solve_batch_on_device(Yi, 1e-3, 20)
+    assert np.asarray(Xi).shape == (5, 20)
+    xc1, rc1 = ss.IrlsCg(A[:16], mesh=mesh).solve_batch_on_device(
+        jnp.asarray(Y[:, :16]), 1e-3, 15)
+    assert np.asarray(xc1).shape == (5, 128)
