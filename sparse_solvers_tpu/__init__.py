@@ -12,6 +12,7 @@ Public surface mirrors the reference Python package ``sparsesolvers``
 """
 
 from .api import (Homotopy, Irls, IrlsCg, Omp, densify_batch, densify_path,
+                  lasso_at, lasso_at_batch,
                   reconstruct_signal, norm_l1)
 from .reports import HomotopyReport, IrlsReport, OmpReport
 from .utils.config import version
@@ -26,6 +27,8 @@ __all__ = [
     "OmpReport",
     "densify_batch",
     "densify_path",
+    "lasso_at",
+    "lasso_at_batch",
     "reconstruct_signal",
     "norm_l1",
     "version",

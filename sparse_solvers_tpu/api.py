@@ -1953,6 +1953,55 @@ def densify_path(lambdas, values, indices, iters: int, n: int):
     return lam, Xs
 
 
+def lasso_at(lambdas, Xs, lam):
+    """Exact LASSO solution at an arbitrary λ from a recorded
+    regularization path (beyond reference).
+
+    The homotopy path x(λ) of min ½‖y−Ax‖² + λ‖x‖₁ is PIECEWISE LINEAR
+    in λ between breakpoints (the loop's own γ-steps — docs/
+    algorithms.md §1; the reference only ever returns the endpoint,
+    homotopy-cpu.cpp:274), so the solution at any λ between recorded
+    breakpoints is the exact linear interpolation
+
+        x(λ) = x_t + (λ_t − λ) / (λ_t − λ_{t+1}) · (x_{t+1} − x_t)
+
+    over the FIRST bracket [λ_{t+1}, λ_t] containing λ (first crossing:
+    adversarial paths can transiently raise λ — solve_path docs).
+    Inputs are ``Homotopy.solve_path``'s outputs. λ ≥ λ₀ returns x = 0
+    (the path's λ-max end); λ below the recorded end returns the final
+    iterate (the path only extends down to its stopping tolerance —
+    re-solve with a smaller tolerance for smaller λ). The returned x
+    satisfies the LASSO KKT conditions at λ exactly up to the path's
+    own fp resolution (tested: ‖Aᵀ(y−Ax)‖∞ = λ and active-coordinate
+    sign agreement)."""
+    lambdas = np.asarray(lambdas)
+    Xs = np.asarray(Xs)
+    lam = float(lam)
+    if lam >= lambdas[0]:
+        return np.zeros_like(Xs[0])
+    for t in range(len(lambdas) - 1):
+        hi, lo = lambdas[t], lambdas[t + 1]
+        if hi >= lam >= lo and hi > lo:
+            w = (hi - lam) / (hi - lo)
+            return Xs[t] + w * (Xs[t + 1] - Xs[t])
+    return Xs[-1].copy()
+
+
+def lasso_at_batch(lambdas, values, indices, iters, n: int, lam):
+    """Batched ``lasso_at`` over ``Homotopy.solve_path_batch``'s compact
+    histories: one dense (batch, n) solution at λ, each lane
+    interpolated on its own path."""
+    lambdas = np.asarray(lambdas)
+    b = lambdas.shape[0]
+    out = np.empty((b, n), np.asarray(values).dtype)
+    for i in range(b):
+        la, Xs = densify_path(lambdas[i], np.asarray(values)[i],
+                              np.asarray(indices)[i],
+                              int(np.asarray(iters)[i]), n)
+        out[i] = lasso_at(la, Xs, lam)
+    return out
+
+
 def reconstruct_signal(A, x):
     """y = A @ x (reference: ss.h:79-84, lib.cpp reconstruct_signal)."""
     A = ndview.as_matrix(A)

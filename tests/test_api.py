@@ -417,3 +417,62 @@ def test_solve_path_float64():
             np.max(np.abs(A.T @ (y - A @ Xs[t]))), lambdas[t],
             rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(Xs[-1][x0 > 0], x0[x0 > 0], atol=1e-7)
+
+
+def test_lasso_at_interpolates_exact_kkt():
+    """lasso_at (round 5, beyond reference): the piecewise-linear path
+    evaluated at arbitrary λ satisfies the LASSO KKT conditions —
+    ‖Aᵀ(y−Ax)‖∞ = λ and every active coordinate's correlation equals
+    λ·sign(x) — at fp resolution; endpoints clamp as documented."""
+    rng = np.random.RandomState(12)
+    m, n, k = 64, 128, 5
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    x0 = np.zeros(n, np.float32)
+    x0[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+    y = A @ x0
+    s = ss.Homotopy(A, engine="jax")
+    lambdas, Xs, rep = s.solve_path(y, tolerance=1e-3, max_iterations=60)
+    # mid-bracket λs between several consecutive breakpoints
+    for t in (0, len(lambdas) // 2, len(lambdas) - 2):
+        lam = 0.5 * (lambdas[t] + lambdas[t + 1])
+        x = ss.lasso_at(lambdas, Xs, lam)
+        c = A.T @ (y - A @ x)
+        np.testing.assert_allclose(np.max(np.abs(c)), lam,
+                                   rtol=1e-4, atol=1e-6)
+        act = np.abs(x) > 1e-7
+        np.testing.assert_allclose(c[act], lam * np.sign(x[act]),
+                                   rtol=1e-3, atol=1e-5)
+    # λ at a breakpoint reproduces the recorded iterate
+    np.testing.assert_allclose(ss.lasso_at(lambdas, Xs, lambdas[3]),
+                               Xs[3], atol=1e-7)
+    # λ above λ0 -> zero; λ below the recorded end -> final iterate
+    assert np.all(ss.lasso_at(lambdas, Xs, 2 * lambdas[0]) == 0)
+    np.testing.assert_allclose(
+        ss.lasso_at(lambdas, Xs, lambdas[-1] / 2), Xs[-1], atol=0)
+
+
+def test_lasso_at_batch_matches_single():
+    rng = np.random.RandomState(13)
+    m, n, k, b = 48, 96, 4, 5
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    Y = np.zeros((b, m), np.float32)
+    for i in range(b):
+        x = np.zeros(n, np.float32)
+        x[rng.choice(n, k, replace=False)] = rng.uniform(0.3, 1, k)
+        Y[i] = A @ x
+    s = ss.Homotopy(A, engine="jax")
+    hl, hv, hi, reps = s.solve_path_batch(Y, tolerance=1e-3,
+                                          max_iterations=50)
+    lam = 0.05
+    Xb = ss.lasso_at_batch(hl, hv, hi, reps.iter, n, lam)
+    for i in range(b):
+        la, Xs = ss.densify_path(hl[i], hv[i], hi[i],
+                                 int(reps.iter[i]), n)
+        np.testing.assert_allclose(Xb[i], ss.lasso_at(la, Xs, lam),
+                                   atol=0)
+        c = A.T @ (Y[i] - A @ Xb[i])
+        if la[0] > lam > la[-1]:
+            np.testing.assert_allclose(np.max(np.abs(c)), lam,
+                                       rtol=1e-4, atol=1e-6)
