@@ -308,7 +308,7 @@ class Homotopy:
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
                  gram: bool | None = None, precision: str | None = None,
-                 engine: str = "auto", mesh=None):
+                 engine: str = "auto", mesh=None, picks: int = 1):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         if engine not in ("auto", "jax", "native"):
@@ -318,6 +318,12 @@ class Homotopy:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
+        if not isinstance(picks, int) or picks < 1:
+            raise ValueError(f"picks must be an int >= 1, got {picks!r}")
+        if picks > 1 and engine == "native":
+            raise ValueError(
+                "generalized OMP (picks > 1) runs on the jax engine "
+                "(the native twin implements the picks=1 loop)")
         if (precision is not None and isinstance(precision, str)
                 and precision not in _PRECISION_VALUES):
             raise ValueError(
@@ -1457,11 +1463,23 @@ class Omp:
     the fast path's MXU precision, so exact mode recomputes every Gram
     entry per pick at 6-pass precision to keep its bit-faithful
     fp-trajectory contract.
+
+    ``mesh``: like ``Homotopy`` with ``mesh=`` — A placed row-sharded
+    once, the replicated Gram psum'd once per mesh, solve/solve_batch
+    routed through ``parallel.sharding.omp_sharded``.
+
+    ``picks`` (≥ 1, default 1): generalized OMP — each round inserts
+    the ``picks`` largest inactive correlations and runs one LS
+    re-solve and one correlation update, amortizing the per-round full
+    pass over A across ``picks`` support additions (~k/picks passes
+    for a k-sparse recovery; may overshoot the minimal support by up
+    to picks−1 near-zero coefficients near the tolerance —
+    solvers/omp.py). jax engine, vmapped-core route.
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
                  gram: bool | None = None, precision: str | None = None,
-                 engine: str = "auto", mesh=None):
+                 engine: str = "auto", mesh=None, picks: int = 1):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         if engine not in ("auto", "jax", "native"):
@@ -1471,6 +1489,12 @@ class Omp:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
+        if not isinstance(picks, int) or picks < 1:
+            raise ValueError(f"picks must be an int >= 1, got {picks!r}")
+        if picks > 1 and engine == "native":
+            raise ValueError(
+                "generalized OMP (picks > 1) runs on the jax engine "
+                "(the native twin implements the picks=1 loop)")
         if mesh is not None:
             if mode == "exact":
                 raise ValueError(
@@ -1519,6 +1543,7 @@ class Omp:
         self._gram_enabled = bool(gram and mode == "fast")
         self._G_cache = None
         self._mesh = mesh
+        self._picks = picks
         self._A_mesh = self._G_mesh = None  # lazy sharded placements
         self._cache: dict = {}
 
@@ -1542,7 +1567,7 @@ class Omp:
 
     def _use_native(self, probe: bool = False) -> bool:
         if (self._engine == "jax" or self._mode == "exact"
-                or self._mesh is not None):
+                or self._mesh is not None or self._picks > 1):
             return False
         return _route_native(self._engine, self._m, self._n, probe)
 
@@ -1573,7 +1598,7 @@ class Omp:
             self._mesh, A, Yd, tol, max_iterations,
             k_max=self._resolved_k_max(max_iterations),
             gram=self._mesh_gram_arg(), G=G,
-            precision=self._precision, dense=dense)
+            precision=self._precision, dense=dense, picks=self._picks)
         rep = out[-1]
         X = out[0] if dense else (out[0], out[1])
         X, rep = _trim_batch(X, rep, bpad, dense)
@@ -1600,9 +1625,10 @@ class Omp:
             k_max = self._resolved_k_max(max_iterations)
             local_b = -(-(batch or 1) // self._mesh.shape[_sh.DATA_AXIS])
             m_pad = self._m + ((-self._m) % S)
-            bn = ((not self._gram_forced) and route_batch_native(
-                local_b, self._n, self._A.dtype,
-                sparse=local_b * k_max < 2 * m_pad))
+            bn = ((not self._gram_forced) and self._picks == 1
+                  and route_batch_native(
+                      local_b, self._n, self._A.dtype,
+                      sparse=local_b * k_max < 2 * m_pad))
             plan = {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
                     "mesh": dict(self._mesh.shape), "sharded": True,
@@ -1614,6 +1640,8 @@ class Omp:
                                      else "psum"),
                     "formulation": ("row+data shard_map OMP "
                                     "(parallel/sharding.omp_sharded)")}
+            if self._picks > 1:
+                plan["picks"] = self._picks
             if self._precision == "certified":
                 plan["certificate"] = ("psum'd ‖y−Ax‖₂ at high "
                                        "precision; failing lanes "
@@ -1638,6 +1666,8 @@ class Omp:
                     "formulation": ("vmapped OMP loop"
                                     if batch is not None
                                     else "OMP loop") + f" (corr={corr})"}
+        if self._picks > 1:
+            plan["picks"] = self._picks  # generalized OMP rounds
         if self._precision == "certified":
             plan["path_precision"] = "default"
             plan["certificate"] = ("‖y−Ax‖₂ at high precision; "
@@ -1672,9 +1702,12 @@ class Omp:
         where structurally valid, =0 forbids). The ``sparse`` leg keeps
         the zero-full-pass-per-pick Gram-gather vmapped core for small
         batch·k_max (the driver pays a full q pass per pick)."""
-        if batch is None or self._mode != "fast" or self._gram_forced:
+        if (batch is None or self._mode != "fast" or self._gram_forced
+                or self._picks > 1):
             # gram=True pins the Gram-gather vmapped formulation (the
-            # documented contract); the driver must not override it
+            # documented contract); the driver must not override it;
+            # the slot-space driver's insert kernel is single-pick —
+            # gOMP runs the vmapped core
             return False
         from .solvers.homotopy_batch import route_batch_native
         small = (batch * self._resolved_k_max(max_iterations)
@@ -1701,7 +1734,7 @@ class Omp:
         # vmapped core gets the wrapper below.
         path_precision = "default" if certified else precision
         key = ("omp", max_iterations, k_max, batched, corr, driver,
-               dense, precision)
+               dense, precision, self._picks)
         fn = self._cache.get(key)
         if fn is None:
             if driver:
@@ -1723,7 +1756,8 @@ class Omp:
                     with _blas.precision_scope(path_precision):
                         return _omp.solve_omp_core(
                             op, self._n, y, tol, max_iterations, k_max,
-                            mode=self._mode, corr=corr)
+                            mode=self._mode, corr=corr,
+                            picks=self._picks)
                 base = core
                 if batched:
                     base = jax.vmap(core, in_axes=(None, None, 0, None))
@@ -1871,7 +1905,8 @@ class Omp:
                 self._mesh, A, Y, tolerance, max_iterations,
                 k_max=self._resolved_k_max(max_iterations),
                 gram=self._mesh_gram_arg(), G=G,
-                precision=self._precision, dense=dense)
+                precision=self._precision, dense=dense,
+                picks=self._picks)
             rep = out[-1]
             X = out[0] if dense else (out[0], out[1])
             X, rep = _trim_batch(X, rep, bpad, dense)

@@ -12,8 +12,11 @@ import numpy as np
 
 
 def solve(A: np.ndarray, y: np.ndarray, tolerance: float,
-          max_iterations: int = 100, k_max: int | None = None):
-    """Returns (x, iters, resid_norm, support_in_pick_order)."""
+          max_iterations: int = 100, k_max: int | None = None,
+          picks: int = 1):
+    """Returns (x, iters, resid_norm, support_in_pick_order).
+    ``picks`` > 1 = generalized OMP (each round inserts the picks
+    largest inactive correlations — solvers/omp.py)."""
     A = np.asarray(A)
     y = np.asarray(y)
     m, n = A.shape
@@ -34,11 +37,16 @@ def solve(A: np.ndarray, y: np.ndarray, tolerance: float,
         # final fancy-index scatter drops a coefficient)
         ac = np.abs(A.T @ r)
         ac[support] = -np.inf
-        idx = int(np.argmax(ac))  # leftmost tie-break
-        if not ac[idx] > 0:
-            it -= 1  # degenerate pick: discarded wholesale, like the
+        # descending |c| with leftmost tie-break (stable argsort of
+        # the negated scores == lax.top_k's ordering)
+        order = np.argsort(-ac, kind="stable")[:picks]
+        budget = min(max_iterations - it + 1, k_max - len(support))
+        news = [int(j) for j in order if ac[j] > 0][:budget]
+        if not news:
+            it -= 1  # degenerate round: discarded wholesale, like the
             break    # engines' deg guard (solvers/omp.py)
-        support.append(idx)
+        it += len(news) - 1  # the while header already counted one
+        support.extend(news)
         cols = A[:, support]
         coef, *_ = np.linalg.lstsq(cols, y, rcond=None)
         r = y - cols @ coef

@@ -370,7 +370,8 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     max_iterations: int, k_max: int, corr: str,
                     batch_native: bool = False, dense: bool = True,
                     overlap_blocks: int = 1, certified: bool = False,
-                    overlap_mode: str = "psum", gram_in: bool = False):
+                    overlap_mode: str = "psum", gram_in: bool = False,
+                    picks: int = 1):
     from ..solvers.omp import solve_omp_core
 
     out_spec = (P(DATA_AXIS, None) if dense
@@ -411,7 +412,8 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                 return X, (rep.iter, rep.solution_error)
             op = RowShardedOperator(A_local, ROW_AXIS, G)
             solve = lambda y_local: solve_omp_core(
-                op, n, y_local, tol, max_iterations, k_max, corr=corr)
+                op, n, y_local, tol, max_iterations, k_max, corr=corr,
+                picks=picks)
             X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
             err = rep.solution_error
             if certified:
@@ -438,7 +440,7 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 batch_native: bool | None = None, dense: bool = True,
                 overlap_blocks: int | None = None,
                 overlap_mode: str | None = None,
-                G: jnp.ndarray | None = None):
+                G: jnp.ndarray | None = None, picks: int = 1):
     """Row-sharded, batch-sharded OMP (solvers/omp.py — the greedy
     beyond-reference family) over the same (data, row) mesh layout as
     ``homotopy_sharded``: per-iteration residual correlations psum once
@@ -502,7 +504,15 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
         gram = True
     if gram is None:
         gram = n * n * A.dtype.itemsize <= _SHARDED_GRAM_AUTO_BYTES
+    if picks < 1:
+        raise ValueError(f"picks must be >= 1, got {picks}")
     local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
+    if picks > 1:
+        if batch_native:
+            raise ValueError(
+                "generalized OMP (picks > 1) runs the vmapped core "
+                "(the slot-space driver's insert kernel is single-pick)")
+        batch_native = False
     if batch_native is None:
         # gram=False runs the driver gram-free (on-the-fly insert
         # columns — the config-5 large-n regime, like homotopy's); the
@@ -560,7 +570,7 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                          k_max, corr, batch_native=bool(batch_native),
                          dense=dense, overlap_blocks=overlap_blocks,
                          certified=certified, overlap_mode=overlap_mode,
-                         gram_in=G is not None)
+                         gram_in=G is not None, picks=picks)
     args = (A,) + (() if G is None else (G,)) + (
         Y, jnp.asarray(tolerance, A.dtype))
     X, (iters, errs) = fn(*args)
@@ -584,7 +594,7 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
                 tolerance, max_iterations, k_max=k_max, gram=gram_arg,
                 precision="high", batch_native=batch_native,
                 dense=dense, overlap_blocks=overlap_blocks,
-                overlap_mode=overlap_mode, G=G)
+                overlap_mode=overlap_mode, G=G, picks=picks)
             rh = out_h[-1]
             sel = jnp.asarray(bad)
             if dense:

@@ -68,16 +68,19 @@ class _LoopState(NamedTuple):
 
 def solve_omp(A: jnp.ndarray, y: jnp.ndarray, tolerance,
               max_iterations: int, k_max: int | None = None, *,
-              mode: str = "fast"):
+              mode: str = "fast", picks: int = 1):
     """OMP on a dense on-device A; returns (x, OmpReportArrays).
-    jit/vmap-safe; ``max_iterations``, ``k_max`` and ``mode`` static."""
+    jit/vmap-safe; ``max_iterations``, ``k_max``, ``mode`` and
+    ``picks`` static (``picks`` > 1 = generalized OMP, see
+    solve_omp_core)."""
     return solve_omp_core(DenseOperator(A), A.shape[1], y, tolerance,
-                          max_iterations, k_max, mode=mode)
+                          max_iterations, k_max, mode=mode, picks=picks)
 
 
 def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
                    max_iterations: int, k_max: int | None = None, *,
-                   mode: str = "fast", corr: str | None = None):
+                   mode: str = "fast", corr: str | None = None,
+                   picks: int = 1):
     """OMP loop over an abstract sensing operator (ops/operators.py —
     dense on one device, or a row-shard whose rmatvec psums inside
     shard_map).
@@ -101,7 +104,24 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
         fastest formulation (the homotopy driver's fused-q insight).
     Default None = "gram" when the operator holds a Gram else "sparse"
     (api.Omp routes by batch — see Omp._route_corr).
+
+    ``picks`` (static, ≥ 1): generalized OMP (gOMP, Wang–Kwon–Shim
+    2012) — each round selects the ``picks`` largest inactive
+    correlations, inserts them all, and runs ONE LS re-solve and ONE
+    correlation update. The expensive per-round work (the correlation
+    product — a full pass over A in the dense form) is amortized across
+    ``picks`` support additions, so a k-sparse recovery costs ~k/picks
+    correlation passes instead of k. Selection order within a round is
+    descending |c| with leftmost tie-break (lax.top_k). Degenerate
+    sub-inserts are skipped individually; a round that commits nothing
+    breaks with the previous iterate intact. ``max_iterations`` remains
+    the COLUMN budget (iter = support size reached, as for picks=1) and
+    the residual stop/stall tests run per round. gOMP may overshoot the
+    minimal support by up to picks−1 columns near the tolerance — the
+    standard trade for the pass amortization.
     """
+    if picks < 1:
+        raise ValueError(f"picks must be >= 1, got {picks}")
     if mode not in ("fast", "exact"):
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
     fast = mode == "fast"
@@ -133,36 +153,62 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
         done=jnp.bool_(False),
     )
 
-    def body(s: _LoopState) -> _LoopState:
-        it = s.it + 1
-
-        # greedy pick over the inactive set; |c| >= 0 so −1 masks the
-        # active columns out. argmax = leftmost tie-break (the framework
-        # convention, matching the reference's ixamax semantics).
-        scores = jnp.where(s.inv.mask, jnp.array(-1, dtype), jnp.abs(s.c))
-        idx = jnp.argmax(scores)
-
-        u1, vtv = (op.gram_gathered(idx, s.inv.indices) if fast
+    def _try_insert(inv, idx, eligible):
+        """One guarded bordered insert (shared by the single-pick path
+        and the gOMP round): returns (inv', committed)."""
+        u1, vtv = (op.gram_gathered(idx, inv.indices) if fast
                    else op.gram_column(idx))
         if fast:
             uslot = u1
         else:
-            uslot = jnp.take(u1, s.inv.indices, mode="fill", fill_value=0)
+            uslot = jnp.take(u1, inv.indices, mode="fill", fill_value=0)
         # degenerate-insert guard (both modes — OMP has no reference
         # twin to stay op-faithful to): a rank-deficient pick makes the
         # Schur complement den = vᵀv − u1ᵀBu1 rounding noise and the
-        # downdated inverse infinite. Break with the previous LS
-        # solution intact.
-        den = vtv - blas.xdot(uslot, blas.xgemv(s.inv.inv, uslot))
+        # downdated inverse infinite.
+        den = vtv - blas.xdot(uslot, blas.xgemv(inv.inv, uslot))
         tiny = jnp.asarray(256 * jnp.finfo(dtype).tiny, dtype)
-        broke = jnp.abs(den) <= tiny
-        u1_safe = jnp.where(broke, jnp.zeros_like(u1), u1)
-        vtv_safe = jnp.where(broke, jnp.array(1, dtype), vtv)
+        ok = eligible & (jnp.abs(den) > tiny)
+        u1_safe = jnp.where(ok, u1, jnp.zeros_like(u1))
+        vtv_safe = jnp.where(ok, vtv, jnp.array(1, dtype))
+        ins = oinv.insert_unordered if fast else oinv.insert
+        inv1 = ins(inv, idx, u1_safe, vtv_safe)
+        sel = lambda a, b: jnp.where(ok, a, b)
+        return oinv.InverseState(
+            inv=sel(inv1.inv, inv.inv),
+            indices=sel(inv1.indices, inv.indices),
+            mask=sel(inv1.mask, inv.mask),
+            k=sel(inv1.k, inv.k)), ok
 
-        if fast:
-            inv1 = oinv.insert_unordered(s.inv, idx, u1_safe, vtv_safe)
+    def body(s: _LoopState) -> _LoopState:
+        scores = jnp.where(s.inv.mask, jnp.array(-1, dtype), jnp.abs(s.c))
+        if picks == 1:
+            # greedy pick over the inactive set; |c| >= 0 so −1 masks
+            # the active columns out. argmax = leftmost tie-break (the
+            # framework convention, matching the reference's ixamax
+            # semantics).
+            idx = jnp.argmax(scores)
+            inv1, ok = _try_insert(s.inv, idx, jnp.bool_(True))
+            ncommit = ok.astype(jnp.uint32)
+            broke = ~ok
         else:
-            inv1 = oinv.insert(s.inv, idx, u1_safe, vtv_safe)
+            # gOMP round: top-`picks` inactive scores (descending,
+            # leftmost tie-break), inserted sequentially so each
+            # sub-insert's Gram column sees the grown support; a pick
+            # whose score is the active sentinel (−1: fewer inactive
+            # columns than picks) or that overflows k_max is gated off
+            vals, idxs = lax.top_k(scores, picks)
+            inv1 = s.inv
+            ncommit = jnp.uint32(0)
+            for j in range(picks):
+                eligible = ((vals[j] >= 0)
+                            & (s.it + ncommit
+                               < jnp.uint32(max_iterations))
+                            & (inv1.k < k_max))
+                inv1, ok = _try_insert(inv1, idxs[j], eligible)
+                ncommit = ncommit + ok.astype(jnp.uint32)
+            broke = ncommit == 0
+        it = s.it + ncommit
 
         # LS re-solve on the grown support: b_Γ = c0[Γ] (slot gather),
         # coefficients = (A_ΓᵀA_Γ)⁻¹ b_Γ
@@ -208,8 +254,9 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
         done = keep(rss1, s.rss) >= s.rss
         return _LoopState(
             # a degenerate pick is discarded wholesale — including its
-            # iteration count (the native twin breaks before counting)
-            it=jnp.where(broke, s.it, it),
+            # iteration count (the native twin breaks before counting);
+            # `it` already carries only the committed inserts
+            it=it,
             c=keep(c1, s.c),
             inv=inv_out,
             coef=keep(coef1, s.coef),

@@ -708,3 +708,76 @@ def test_fuzz_driver_vs_core(monkeypatch):
                                            f"gram={gram}")
         assert (np.asarray(rd.solution_error) <= 1e-2).all()
     assert forks <= trials // 5, f"{forks}/{trials} driver forks"
+
+
+# ------------------------------------------------- generalized OMP (picks>1)
+
+@pytest.mark.parametrize("m,n,k,J", [
+    (48, 128, 6, 2),
+    (64, 160, 9, 3),
+    (64, 128, 8, 4),
+])
+def test_gomp_oracle_parity(m, n, k, J):
+    """Generalized OMP (round 5): picks-per-round engine matches the
+    dense-lstsq oracle round-for-round (same support sequence, same
+    committed column count) and recovers the planted support."""
+    A, x_true, y = _problem(m, n, k, seed=m + n + J)
+    tol = 1e-3
+    xo, ito, erro, picks_o = oracle.solve(A, y, tol, 100, picks=J)
+    solver = ss.Omp(A, engine="jax", picks=J)
+    x, rep = solver.solve(y, tolerance=tol, max_iterations=100)
+    assert rep.iter == ito
+    np.testing.assert_allclose(x, xo, atol=3e-4)
+    sup = set(np.flatnonzero(x_true != 0).tolist())
+    assert sup <= set(np.flatnonzero(np.abs(x) > 10 * tol).tolist())
+    assert rep.solution_error <= tol
+
+
+def test_gomp_fewer_rounds_same_recovery():
+    """The point of gOMP: a k-sparse recovery in ~k/picks rounds of the
+    expensive correlation pass, same solution quality."""
+    A, x_true, y = _problem(96, 256, 12, seed=5)
+    x1, r1 = ss.Omp(A, engine="jax").solve(y, tolerance=1e-3,
+                                           max_iterations=60)
+    x4, r4 = ss.Omp(A, engine="jax", picks=4).solve(y, tolerance=1e-3,
+                                                    max_iterations=60)
+    sup = set(np.flatnonzero(x_true != 0).tolist())
+    for x in (x1, x4):
+        assert sup <= set(np.flatnonzero(np.abs(x) > 1e-2).tolist())
+    np.testing.assert_allclose(x4, x1, atol=5e-3)  # extra ~0 coeffs ok
+
+
+def test_gomp_batch_and_mesh(mesh_or_skip=None):
+    import jax
+    A, x_true, y = _problem(64, 256, 8, seed=7)
+    Y = np.stack([_problem(64, 256, 8, seed=s)[2] for s in range(4)])
+    solver = ss.Omp(A, engine="jax", picks=3)
+    X, reps = solver.solve_batch(Y, tolerance=1e-3, max_iterations=40)
+    for b in range(4):
+        xb, repb = solver.solve(Y[b], tolerance=1e-3, max_iterations=40)
+        assert int(np.asarray(reps.iter)[b]) == repb.iter
+        np.testing.assert_allclose(np.asarray(X)[b], xb, atol=3e-4)
+    if jax.device_count() >= 8:
+        from sparse_solvers_tpu.parallel import sharding as sh
+        mesh = sh.make_mesh(n_row=4, n_data=2)
+        sm = ss.Omp(A, engine="jax", picks=3, mesh=mesh)
+        assert sm.explain(batch=4)["picks"] == 3
+        assert not sm.explain(batch=4)["batch_native"]
+        Xm, repm = sm.solve_batch(Y, tolerance=1e-3, max_iterations=40)
+        np.testing.assert_array_equal(np.asarray(repm.iter),
+                                      np.asarray(reps.iter))
+        np.testing.assert_allclose(np.asarray(Xm), np.asarray(X),
+                                   atol=1e-5)
+
+
+def test_gomp_validation_and_routing():
+    A = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError):
+        ss.Omp(A, picks=0)
+    with pytest.raises(ValueError):
+        ss.Omp(A, picks=2, engine="native")
+    s = ss.Omp(A, picks=2)
+    # picks>1 never routes native nor the slot-space driver
+    assert s.explain()["engine"] == "jax"
+    assert s.explain(batch=64)["picks"] == 2
+    assert not s._route_driver(64, 8)
