@@ -70,6 +70,20 @@ def main():
     assert mean_iters_omp == k, (mean_iters_omp, k)
     assert results["homotopy"][0] == batch
 
+    # generalized OMP (round 5): 4 picks per round -> ~k/4 correlation
+    # passes, same recovered support (the extra coefficients near the
+    # tolerance are ~0)
+    X4, rep4 = ss.Omp(A, engine="jax", picks=4).solve_batch(
+        Y, tolerance=1e-2, max_iterations=2 * k)
+    X4 = np.asarray(X4)
+    exact4 = sum(
+        set(np.argsort(-np.abs(X4[b]))[:k]) ==
+        set(np.nonzero(Xtrue[b])[0]) for b in range(batch))
+    rounds = np.ceil(np.asarray(rep4.iter) / 4).mean()
+    print(f"  gomp(picks=4): support {exact4}/{batch}, "
+          f"mean rounds {rounds:.1f} (vs {k} single-pick passes)")
+    assert exact4 == batch
+
 
 if __name__ == "__main__":
     main()
