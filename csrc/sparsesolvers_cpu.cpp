@@ -451,7 +451,8 @@ struct OmpWork {
       for (int j = 0; j < n; ++j) c[j] = dot(col(j), v, m);
   }
 
-  int solve(const T* y, T tol, int max_iter, T* x_out, T* err_out) {
+  int solve(const T* y, T tol, int max_iter, T* x_out, T* err_out,
+            int picks = 1) {
     inv.k = 0;
     std::fill(inv.B.begin(), inv.B.end(), T(0));
     std::fill(inv.cols.begin(), inv.cols.end(), -1);
@@ -466,23 +467,42 @@ struct OmpWork {
     while (iter < max_iter && inv.k < cap && rss > tol * tol
            && rss < prev_rss) {
       prev_rss = rss;
-      // greedy pick: leftmost argmax |c| over the inactive set
-      int idx = -1;
-      T best = T(-1);
-      for (int j = 0; j < n; ++j)
-        if (!active[j] && std::abs(c[j]) > best) {
-          best = std::abs(c[j]);
-          idx = j;
+      // gOMP round (picks >= 1, twin of solvers/omp.py picks): insert
+      // up to `picks` columns — descending |c| over the inactive set,
+      // leftmost tie-break — then ONE LS re-solve and ONE correlation
+      // update. Degenerate sub-inserts are skipped individually; a
+      // round committing nothing ends the solve with the previous LS
+      // solution standing.
+      int committed = 0;
+      for (int p_ = 0; p_ < picks && iter < max_iter && inv.k < cap;
+           ++p_) {
+        int idx = -1;
+        T best = T(-1);
+        for (int j = 0; j < n; ++j)
+          if (!active[j] && std::abs(c[j]) > best) {
+            best = std::abs(c[j]);
+            idx = j;
+          }
+        if (idx < 0) break;
+        // mark considered either way so a degenerate pick is not
+        // re-selected within this round; only committed inserts stay
+        // active beyond it
+        const T* v = col(idx);
+        for (int s = 0; s < inv.k; ++s)
+          u1col[s] = dot(col(inv.cols[s]), v, m);
+        if (!inv.insert(idx, u1col.data(), dot(v, v, m))) {
+          if (picks == 1) break;  // single-pick: legacy trajectory
+          active[idx] = 2;        // degenerate — skip for this round
+          continue;
         }
-      if (idx < 0) break;
-
-      const T* v = col(idx);
-      for (int s = 0; s < inv.k; ++s)
-        u1col[s] = dot(col(inv.cols[s]), v, m);
-      if (!inv.insert(idx, u1col.data(), dot(v, v, m)))
-        break;  // degenerate pick — previous LS solution stands
-      active[idx] = 1;
-      ++iter;
+        active[idx] = 1;
+        ++iter;
+        ++committed;
+      }
+      // un-mark round-local degenerate skips
+      for (int j = 0; j < n; ++j)
+        if (active[j] == 2) active[j] = 0;
+      if (committed == 0) break;
 
       // LS re-solve on the grown support: coef = B (c0[cols])
       for (int s = 0; s < inv.k; ++s) b_act[s] = c0[inv.cols[s]];
@@ -883,7 +903,8 @@ static void homotopy_batch_impl(const T* A, int m, int n, const T* Y,
 template <typename T>
 static void omp_batch_impl(const T* A, int m, int n, const T* Y, int batch,
                            T tol, int max_iter, int k_max, int nthreads,
-                           T* X_out, int* iters_out, T* errs_out) {
+                           T* X_out, int* iters_out, T* errs_out,
+                           int picks = 1) {
   std::vector<T> At;
   transpose_to_colmajor(A, m, n, At);
   int cap = std::max(1, std::min(k_max, std::min(m, n)));
@@ -898,7 +919,7 @@ static void omp_batch_impl(const T* A, int m, int n, const T* Y, int batch,
       int b = next.fetch_add(1);
       if (b >= batch) return;
       iters_out[b] = w.solve(Y + size_t(b) * m, tol, max_iter,
-                             X_out + size_t(b) * n, errs_out + b);
+                             X_out + size_t(b) * n, errs_out + b, picks);
     }
   };
   std::vector<std::thread> ts;
@@ -1041,6 +1062,47 @@ void ss_omp_solve_batch_f64(const double* A, int m, int n, const double* Y,
                             double* errs_out) {
   omp_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, k_max, nthreads,
                          X_out, iters_out, errs_out);
+}
+
+// Generalized OMP (picks per round) — new entry points so pre-round-5
+// binaries keep their exact ABI; the picks=1 path is the legacy
+// trajectory bit-for-bit.
+int ss_omp_solve_pk_f32(const float* A, int m, int n, const float* y,
+                        float tol, int max_iter, int k_max, int picks,
+                        float* x_out, float* err_out) {
+  std::vector<float> At;
+  transpose_to_colmajor(A, m, n, At);
+  OmpWork<float> w(At.data(), m, n,
+                   std::max(1, std::min(k_max, std::min(m, n))));
+  return w.solve(y, tol, max_iter, x_out, err_out, std::max(1, picks));
+}
+
+int ss_omp_solve_pk_f64(const double* A, int m, int n, const double* y,
+                        double tol, int max_iter, int k_max, int picks,
+                        double* x_out, double* err_out) {
+  std::vector<double> At;
+  transpose_to_colmajor(A, m, n, At);
+  OmpWork<double> w(At.data(), m, n,
+                    std::max(1, std::min(k_max, std::min(m, n))));
+  return w.solve(y, tol, max_iter, x_out, err_out, std::max(1, picks));
+}
+
+void ss_omp_solve_batch_pk_f32(const float* A, int m, int n,
+                               const float* Y, int batch, float tol,
+                               int max_iter, int k_max, int picks,
+                               int nthreads, float* X_out, int* iters_out,
+                               float* errs_out) {
+  omp_batch_impl<float>(A, m, n, Y, batch, tol, max_iter, k_max, nthreads,
+                        X_out, iters_out, errs_out, std::max(1, picks));
+}
+
+void ss_omp_solve_batch_pk_f64(const double* A, int m, int n,
+                               const double* Y, int batch, double tol,
+                               int max_iter, int k_max, int picks,
+                               int nthreads, double* X_out, int* iters_out,
+                               double* errs_out) {
+  omp_batch_impl<double>(A, m, n, Y, batch, tol, max_iter, k_max, nthreads,
+                         X_out, iters_out, errs_out, std::max(1, picks));
 }
 
 // IRLS with construct-once QR: create returns an opaque handle.

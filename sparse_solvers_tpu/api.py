@@ -320,10 +320,6 @@ class Homotopy:
                 "mode='exact' requires the jax engine")
         if not isinstance(picks, int) or picks < 1:
             raise ValueError(f"picks must be an int >= 1, got {picks!r}")
-        if picks > 1 and engine == "native":
-            raise ValueError(
-                "generalized OMP (picks > 1) runs on the jax engine "
-                "(the native twin implements the picks=1 loop)")
         if (precision is not None and isinstance(precision, str)
                 and precision not in _PRECISION_VALUES):
             raise ValueError(
@@ -1474,7 +1470,8 @@ class Omp:
     pass over A across ``picks`` support additions (~k/picks passes
     for a k-sparse recovery; may overshoot the minimal support by up
     to picks−1 near-zero coefficients near the tolerance —
-    solvers/omp.py). jax engine, vmapped-core route.
+    solvers/omp.py). Runs on both engines (jax vmapped core; native
+    host twin via the ss_omp_solve_pk entry points).
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
@@ -1491,10 +1488,6 @@ class Omp:
                 "mode='exact' requires the jax engine")
         if not isinstance(picks, int) or picks < 1:
             raise ValueError(f"picks must be an int >= 1, got {picks!r}")
-        if picks > 1 and engine == "native":
-            raise ValueError(
-                "generalized OMP (picks > 1) runs on the jax engine "
-                "(the native twin implements the picks=1 loop)")
         if mesh is not None:
             if mode == "exact":
                 raise ValueError(
@@ -1567,7 +1560,7 @@ class Omp:
 
     def _use_native(self, probe: bool = False) -> bool:
         if (self._engine == "jax" or self._mode == "exact"
-                or self._mesh is not None or self._picks > 1):
+                or self._mesh is not None):
             return False
         return _route_native(self._engine, self._m, self._n, probe)
 
@@ -1792,7 +1785,7 @@ class Omp:
             from .backend import native as _native
             xn, it, err = _native.omp_solve(
                 np.asarray(self._A), np.asarray(y), tol, max_iterations,
-                self._resolved_k_max(max_iterations))
+                self._resolved_k_max(max_iterations), picks=self._picks)
             return xn, OmpReport(iter=it, solution_error=err)
         corr = self._route_corr(None, max_iterations)
         x, rep = self._fn(max_iterations, batched=False, corr=corr)(
@@ -1828,7 +1821,7 @@ class Omp:
             from .backend import native as _native
             X, its, errs = _native.omp_solve_batch(
                 np.asarray(self._A), np.asarray(Y), tol, max_iterations,
-                k_max)
+                k_max, picks=self._picks)
             from .solvers import omp as _omp
             rep = _omp.OmpReportArrays(
                 iter=its.astype(np.uint32), solution_error=errs)

@@ -110,12 +110,28 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ss_omp_solve_f32.argtypes = lib.ss_homotopy_solve_f32.argtypes
     lib.ss_omp_solve_f64.restype = ctypes.c_int
     lib.ss_omp_solve_f64.argtypes = lib.ss_homotopy_solve_f64.argtypes
+    # generalized OMP (engine round 5): the picks-per-round entry; a
+    # pre-round-5 binary lacks the symbol (AttributeError falls through
+    # to the next library candidate in get_lib, like other new symbols)
+    for nm, base in (("ss_omp_solve_pk_f32", lib.ss_omp_solve_f32),
+                     ("ss_omp_solve_pk_f64", lib.ss_omp_solve_f64)):
+        fn = getattr(lib, nm)
+        fn.restype = ctypes.c_int
+        a = list(base.argtypes)
+        fn.argtypes = a[:7] + [ctypes.c_int] + a[7:]
     lib.ss_omp_solve_batch_f32.restype = None
     lib.ss_omp_solve_batch_f32.argtypes = \
         lib.ss_homotopy_solve_batch_f32.argtypes
     lib.ss_omp_solve_batch_f64.restype = None
     lib.ss_omp_solve_batch_f64.argtypes = \
         lib.ss_homotopy_solve_batch_f64.argtypes
+    for nm, base in (
+            ("ss_omp_solve_batch_pk_f32", lib.ss_omp_solve_batch_f32),
+            ("ss_omp_solve_batch_pk_f64", lib.ss_omp_solve_batch_f64)):
+        fn = getattr(lib, nm)
+        fn.restype = None
+        a = list(base.argtypes)  # (..., k_max, nthreads, X, iters, errs)
+        fn.argtypes = a[:8] + [ctypes.c_int] + a[8:]
     lib.ss_irls_create_f32.restype = ctypes.c_void_p
     lib.ss_irls_create_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int]
     lib.ss_irls_solve_f32.restype = ctypes.c_int
@@ -396,10 +412,11 @@ def homotopy_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
 
 
 def omp_solve(A: np.ndarray, y: np.ndarray, tol: float,
-              max_iterations: int, k_max: int):
+              max_iterations: int, k_max: int, picks: int = 1):
     """Single OMP solve on the host — same trajectory as
     solvers/omp.py's fast path (leftmost greedy pick, insertion-ordered
-    online-inverse LS, true materialized residual). Returns
+    online-inverse LS, true materialized residual). ``picks`` > 1 runs
+    the generalized-OMP round (solvers/omp.py picks). Returns
     (x, iter, resid_norm); float32 or float64 by A's dtype."""
     lib = get_lib()
     if lib is None:
@@ -413,18 +430,26 @@ def omp_solve(A: np.ndarray, y: np.ndarray, tol: float,
     _check_vector(yc, m)
     x = np.zeros(n, dt)
     err = ct()
-    fn = lib.ss_omp_solve_f64 if f64 else lib.ss_omp_solve_f32
     p = ctypes.POINTER(ct)
-    it = fn(Ac.ctypes.data_as(p), m, n, yc.ctypes.data_as(p),
-            float(tol), int(max_iterations), int(k_max),
-            x.ctypes.data_as(p), ctypes.byref(err))
+    if picks > 1:
+        fn = lib.ss_omp_solve_pk_f64 if f64 else lib.ss_omp_solve_pk_f32
+        it = fn(Ac.ctypes.data_as(p), m, n, yc.ctypes.data_as(p),
+                float(tol), int(max_iterations), int(k_max), int(picks),
+                x.ctypes.data_as(p), ctypes.byref(err))
+    else:
+        fn = lib.ss_omp_solve_f64 if f64 else lib.ss_omp_solve_f32
+        it = fn(Ac.ctypes.data_as(p), m, n, yc.ctypes.data_as(p),
+                float(tol), int(max_iterations), int(k_max),
+                x.ctypes.data_as(p), ctypes.byref(err))
     return x, it, err.value
 
 
 def omp_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
-                    max_iterations: int, k_max: int, nthreads: int = 0):
+                    max_iterations: int, k_max: int, nthreads: int = 0,
+                    picks: int = 1):
     """Threaded batched OMP on the host; results bit-identical to
     per-signal ``omp_solve`` calls regardless of thread count.
+    ``picks`` > 1 = generalized-OMP rounds (solvers/omp.py).
     Returns (X (batch, n), iters, resid_norms)."""
     lib = get_lib()
     if lib is None:
@@ -440,13 +465,22 @@ def omp_solve_batch(A: np.ndarray, Y: np.ndarray, tol: float,
     X = np.zeros((batch, n), dt)
     iters = np.zeros(batch, np.int32)
     errs = np.zeros(batch, dt)
-    fn = lib.ss_omp_solve_batch_f64 if f64 else lib.ss_omp_solve_batch_f32
     p = ctypes.POINTER(ct)
-    fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
-       float(tol), int(max_iterations), int(k_max), int(nthreads),
-       X.ctypes.data_as(p),
-       iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-       errs.ctypes.data_as(p))
+    ip = ctypes.POINTER(ctypes.c_int)
+    if picks > 1:
+        fn = (lib.ss_omp_solve_batch_pk_f64 if f64
+              else lib.ss_omp_solve_batch_pk_f32)
+        fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
+           float(tol), int(max_iterations), int(k_max), int(picks),
+           int(nthreads), X.ctypes.data_as(p),
+           iters.ctypes.data_as(ip), errs.ctypes.data_as(p))
+    else:
+        fn = (lib.ss_omp_solve_batch_f64 if f64
+              else lib.ss_omp_solve_batch_f32)
+        fn(Ac.ctypes.data_as(p), m, n, Yc.ctypes.data_as(p), batch,
+           float(tol), int(max_iterations), int(k_max), int(nthreads),
+           X.ctypes.data_as(p), iters.ctypes.data_as(ip),
+           errs.ctypes.data_as(p))
     return X, iters, errs
 
 

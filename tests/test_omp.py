@@ -775,9 +775,40 @@ def test_gomp_validation_and_routing():
     with pytest.raises(ValueError):
         ss.Omp(A, picks=0)
     with pytest.raises(ValueError):
-        ss.Omp(A, picks=2, engine="native")
-    s = ss.Omp(A, picks=2)
-    # picks>1 never routes native nor the slot-space driver
-    assert s.explain()["engine"] == "jax"
+        ss.Omp(A, picks="2")
+    s = ss.Omp(A, engine="jax", picks=2)
+    # picks>1 never routes the slot-space driver (single-pick kernel)
     assert s.explain(batch=64)["picks"] == 2
     assert not s._route_driver(64, 8)
+
+
+@pytestmark_native
+@pytest.mark.parametrize("J,dtype", [(2, np.float32), (4, np.float32),
+                                     (3, np.float64)])
+def test_gomp_native_matches_oracle_and_jax(J, dtype):
+    """The native twin's generalized-OMP rounds (ss_omp_solve_pk_*)
+    match the oracle and the jax engine round-for-round, f32 + f64,
+    single and threaded batch."""
+    A, x_true, y = _problem(64, 128, 8, seed=J, dtype=dtype)
+    tol = _tol(dtype)
+    xo, ito, erro, _ = oracle.solve(A, y, tol, 100, picks=J)
+    xn, itn, errn = native.omp_solve(A, y, tol, 100, 100, picks=J)
+    xj, repj = ss.Omp(A, engine="jax", picks=J).solve(
+        y, tolerance=tol, max_iterations=100)
+    assert itn == ito == repj.iter
+    np.testing.assert_allclose(xn, xo, atol=3e-4)
+    np.testing.assert_allclose(xn, xj, atol=3e-4)
+    # threaded batch bit-equal to sequential pk solves
+    Y = np.stack([_problem(64, 128, 8, seed=s_)[2].astype(dtype)
+                  for s_ in range(5)])
+    X, iters, errs = native.omp_solve_batch(A, Y, tol, 50, 50, picks=J)
+    for b in range(5):
+        xb, itb, errb = native.omp_solve(A, Y[b], tol, 50, 50, picks=J)
+        assert iters[b] == itb and errs[b] == errb
+        np.testing.assert_array_equal(X[b], xb)
+    # the auto engine routes small gOMP problems to the native twin
+    small = ss.Omp(A, picks=J) if dtype == np.float32 else None
+    if small is not None:
+        assert small.explain()["engine"] == "native"
+        xa, ra = small.solve(y, tolerance=tol, max_iterations=100)
+        assert ra.iter == ito
