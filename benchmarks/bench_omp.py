@@ -125,6 +125,31 @@ def main():
              **{err_key: float(np.asarray(rep.solution_error).max())})
     os.environ.pop("SS_BATCH_NATIVE", None)
 
+    # generalized-OMP picks sweep on the pinned Gram-gather formulation
+    # (round 5): the clean picks-scaling comparison — the slot-space
+    # driver is single-pick, so gOMP's lever is the vmapped routes
+    if not args.large:
+        for J in ((2,) if args.quick else (1, 2, 4, 8)):
+            solver = ss.Omp(A, engine="jax", precision="high", picks=J,
+                            gram=True)
+            run = lambda: solver.solve_batch_on_device(Yd, tol, 2 * k)
+            X, rep = run()
+            np.asarray(rep.iter)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                X, rep = run()
+            np.asarray(rep.iter)
+            sec = (time.perf_counter() - t0) / args.reps
+            iters = np.asarray(rep.iter)
+            emit(bench="omp_batch", formulation="gomp_vmapped_gram",
+                 picks=J, m=m, n=n, k=k, batch=batch, tol=tol,
+                 ms_per_batch=round(sec * 1e3, 2),
+                 solves_per_sec=round(batch / sec, 1),
+                 mean_cols=float(iters.mean()),
+                 mean_rounds=float(np.ceil(iters / J).mean()),
+                 max_err=float(np.asarray(rep.solution_error).max()),
+                 device=dev.device_kind)
+
     # native host row (threaded batch) at a host-scaled shape
     from sparse_solvers_tpu.backend import native
     if native.available():

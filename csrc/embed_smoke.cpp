@@ -161,6 +161,14 @@ void omp_smoke() {
     CHECK(reps[b].iter == res->iter);
     for (int j = 0; j < n; ++j) CHECK(X[size_t(b) * n + j] == x[j]);
   }
+
+  // generalized OMP (picks=2): same recovered support on a clean
+  // ensemble, half the correlation passes
+  std::vector<float> xg(n, 0.f);
+  auto resg = solver.solve(y.data(), 1e-3f, 60, xg.data(), 0, 2);
+  CHECK(bool(resg));
+  CHECK(resg->solution_error <= 1e-3);
+  CHECK(support_errors(xg, x_true, 1e-2f) == 0);
 }
 
 void utilities_smoke() {

@@ -70,6 +70,16 @@ void ss_omp_solve_batch_f32(const float*, int, int, const float*, int,
                             float, int, int, int, float*, int*, float*);
 void ss_omp_solve_batch_f64(const double*, int, int, const double*, int,
                             double, int, int, int, double*, int*, double*);
+int ss_omp_solve_pk_f32(const float*, int, int, const float*, float, int,
+                        int, int, float*, float*);
+int ss_omp_solve_pk_f64(const double*, int, int, const double*, double, int,
+                        int, int, double*, double*);
+void ss_omp_solve_batch_pk_f32(const float*, int, int, const float*, int,
+                               float, int, int, int, int, float*, int*,
+                               float*);
+void ss_omp_solve_batch_pk_f64(const double*, int, int, const double*, int,
+                               double, int, int, int, int, double*, int*,
+                               double*);
 int ss_blas_load(const char*, const char*, const char*, int);
 int ss_blas_active();
 int ss_native_version();
@@ -153,6 +163,17 @@ struct abi<float> {
     return ss_irls_cg_solve_f32(A, m, n, y, tol, mi, 0.9f, 0, 0, 0.0f, x, e,
                                 broke);
   }
+  static int omp_pk(const float* A, int m, int n, const float* y,
+                    float tol, int mi, int k, int picks, float* x,
+                    float* e) {
+    return ss_omp_solve_pk_f32(A, m, n, y, tol, mi, k, picks, x, e);
+  }
+  static void omp_batch_pk(const float* A, int m, int n, const float* Y,
+                           int b, float tol, int mi, int k, int picks,
+                           int nt, float* X, int* it, float* e) {
+    ss_omp_solve_batch_pk_f32(A, m, n, Y, b, tol, mi, k, picks, nt, X,
+                              it, e);
+  }
   static int omp(const float* A, int m, int n, const float* y, float tol,
                  int mi, int k, float* x, float* e) {
     return ss_omp_solve_f32(A, m, n, y, tol, mi, k, x, e);
@@ -191,6 +212,17 @@ struct abi<double> {
                      double tol, int mi, double* x, double* e, int* broke) {
     return ss_irls_cg_solve_f64(A, m, n, y, tol, mi, 0.9, 0, 0, 0.0, x, e,
                                 broke);
+  }
+  static int omp_pk(const double* A, int m, int n, const double* y,
+                    double tol, int mi, int k, int picks, double* x,
+                    double* e) {
+    return ss_omp_solve_pk_f64(A, m, n, y, tol, mi, k, picks, x, e);
+  }
+  static void omp_batch_pk(const double* A, int m, int n, const double* Y,
+                           int b, double tol, int mi, int k, int picks,
+                           int nt, double* X, int* it, double* e) {
+    ss_omp_solve_batch_pk_f64(A, m, n, Y, b, tol, mi, k, picks, nt, X,
+                              it, e);
   }
   static int omp(const double* A, int m, int n, const double* y, double tol,
                  int mi, int k, double* x, double* e) {
@@ -327,30 +359,43 @@ class omp {
       : A_(A, A + (detail::bad_dims(m, n) ? 0 : size_t(m) * n)),
         m_(m), n_(n) {}
 
-  // k_max caps the support (0 = min(m, n, max_iterations)).
+  // k_max caps the support (0 = min(m, n, max_iterations)); picks >= 2
+  // selects the generalized-OMP rounds (solvers/omp.py picks).
   result<omp_report> solve(const T* y, T tolerance,
                            std::uint32_t max_iterations, T* x_out,
-                           int k_max = 0) const {
+                           int k_max = 0, int picks = 1) const {
     if (detail::bad_dims(m_, n_))
       return result<omp_report>::fail("invalid dimensions");
     T err = 0;
     int cap = k_max > 0 ? k_max : int(max_iterations);
-    int it = detail::abi<T>::omp(A_.data(), m_, n_, y, tolerance,
-                                 int(max_iterations), cap, x_out, &err);
+    int it = picks > 1
+                 ? detail::abi<T>::omp_pk(A_.data(), m_, n_, y, tolerance,
+                                          int(max_iterations), cap, picks,
+                                          x_out, &err)
+                 : detail::abi<T>::omp(A_.data(), m_, n_, y, tolerance,
+                                       int(max_iterations), cap, x_out,
+                                       &err);
     return result<omp_report>::ok({std::uint32_t(it), double(err)});
   }
 
   std::vector<omp_report> solve_batch(const T* Y, int batch, T tolerance,
                                       std::uint32_t max_iterations,
                                       T* X_out, int k_max = 0,
-                                      int nthreads = 0) const {
+                                      int nthreads = 0,
+                                      int picks = 1) const {
     if (detail::bad_dims(m_, n_) || batch <= 0) return {};
     std::vector<int> iters(batch);
     std::vector<T> errs(batch);
     int cap = k_max > 0 ? k_max : int(max_iterations);
-    detail::abi<T>::omp_batch(A_.data(), m_, n_, Y, batch, tolerance,
-                              int(max_iterations), cap, nthreads, X_out,
-                              iters.data(), errs.data());
+    if (picks > 1)
+      detail::abi<T>::omp_batch_pk(A_.data(), m_, n_, Y, batch, tolerance,
+                                   int(max_iterations), cap, picks,
+                                   nthreads, X_out, iters.data(),
+                                   errs.data());
+    else
+      detail::abi<T>::omp_batch(A_.data(), m_, n_, Y, batch, tolerance,
+                                int(max_iterations), cap, nthreads, X_out,
+                                iters.data(), errs.data());
     std::vector<omp_report> out(batch);
     for (int b = 0; b < batch; ++b)
       out[b] = {std::uint32_t(iters[b]), double(errs[b])};
