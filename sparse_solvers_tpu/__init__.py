@@ -11,13 +11,15 @@ Public surface mirrors the reference Python package ``sparsesolvers``
 (reference: bindings/python/sparsesolvers/binding.cpp:114-148).
 """
 
-from .api import (Homotopy, Irls, IrlsCg, Omp, densify_batch, densify_path,
+from .api import (Cosamp, Homotopy, Irls, IrlsCg, Omp,
+                  densify_batch, densify_path,
                   lasso_at, lasso_at_batch,
                   reconstruct_signal, norm_l1)
 from .reports import HomotopyReport, IrlsReport, OmpReport
 from .utils.config import version
 
 __all__ = [
+    "Cosamp",
     "Homotopy",
     "Irls",
     "IrlsCg",

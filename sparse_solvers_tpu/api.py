@@ -1917,6 +1917,123 @@ class Omp:
                 if tolerance is None else float(tolerance))
 
 
+class Cosamp:
+    """CoSaMP — Compressive Sampling Matching Pursuit over a fixed
+    sensing matrix A (m×n), target sparsity ``k_sparsity``
+    (Needell–Tropp 2009; beyond-reference greedy family, completing the
+    wing next to ``Omp``/gOMP).
+
+    Unlike OMP's insert-only support, each round REPLACES the support:
+    the 2k largest inactive correlations join the current k support
+    columns, one least-squares solve runs on the ≤ 3k union, and the k
+    largest entries survive — wrong early picks get evicted (the RIP
+    recovery guarantee's mechanism). TPU-native design: no online
+    inverse — each round gathers the union into an (m, 3k) block and
+    Choleskys its 3k×3k Gram (solvers/cosamp.py; fixed shapes
+    throughout, sentinel-padded support). NumPy oracle:
+    oracle/cosamp.py, matched round-for-round.
+
+    ``k_sparsity`` is REQUIRED (CoSaMP's defining input — it prunes to
+    exactly k); ``max_iterations`` counts rounds (default 20: CoSaMP
+    converges geometrically under RIP, unlike OMP's k picks).
+    ``precision`` pins the MXU contraction precision ("highest"
+    default — the round's Gram feeds a Cholesky). jax engine (no
+    native/mesh twin; batching is one vmapped program)."""
+
+    def __init__(self, A, k_sparsity: int, precision: str = "highest",
+                 engine: str = "jax"):
+        if engine not in ("auto", "jax"):
+            raise ValueError(
+                "Cosamp runs on the jax engine (no native twin); got "
+                f"engine={engine!r}")
+        if precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "precision must be 'highest', 'high' or 'default', "
+                f"got {precision!r}")
+        self._A = ndview.as_matrix(A)
+        self._m, self._n = self._A.shape
+        if not isinstance(k_sparsity, int) or k_sparsity < 1:
+            raise ValueError(
+                f"k_sparsity must be an int >= 1, got {k_sparsity!r}")
+        if k_sparsity > min(self._m, self._n):
+            raise ValueError(
+                f"k_sparsity must be <= min(m, n) = "
+                f"{min(self._m, self._n)}, got {k_sparsity}")
+        self._k = k_sparsity
+        self._precision = precision
+        self._cache: dict = {}
+
+    @property
+    def shape(self):
+        return (self._m, self._n)
+
+    @property
+    def dtype(self):
+        return self._A.dtype
+
+    def explain(self, batch: int | None = None,
+                max_iterations: int = 20) -> dict:
+        return {"engine": "jax", "backend": jax.default_backend(),
+                "mode": "cosamp", "precision": self._precision,
+                "k_sparsity": self._k,
+                "union_capacity": self._k + min(2 * self._k,
+                                                self._n - self._k),
+                "formulation": (("vmapped " if batch is not None else "")
+                                + "CoSaMP rounds (union LS via "
+                                "3k-Gram Cholesky)")}
+
+    def _fn(self, max_iterations: int, batched: bool):
+        _check_max_iterations(max_iterations)
+        from .solvers import cosamp as _cosamp
+        key = ("cosamp", max_iterations, batched)
+        fn = self._cache.get(key)
+        if fn is None:
+            def core(A, y, tol):
+                with _blas.precision_scope(self._precision):
+                    return _cosamp.solve_cosamp(
+                        A, y, self._k, tol,
+                        max_iterations=max_iterations)
+            run = (jax.vmap(core, in_axes=(None, 0, None)) if batched
+                   else core)
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        return fn
+
+    def solve(self, b, tolerance: float | None = None,
+              max_iterations: int = 20):
+        """Recover a k-sparse x with y ≈ Ax; returns (x, OmpReport)
+        (the greedy family's report shape: iter = rounds,
+        solution_error = final ‖y − Ax‖₂)."""
+        y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
+        x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
+        return x, OmpReport(iter=int(it), solution_error=float(err))
+
+    def solve_batch(self, B, tolerance: float | None = None,
+                    max_iterations: int = 20):
+        """Batched solve over signals B of shape (batch, m)."""
+        Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
+        tol = self._tol(tolerance)
+        return self._fn(max_iterations, batched=True)(self._A, Y, tol)
+
+    def solve_on_device(self, y: jnp.ndarray, tolerance,
+                        max_iterations: int = 20):
+        """Jit-composable solve: device arrays in, (x, report) out."""
+        return self._fn(max_iterations, batched=False)(
+            self._A, y, tolerance)
+
+    def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
+                              max_iterations: int = 20):
+        """Jit-composable batched solve over device arrays."""
+        return self._fn(max_iterations, batched=True)(
+            self._A, Y, tolerance)
+
+    def _tol(self, tolerance):
+        return (_default_tolerance(self.dtype)
+                if tolerance is None else float(tolerance))
+
+
 def _compact_from_dense(X, k_max: int):
     """Host-side compact (values, indices) form of a dense batch
     solution — the native engine's ``dense=False`` leg. Each lane's
