@@ -44,7 +44,7 @@ def _seed(solver_kind, m, k):
     return zlib.crc32(f"{solver_kind}:{m}:{k}".encode()) % 2**31
 
 
-def _trial(rng, m, n, k, solver_kind, ss):
+def _trial(rng, m, n, k, solver_kind, ss):  # noqa: C901
     """Returns (recovered, exhausted): exhausted marks a solve that hit
     the iteration budget without meeting the tolerance — an unconverged
     trial, not an algorithmic recovery failure."""
@@ -66,6 +66,18 @@ def _trial(rng, m, n, k, solver_kind, ss):
         max_iter = m
         x, rep = ss.Omp(A).solve(y, tolerance=tol,
                                  max_iterations=max_iter)
+    elif solver_kind == "gomp4":
+        # generalized OMP, 4 picks/round (round 5): between OMP and l1
+        # empirically (Wang-Kwon-Shim 2012)
+        max_iter = m
+        x, rep = ss.Omp(A, picks=4).solve(y, tolerance=tol,
+                                          max_iterations=max_iter)
+    elif solver_kind == "cosamp":
+        # support-replacing greedy (round 5): RIP-backed recovery,
+        # requires the true k as input
+        max_iter = 40
+        x, rep = ss.Cosamp(A, int(k)).solve(y, tolerance=tol,
+                                            max_iterations=max_iter)
     else:
         max_iter = 60
         x, rep = ss.IrlsCg(A).solve(y, tolerance=tol,
@@ -91,7 +103,8 @@ def main():
     deltas = [0.25, 0.5] if args.quick else [0.125, 0.25, 0.375, 0.5, 0.75]
     rhos = [0.1, 0.3] if args.quick else [0.1, 0.2, 0.3, 0.4, 0.5]
 
-    for solver_kind in ("homotopy", "irls_cg", "omp"):
+    for solver_kind in ("homotopy", "irls_cg", "omp", "gomp4",
+                        "cosamp"):
         for d in deltas:
             m = max(4, int(round(d * n)))
             for r in rhos:
