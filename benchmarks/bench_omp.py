@@ -125,10 +125,32 @@ def main():
              **{err_key: float(np.asarray(rep.solution_error).max())})
     os.environ.pop("SS_BATCH_NATIVE", None)
 
-    # generalized-OMP picks sweep on the pinned Gram-gather formulation
-    # (round 5): the clean picks-scaling comparison — the slot-space
-    # driver is single-pick, so gOMP's lever is the vmapped routes
+    # generalized-OMP picks sweeps (round 5): the slot-space driver's
+    # gOMP rounds (J insert-kernel calls per fused q pass — the greedy
+    # family's record route, 8972 solves/s at J=4) and the pinned
+    # Gram-gather vmapped formulation (the route for gram-pinned/f64)
     if not args.large:
+        for J in ((2,) if args.quick else (2, 4, 8)):
+            solver = ss.Omp(A, engine="jax", precision="default",
+                            picks=J)
+            run = lambda: solver.solve_batch_on_device(Yd, tol, 2 * k)
+            X, rep = run()
+            np.asarray(rep.iter)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                X, rep = run()
+            np.asarray(rep.iter)
+            sec = (time.perf_counter() - t0) / args.reps
+            iters = np.asarray(rep.iter)
+            emit(bench="omp_batch", formulation="gomp_batch_driver",
+                 selection="iterated_argmax", picks=J, m=m, n=n, k=k,
+                 batch=batch, tol=tol,
+                 ms_per_batch=round(sec * 1e3, 2),
+                 solves_per_sec=round(batch / sec, 1),
+                 mean_cols=float(iters.mean()),
+                 max_err_certified=float(
+                     np.asarray(rep.solution_error).max()),
+                 device=dev.device_kind)
         for J in ((2,) if args.quick else (1, 2, 4, 8)):
             solver = ss.Omp(A, engine="jax", precision="high", picks=J,
                             gram=True)

@@ -1470,8 +1470,10 @@ class Omp:
     pass over A across ``picks`` support additions (~k/picks passes
     for a k-sparse recovery; may overshoot the minimal support by up
     to picks−1 near-zero coefficients near the tolerance —
-    solvers/omp.py). Runs on both engines (jax vmapped core; native
-    host twin via the ss_omp_solve_pk entry points).
+    solvers/omp.py). Runs on every route: the slot-space batch driver
+    (one fused q pass per round — the driver's dominant cost amortized
+    J-fold, solvers/omp_batch.py), the vmapped core, and the native
+    host twin (ss_omp_solve_pk entry points).
     """
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
@@ -1618,10 +1620,9 @@ class Omp:
             k_max = self._resolved_k_max(max_iterations)
             local_b = -(-(batch or 1) // self._mesh.shape[_sh.DATA_AXIS])
             m_pad = self._m + ((-self._m) % S)
-            bn = ((not self._gram_forced) and self._picks == 1
-                  and route_batch_native(
-                      local_b, self._n, self._A.dtype,
-                      sparse=local_b * k_max < 2 * m_pad))
+            bn = ((not self._gram_forced) and route_batch_native(
+                local_b, self._n, self._A.dtype,
+                sparse=local_b * k_max < 2 * m_pad))
             plan = {"engine": "jax", "backend": jax.default_backend(),
                     "mode": self._mode, "precision": self._precision,
                     "mesh": dict(self._mesh.shape), "sharded": True,
@@ -1695,12 +1696,9 @@ class Omp:
         where structurally valid, =0 forbids). The ``sparse`` leg keeps
         the zero-full-pass-per-pick Gram-gather vmapped core for small
         batch·k_max (the driver pays a full q pass per pick)."""
-        if (batch is None or self._mode != "fast" or self._gram_forced
-                or self._picks > 1):
+        if batch is None or self._mode != "fast" or self._gram_forced:
             # gram=True pins the Gram-gather vmapped formulation (the
-            # documented contract); the driver must not override it;
-            # the slot-space driver's insert kernel is single-pick —
-            # gOMP runs the vmapped core
+            # documented contract); the driver must not override it
             return False
         from .solvers.homotopy_batch import route_batch_native
         small = (batch * self._resolved_k_max(max_iterations)
@@ -1737,7 +1735,7 @@ class Omp:
                     with _blas.precision_scope(path_precision):
                         return _omp_batch.solve_omp_batch(
                             A, G, Y, tol, max_iterations, k_max,
-                            dense=dense)
+                            dense=dense, picks=self._picks)
             else:
                 def core(A, G, y, tol):
                     # G rides along for the O(k) per-pick inserts

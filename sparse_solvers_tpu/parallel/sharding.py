@@ -372,6 +372,7 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     overlap_blocks: int = 1, certified: bool = False,
                     overlap_mode: str = "psum", gram_in: bool = False,
                     picks: int = 1):
+    # (picks reaches both the vmapped core and the batch driver)
     from ..solvers.omp import solve_omp_core
 
     out_spec = (P(DATA_AXIS, None) if dense
@@ -406,7 +407,8 @@ def _omp_sharded_fn(mesh: Mesh, precision: str, gram: bool,
                     sync_axes=((DATA_AXIS, ROW_AXIS)
                                if (overlap_mode == "ppermute"
                                    and mesh.shape[DATA_AXIS] > 1)
-                               else None))
+                               else None),
+                    picks=picks)
                 # the driver's reported error IS the psum'd
                 # high-precision certificate (solvers/omp_batch.py)
                 return X, (rep.iter, rep.solution_error)
@@ -507,12 +509,6 @@ def omp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray, tolerance,
     if picks < 1:
         raise ValueError(f"picks must be >= 1, got {picks}")
     local_batch = -(-Y.shape[0] // mesh.shape[DATA_AXIS])
-    if picks > 1:
-        if batch_native:
-            raise ValueError(
-                "generalized OMP (picks > 1) runs the vmapped core "
-                "(the slot-space driver's insert kernel is single-pick)")
-        batch_native = False
     if batch_native is None:
         # gram=False runs the driver gram-free (on-the-fly insert
         # columns — the config-5 large-n regime, like homotopy's); the

@@ -83,7 +83,8 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     ladder: bool | None = None,
                     overlap_mode: str = "psum",
                     axis_size: int | None = None,
-                    sync_axes: tuple | None = None):
+                    sync_axes: tuple | None = None,
+                    picks: int = 1):
     """Batched greedy solve; returns (X (b, n), OmpReportArrays).
 
     ``axis`` names a row-shard psum axis when run inside shard_map (A
@@ -117,6 +118,18 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     interleaved with the local block gemms, immune to XLA's all-reduce
     combiner (docs/design.md §9); ring summation order differs from
     the psum tree by f32 ulps.
+
+    ``picks`` (static, ≥ 1): generalized-OMP rounds in the driver —
+    each round selects the ``picks`` largest inactive correlations per
+    lane (iterated masked argmax), runs that many guarded insert/LS
+    kernel calls
+    (each O(b·K²), cheap), and pays ONE q = AᵀA x̂ correlation pass.
+    The q pass is the driver's dominant per-pick cost (the fused bf16
+    kernel at ~92 % of the MXU roofline), so a k-sparse recovery costs
+    ~k/picks of it. Degenerate sub-inserts are skipped individually; a
+    lane whose round commits nothing breaks with its solution intact.
+    ``max_iterations`` stays the COLUMN budget (iter = support size).
+    picks=1 is the existing trajectory, bit-for-bit.
     """
     b, _ = Y.shape
     n = A.shape[1]
@@ -214,38 +227,95 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
         def body(s: _OBState) -> _OBState:
             live = lane_live(s)
 
-            # greedy pick over the inactive set (leftmost argmax)
             scores = jnp.where(s.mask > 0, jnp.array(-1, dtype),
                                jnp.abs(s.c))
-            idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            if picks == 1:
+                # greedy pick over the inactive set (leftmost argmax)
+                idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
-            # insert column from one streaming G-row gather + the
-            # aligned-block slot extraction (homotopy_batch.
-            # gram_slot_gather); gram-free, the K live entries computed
-            # directly
-            if G is not None:
-                u1, vtv = gram_slot_gather(G, idx, s.indices, n)
+                # insert column from one streaming G-row gather + the
+                # aligned-block slot extraction (homotopy_batch.
+                # gram_slot_gather); gram-free, the K live entries
+                # computed directly
+                if G is not None:
+                    u1, vtv = gram_slot_gather(G, idx, s.indices, n)
+                else:
+                    u1 = gram_u1(idx, s.indices)
+                    vtv = jnp.take(gdiag, idx)
+
+                # the LS rhs grows by one gathered scalar of c₀
+                bnew = jnp.take_along_axis(C0, idx[:, None],
+                                           axis=1)[:, 0]
+                b_act1 = jnp.where(live[:, None],
+                                   s.b_act.at[bidx, s.kk].set(bnew),
+                                   s.b_act)
+
+                inv1, coef1, deg = _oins.omp_insert(
+                    s.inv, u1, s.kk, vtv, b_act1, live, interpret=interp)
+                stepped = live & ~deg
+                ncommit = stepped.astype(jnp.uint32)
+                it1 = jnp.where(stepped, s.it + 1, s.it)
+                kk1 = jnp.where(stepped, s.kk + 1, s.kk)
+                broke_round = live & deg
+
+                ind1 = jnp.where(stepped[:, None],
+                                 s.indices.at[bidx, s.kk].set(idx),
+                                 s.indices)
+                mask1 = jnp.where(stepped[:, None],
+                                  s.mask.at[bidx, idx].set(1), s.mask)
             else:
-                u1 = gram_u1(idx, s.indices)
-                vtv = jnp.take(gdiag, idx)
-
-            # the LS rhs grows by one gathered scalar of c₀
-            bnew = jnp.take_along_axis(C0, idx[:, None], axis=1)[:, 0]
-            b_act1 = jnp.where(live[:, None],
-                               s.b_act.at[bidx, s.kk].set(bnew), s.b_act)
-
-            inv1, coef1, deg = _oins.omp_insert(
-                s.inv, u1, s.kk, vtv, b_act1, live, interpret=interp)
-            stepped = live & ~deg
+                # gOMP round: the picks largest inactive scores per
+                # lane — selected by ITERATED masked argmax (identical
+                # to top_k's descending/leftmost order; lax.top_k
+                # lowers to a sort on TPU, measured ~1.5x slower per
+                # round at the headline shape) — inserted by sequential
+                # guarded kernel calls; each sub-insert's u1 gather
+                # sees the grown support. ONE q pass follows.
+                inv1, b_act1 = s.inv, s.b_act
+                ind1, mask1 = s.indices, s.mask
+                kk1, it1 = s.kk, s.it
+                coef1 = s.coef
+                ncommit = jnp.zeros(b, jnp.uint32)
+                sc = scores
+                for j in range(picks):
+                    idx = jnp.argmax(sc, axis=1).astype(jnp.int32)
+                    val = jnp.take_along_axis(sc, idx[:, None],
+                                              axis=1)[:, 0]
+                    sc = sc.at[bidx, idx].set(jnp.array(-1, dtype))
+                    elig = (live & (val >= 0)
+                            & (kk1 < K)
+                            & (it1 < jnp.uint32(max_iterations)))
+                    if it_cap is not None:
+                        elig = elig & (it1 < jnp.uint32(it_cap))
+                    if G is not None:
+                        u1, vtv = gram_slot_gather(G, idx, ind1, n)
+                    else:
+                        u1 = gram_u1(idx, ind1)
+                        vtv = jnp.take(gdiag, idx)
+                    bnew = jnp.take_along_axis(C0, idx[:, None],
+                                               axis=1)[:, 0]
+                    b_act_j = jnp.where(elig[:, None],
+                                        b_act1.at[bidx, kk1].set(bnew),
+                                        b_act1)
+                    inv1, coef_j, deg = _oins.omp_insert(
+                        inv1, u1, kk1, vtv, b_act_j, elig,
+                        interpret=interp)
+                    ok = elig & ~deg
+                    ind1 = jnp.where(ok[:, None],
+                                     ind1.at[bidx, kk1].set(idx), ind1)
+                    mask1 = jnp.where(ok[:, None],
+                                      mask1.at[bidx, idx].set(1), mask1)
+                    b_act1 = jnp.where(ok[:, None], b_act_j, b_act1)
+                    coef1 = jnp.where(ok[:, None], coef_j, coef1)
+                    kk1 = jnp.where(ok, kk1 + 1, kk1)
+                    it1 = jnp.where(ok, it1 + 1, it1)
+                    ncommit = ncommit + ok.astype(jnp.uint32)
+                stepped = live & (ncommit > 0)
+                broke_round = live & (ncommit == 0)
 
             # ‖r‖² by the LS identity (in-loop stop only; the reported error
             # is the post-loop high-precision certificate)
             rss1 = yty - jnp.sum(b_act1 * coef1, axis=1)
-
-            ind1 = jnp.where(stepped[:, None],
-                             s.indices.at[bidx, s.kk].set(idx), s.indices)
-            mask1 = jnp.where(stepped[:, None],
-                              s.mask.at[bidx, idx].set(1), s.mask)
 
             # correlation update from the new coefficients (one fused pass)
             D = jnp.zeros((b, n), dtype).at[bidx[:, None], ind1].set(
@@ -261,7 +331,7 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
 
             keep = lambda new, old: jnp.where(stepped[:, None], new, old)
             return _OBState(
-                it=jnp.where(stepped, s.it + 1, s.it),
+                it=jnp.where(stepped, it1, s.it),
                 c=keep(c1, s.c),
                 mask=keep(mask1, s.mask),
                 # inv1 commits UNgated so the kernel's in-place aliasing
@@ -274,11 +344,11 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                 b_act=keep(b_act1, s.b_act),
                 coef=keep(coef1, s.coef),
                 indices=keep(ind1, s.indices),
-                kk=jnp.where(stepped, s.kk + 1, s.kk),
+                kk=jnp.where(stepped, kk1, s.kk),
                 # strictly-decreasing contract: a stall marks the identity's
                 # rounding floor (solvers/omp.py) — stop, iterate kept
                 rss=jnp.where(stepped, rss1, s.rss),
-                broke=s.broke | (live & deg) | blew,
+                broke=s.broke | broke_round | blew,
                 done=s.done | (stepped & (rss1 >= s.rss)),
             )
 

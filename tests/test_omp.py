@@ -812,3 +812,33 @@ def test_gomp_native_matches_oracle_and_jax(J, dtype):
         assert small.explain()["engine"] == "native"
         xa, ra = small.solve(y, tolerance=tol, max_iterations=100)
         assert ra.iter == ito
+
+
+def test_gomp_batch_driver_matches_core(monkeypatch):
+    """The slot-space driver's gOMP rounds (round 5: J guarded
+    insert-kernel calls per fused q pass) match the vmapped gOMP core
+    round-for-round at the convention tolerance regime (tol=1e-2 keeps
+    tol² above the rss identity floor)."""
+    rng = np.random.RandomState(77)
+    m, n, k, b = 96, 256, 8, 6
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    for J in (2, 4, 8):
+        monkeypatch.setenv("SS_BATCH_NATIVE", "1")
+        drv = ss.Omp(A, engine="jax", picks=J, precision="high")
+        assert drv.explain(batch=b, max_iterations=30)["corr"] == "driver"
+        Xd, rd = drv.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+        monkeypatch.setenv("SS_BATCH_NATIVE", "0")
+        core = ss.Omp(A, engine="jax", picks=J, precision="high")
+        Xc, rc = core.solve_batch(Y, tolerance=1e-2, max_iterations=30)
+        np.testing.assert_array_equal(np.asarray(rd.iter),
+                                      np.asarray(rc.iter))
+        np.testing.assert_allclose(np.asarray(Xd), np.asarray(Xc),
+                                   atol=5e-4)
+        for i in range(b):
+            got = set(np.flatnonzero(np.abs(np.asarray(Xd)[i]) > 1e-2))
+            assert got >= set(np.flatnonzero(X0[i])), (J, i)
