@@ -1137,3 +1137,28 @@ def test_mesh_facade_on_device_composes_under_jit(mesh):
     cert = ss.Homotopy(A, mesh=mesh)  # certified default
     with pytest.raises(ValueError, match="outer jit"):
         jax.jit(lambda y: cert.solve_batch_on_device(y, 1e-3, 50))(Yd)
+
+
+def test_omp_sharded_gomp_driver(mesh):
+    """gOMP rounds inside the sharded slot-space driver (round 5):
+    picks>1 with batch_native matches the unsharded driver
+    round-for-round, q psums per row shard."""
+    rng = np.random.RandomState(31)
+    m, n, k, b = 64, 256, 6, 8
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.4, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y)
+    Xs, rs = sh.omp_sharded(mesh, Ad, Yd, 1e-2, 30, batch_native=True,
+                            picks=3)
+    from sparse_solvers_tpu.solvers.omp_batch import solve_omp_batch
+    from sparse_solvers_tpu.ops import blas
+    Aj = jnp.asarray(A)
+    G = blas.xgemm(Aj, Aj, trans_a=True)
+    Xd, rd = solve_omp_batch(Aj, G, jnp.asarray(Y), 1e-2, 30, 30,
+                             use_kernel=False, picks=3)
+    np.testing.assert_array_equal(np.asarray(rs.iter), np.asarray(rd.iter))
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xd), atol=1e-5)
