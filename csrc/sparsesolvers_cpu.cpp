@@ -484,6 +484,10 @@ struct OmpWork {
             idx = j;
           }
         if (idx < 0) break;
+        // gOMP rounds require a strictly positive correlation (the
+        // oracle's degenerate-round guard); the picks=1 path keeps the
+        // legacy argmax semantics bit-for-bit
+        if (picks > 1 && !(best > T(0))) break;
         // mark considered either way so a degenerate pick is not
         // re-selected within this round; only committed inserts stay
         // active beyond it

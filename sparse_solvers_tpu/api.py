@@ -308,7 +308,7 @@ class Homotopy:
 
     def __init__(self, A, k_max: int | None = None, mode: str = "fast",
                  gram: bool | None = None, precision: str | None = None,
-                 engine: str = "auto", mesh=None, picks: int = 1):
+                 engine: str = "auto", mesh=None):
         if mode not in ("fast", "exact"):
             raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
         if engine not in ("auto", "jax", "native"):
@@ -318,8 +318,6 @@ class Homotopy:
             raise ValueError(
                 "engine='native' implements the fast-path algorithm; "
                 "mode='exact' requires the jax engine")
-        if not isinstance(picks, int) or picks < 1:
-            raise ValueError(f"picks must be an int >= 1, got {picks!r}")
         if (precision is not None and isinstance(precision, str)
                 and precision not in _PRECISION_VALUES):
             raise ValueError(
@@ -1519,6 +1517,10 @@ class Omp:
         self._engine = engine
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
+        if picks > self._n:
+            raise ValueError(
+                f"picks must be <= n = {self._n} (each round selects "
+                f"picks inactive columns), got {picks}")
         if mesh is None:
             _warn_small_problem_jax(engine, self._m, self._n)
         self._k_max = k_max
@@ -1953,10 +1955,12 @@ class Cosamp:
         if not isinstance(k_sparsity, int) or k_sparsity < 1:
             raise ValueError(
                 f"k_sparsity must be an int >= 1, got {k_sparsity!r}")
-        if k_sparsity > min(self._m, self._n):
+        if k_sparsity >= min(self._m, self._n):
             raise ValueError(
-                f"k_sparsity must be <= min(m, n) = "
-                f"{min(self._m, self._n)}, got {k_sparsity}")
+                "k_sparsity must be < min(m, n) = "
+                f"{min(self._m, self._n)} (the round needs a nonempty "
+                f"inactive candidate pool and an overdetermined union "
+                f"LS), got {k_sparsity}")
         self._k = k_sparsity
         self._precision = precision
         self._cache: dict = {}
@@ -1975,7 +1979,8 @@ class Cosamp:
                 "mode": "cosamp", "precision": self._precision,
                 "k_sparsity": self._k,
                 "union_capacity": self._k + min(2 * self._k,
-                                                self._n - self._k),
+                                                self._n - self._k,
+                                                self._m - self._k),
                 "formulation": (("vmapped " if batch is not None else "")
                                 + "CoSaMP rounds (union LS via "
                                 "3k-Gram Cholesky)")}
@@ -2133,15 +2138,44 @@ def lasso_at(lambdas, Xs, lam):
 def lasso_at_batch(lambdas, values, indices, iters, n: int, lam):
     """Batched ``lasso_at`` over ``Homotopy.solve_path_batch``'s compact
     histories: one dense (batch, n) solution at λ, each lane
-    interpolated on its own path."""
+    interpolated on its own path. Works directly on the compact
+    slot-space rows — only the (≤ 2) bracketing breakpoints are ever
+    densified, O(batch·(T + n)) instead of densifying whole (T, n)
+    sweeps (review finding)."""
     lambdas = np.asarray(lambdas)
+    values = np.asarray(values)
+    indices = np.asarray(indices)
+    iters = np.asarray(iters)
+    lam = float(lam)
     b = lambdas.shape[0]
-    out = np.empty((b, n), np.asarray(values).dtype)
+    out = np.zeros((b, n), values.dtype)
+
+    def row(vi, ii):
+        r = np.zeros(n, values.dtype)
+        valid = ii < n
+        r[ii[valid]] = vi[valid]
+        return r
+
     for i in range(b):
-        la, Xs = densify_path(lambdas[i], np.asarray(values)[i],
-                              np.asarray(indices)[i],
-                              int(np.asarray(iters)[i]), n)
-        out[i] = lasso_at(la, Xs, lam)
+        T = int(iters[i]) + 1
+        la, hv, hi = lambdas[i, :T], values[i, :T], indices[i, :T]
+        # densify_path's duplicate-trim semantics for break-terminated
+        # lanes (the final row repeats the previous breakpoint)
+        if (T >= 2 and la[-1] == la[-2]
+                and np.array_equal(row(hv[-1], hi[-1]),
+                                   row(hv[-2], hi[-2]))):
+            la, hv, hi = la[:-1], hv[:-1], hi[:-1]
+        if lam >= la[0]:
+            continue  # the λ-max end: x = 0
+        for t in range(len(la) - 1):
+            top, bot = la[t], la[t + 1]
+            if top >= lam >= bot and top > bot:
+                w = (top - lam) / (top - bot)
+                x0 = row(hv[t], hi[t])
+                out[i] = x0 + w * (row(hv[t + 1], hi[t + 1]) - x0)
+                break
+        else:
+            out[i] = row(hv[-1], hi[-1])  # below the recorded end
     return out
 
 

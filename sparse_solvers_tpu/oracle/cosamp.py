@@ -21,7 +21,9 @@ def solve(A: np.ndarray, y: np.ndarray, k_sparsity: int,
     y = np.asarray(y)
     m, n = A.shape
     k = int(k_sparsity)
-    k2 = min(2 * k, n - k) if n > k else 0
+    # the engine's pool clamp, mirrored exactly: the union never
+    # exceeds the row count (solvers/cosamp.py review finding)
+    k2 = min(2 * k, n - k, m - k)
 
     supp: list[int] = []
     vals = np.zeros(0, A.dtype)

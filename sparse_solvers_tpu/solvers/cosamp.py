@@ -63,12 +63,20 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
     k = int(k_sparsity)
     if k < 1:
         raise ValueError(f"k_sparsity must be >= 1, got {k_sparsity}")
-    if k > min(m, n):
+    if k >= min(m, n):
         raise ValueError(
-            f"k_sparsity must be <= min(m, n) = {min(m, n)}, got {k}")
+            f"k_sparsity must be < min(m, n) = {min(m, n)} (the round "
+            f"needs a nonempty inactive pool and an overdetermined "
+            f"union LS), got {k}")
     dtype = A.dtype
     tol = jnp.asarray(tolerance, dtype)
-    k2 = min(2 * k, n - k) if n > k else 0   # inactive pool size
+    # inactive pool: 2k, clamped so the union never exceeds the row
+    # count — a union wider than m makes the union Gram singular by
+    # construction and the round's Cholesky NaNs into a spurious stall
+    # (review finding; classic CoSaMP assumes m ≳ 3k anyway). The m−k
+    # clamp keeps the LS overdetermined-or-square; the oracle mirrors
+    # it exactly.
+    k2 = min(2 * k, n - k, m - k)
     S = k + k2                               # union capacity
     eye_fix = jnp.arange(S)
 
@@ -89,8 +97,11 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
         r = y - blas.xgemv(cols, s.vals)
         c = blas.xgemv(A, r, trans=True)
 
-        # 2k largest inactive |c| (leftmost tie-break via top_k)
-        active = jnp.zeros((n,), bool).at[safe_supp].set(s.supp < n)
+        # 2k largest inactive |c| (leftmost tie-break via top_k);
+        # sentinel slots are dropped, not clamped (a clamped duplicate
+        # write at n−1 with conflicting values is scatter-order
+        # dependent — review finding)
+        active = jnp.zeros((n,), bool).at[s.supp].set(True, mode="drop")
         scores = jnp.where(active, jnp.array(-1, dtype), jnp.abs(c))
         _, top2k = lax.top_k(scores, k2)
         omega = jnp.concatenate([s.supp, top2k.astype(jnp.int32)])

@@ -201,7 +201,12 @@ def solve_omp_core(op, n: int, y: jnp.ndarray, tolerance,
             inv1 = s.inv
             ncommit = jnp.uint32(0)
             for j in range(picks):
-                eligible = ((vals[j] >= 0)
+                # strictly positive correlation, matching the oracle's
+                # degenerate-round guard (a zero-correlation column adds
+                # nothing; admitting it forked engine/oracle supports —
+                # review finding). The picks=1 path keeps the legacy
+                # argmax semantics.
+                eligible = ((vals[j] > 0)
                             & (s.it + ncommit
                                < jnp.uint32(max_iterations))
                             & (inv1.k < k_max))

@@ -282,7 +282,9 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
                     val = jnp.take_along_axis(sc, idx[:, None],
                                               axis=1)[:, 0]
                     sc = sc.at[bidx, idx].set(jnp.array(-1, dtype))
-                    elig = (live & (val >= 0)
+                    # strictly positive correlation (the oracle's
+                    # degenerate-round semantics — review finding)
+                    elig = (live & (val > 0)
                             & (kk1 < K)
                             & (it1 < jnp.uint32(max_iterations)))
                     if it_cap is not None:

@@ -126,3 +126,32 @@ def test_identity_smoke():
     assert rep.iter == 1
     assert rep.solution_error <= 1e-6
     np.testing.assert_allclose(x, sig, atol=1e-7)
+
+
+def test_union_pool_clamped_when_3k_exceeds_m():
+    """Review regression (round 5): with 3k > m the unclamped union
+    Gram was singular by construction — the round Cholesky NaN'd into a
+    spurious 1-round stall. The pool clamp (k2 = min(2k, n−k, m−k))
+    keeps the union LS overdetermined; engine and oracle must agree and
+    actually iterate."""
+    rng = np.random.RandomState(11)
+    m, n, k = 48, 120, 18  # 3k = 54 > m
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    x0 = np.zeros(n, np.float32)
+    x0[rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    y = A @ x0
+    xo, ito, erro, so = oracle.solve(A, y, k, 1e-3, 30)
+    x, rep = ss.Cosamp(A, k).solve(y, tolerance=1e-3, max_iterations=30)
+    assert rep.iter == ito and rep.iter >= 1
+    np.testing.assert_allclose(float(rep.solution_error), erro,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(x, xo, atol=2e-3)
+
+
+def test_k_equal_min_dim_rejected():
+    """k == min(m, n) leaves no inactive pool (every solve returned
+    x = 0 silently before the fix) — rejected with a clear error."""
+    I = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError, match="k_sparsity must be <"):
+        ss.Cosamp(I, 8)

@@ -777,9 +777,12 @@ def test_gomp_validation_and_routing():
     with pytest.raises(ValueError):
         ss.Omp(A, picks="2")
     s = ss.Omp(A, engine="jax", picks=2)
-    # picks>1 never routes the slot-space driver (single-pick kernel)
     assert s.explain(batch=64)["picks"] == 2
+    # the driver DOES serve picks>1 since the gOMP rounds landed; on
+    # this CPU backend route_batch_native declines for other reasons
     assert not s._route_driver(64, 8)
+    with pytest.raises(ValueError, match="picks must be <= n"):
+        ss.Omp(A, engine="jax", picks=9)
 
 
 @pytestmark_native
@@ -842,3 +845,28 @@ def test_gomp_batch_driver_matches_core(monkeypatch):
         for i in range(b):
             got = set(np.flatnonzero(np.abs(np.asarray(Xd)[i]) > 1e-2))
             assert got >= set(np.flatnonzero(X0[i])), (J, i)
+
+
+def test_gomp_zero_correlation_round_matches_oracle():
+    """Review regression (round 5): gOMP sub-inserts must require a
+    strictly positive correlation (the oracle's degenerate guard) — a
+    zero-correlation column admitted into a round forked engine/oracle
+    supports. Orthonormal columns with a 3-sparse signal: picks=4's
+    first round must commit exactly 3 columns on every route."""
+    A = np.eye(16, dtype=np.float32)[:, :8]
+    y = np.zeros(16, np.float32)
+    y[[0, 2, 5]] = [1.0, -0.5, 0.25]
+    xo, ito, erro, so = oracle.solve(A, y, 1e-6, 20, picks=4)
+    assert ito == 3 and sorted(so) == [0, 2, 5]
+    xj, repj = ss.Omp(A, engine="jax", picks=4).solve(
+        y, tolerance=1e-6, max_iterations=20)
+    assert repj.iter == 3
+    if native.available():
+        xn, itn, errn = native.omp_solve(A, y, 1e-6, 20, 20, picks=4)
+        assert itn == 3
+        np.testing.assert_allclose(xn, xo, atol=1e-6)
+    from sparse_solvers_tpu.solvers.omp_batch import solve_omp_batch
+    import jax.numpy as jnp
+    Xd, rd = solve_omp_batch(jnp.asarray(A), None, jnp.asarray(y[None]),
+                             1e-6, 20, 8, use_kernel=False, picks=4)
+    assert int(np.asarray(rd.iter)[0]) == 3
