@@ -1938,10 +1938,12 @@ class Cosamp:
     converges geometrically under RIP, unlike OMP's k picks).
     ``precision`` pins the MXU contraction precision ("highest"
     default — the round's Gram feeds a Cholesky). jax engine (no
-    native/mesh twin; batching is one vmapped program)."""
+    native twin; batching is one vmapped program). ``mesh=`` routes
+    through ``parallel.sharding.cosamp_sharded`` (rows psum'd per
+    round, like the other façades)."""
 
     def __init__(self, A, k_sparsity: int, precision: str = "highest",
-                 engine: str = "jax"):
+                 engine: str = "jax", mesh=None):
         if engine not in ("auto", "jax"):
             raise ValueError(
                 "Cosamp runs on the jax engine (no native twin); got "
@@ -1950,6 +1952,8 @@ class Cosamp:
             raise ValueError(
                 "precision must be 'highest', 'high' or 'default', "
                 f"got {precision!r}")
+        if mesh is not None:
+            _check_mesh(mesh, engine)
         self._A = ndview.as_matrix(A)
         self._m, self._n = self._A.shape
         if not isinstance(k_sparsity, int) or k_sparsity < 1:
@@ -1963,6 +1967,8 @@ class Cosamp:
                 f"LS), got {k_sparsity}")
         self._k = k_sparsity
         self._precision = precision
+        self._mesh = mesh
+        self._A_mesh = None  # lazy row-sharded placement
         self._cache: dict = {}
 
     @property
@@ -1975,7 +1981,7 @@ class Cosamp:
 
     def explain(self, batch: int | None = None,
                 max_iterations: int = 20) -> dict:
-        return {"engine": "jax", "backend": jax.default_backend(),
+        plan = {"engine": "jax", "backend": jax.default_backend(),
                 "mode": "cosamp", "precision": self._precision,
                 "k_sparsity": self._k,
                 "union_capacity": self._k + min(2 * self._k,
@@ -1984,6 +1990,22 @@ class Cosamp:
                 "formulation": (("vmapped " if batch is not None else "")
                                 + "CoSaMP rounds (union LS via "
                                 "3k-Gram Cholesky)")}
+        if self._mesh is not None:
+            plan["mesh"] = dict(self._mesh.shape)
+            plan["sharded"] = True
+            plan["formulation"] = ("row+data shard_map CoSaMP (psum'd "
+                                   "proxy + union Gram per round)")
+        return plan
+
+    def _solve_batch_mesh(self, Y, tol, max_iterations: int):
+        from .parallel import sharding as _sh
+        if self._A_mesh is None:
+            self._A_mesh = _mesh_place_rows(self._mesh, self._A)
+        Yd, bpad = _mesh_prep_batch(self._mesh, Y, self._A_mesh.shape[0])
+        X, rep = _sh.cosamp_sharded(
+            self._mesh, self._A_mesh, Yd, self._k, tol,
+            max_iterations=max_iterations, precision=self._precision)
+        return _trim_batch(X, rep, bpad, dense=True)
 
     def _fn(self, max_iterations: int, batched: bool):
         _check_max_iterations(max_iterations)
@@ -2009,6 +2031,12 @@ class Cosamp:
         solution_error = final ‖y − Ax‖₂)."""
         y = ndview.as_vector(b, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._mesh is not None:
+            X, rep = self._solve_batch_mesh(y[None, :], tol,
+                                            max_iterations)
+            x, it, err = jax.device_get(
+                (X[0], rep.iter[0], rep.solution_error[0]))
+            return x, OmpReport(iter=int(it), solution_error=float(err))
         x, rep = self._fn(max_iterations, batched=False)(self._A, y, tol)
         x, it, err = jax.device_get((x, rep.iter, rep.solution_error))
         return x, OmpReport(iter=int(it), solution_error=float(err))
@@ -2018,6 +2046,8 @@ class Cosamp:
         """Batched solve over signals B of shape (batch, m)."""
         Y = ndview.as_signal_batch(B, dtype=self.dtype, size=self._m)
         tol = self._tol(tolerance)
+        if self._mesh is not None:
+            return self._solve_batch_mesh(Y, tol, max_iterations)
         return self._fn(max_iterations, batched=True)(self._A, Y, tol)
 
     def solve_on_device(self, y: jnp.ndarray, tolerance,

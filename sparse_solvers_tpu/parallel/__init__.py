@@ -5,6 +5,7 @@ construct-once object form over these functional entry points."""
 from .sharding import (  # noqa: F401
     DATA_AXIS,
     ROW_AXIS,
+    cosamp_sharded,
     gram_replicated,
     homotopy_sharded,
     irls_cg_sharded,

@@ -766,6 +766,56 @@ def irls_sharded_from_a(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray,
                         **kwargs)
 
 
+@functools.lru_cache(maxsize=64)
+def _cosamp_sharded_fn(mesh: Mesh, precision: str, k_sparsity: int,
+                       max_iterations: int, m_global: int):
+    from ..solvers.cosamp import solve_cosamp
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROW_AXIS, None), P(DATA_AXIS, ROW_AXIS), P()),
+             out_specs=(P(DATA_AXIS, None), (P(DATA_AXIS), P(DATA_AXIS))),
+             check_vma=False)
+    def run(A_local, Y_local, tol):
+        from ..ops import blas
+        with blas.precision_scope(precision):
+            solve = lambda y_local: solve_cosamp(
+                A_local, y_local, k_sparsity, tol,
+                max_iterations=max_iterations, axis=ROW_AXIS,
+                m_global=m_global)
+            X, rep = jax.vmap(solve, in_axes=(0,))(Y_local)
+        return X, (rep.iter, rep.solution_error)
+
+    return jax.jit(run)
+
+
+def cosamp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray,
+                   k_sparsity: int, tolerance, max_iterations: int = 20,
+                   precision: str = "highest"):
+    """Row-sharded, batch-sharded CoSaMP (solvers/cosamp.py — the
+    support-replacing greedy family) over the (data, row) mesh layout:
+    per round, the proxy correlations c = Aᵀr, the ≤ 3k-union Gram BᵀB,
+    the rhs Bᵀy and ‖r‖² each psum once over the row shards; the
+    replicated S×S Cholesky, selection and prune are identical
+    deterministic functions of the psum'd values on every shard. The
+    pool clamp sizes by the TRUE (unpadded) row count. Returns
+    (X (batch, n) data-sharded, OmpReportArrays)."""
+    from ..api import _check_max_iterations
+    _check_max_iterations(max_iterations)
+    if precision not in ("highest", "high", "default"):
+        raise ValueError(
+            "precision must be 'highest', 'high' or 'default', "
+            f"got {precision!r}")
+    m_global = A.shape[0]
+    A, pad = _pad_rows(A, mesh)
+    extra = A.shape[0] - Y.shape[1]
+    Y = jnp.pad(Y, ((0, 0), (0, extra))) if extra else Y
+    fn = _cosamp_sharded_fn(mesh, precision, int(k_sparsity),
+                            max_iterations, m_global)
+    X, (iters, errs) = fn(A, Y, jnp.asarray(tolerance, A.dtype))
+    from ..solvers.omp import OmpReportArrays
+    return X, OmpReportArrays(iter=iters, solution_error=errs)
+
+
 def irls_sharded(mesh: Mesh, Q: jnp.ndarray, R: jnp.ndarray, Y: jnp.ndarray,
                  tolerance, max_iterations: int, mode: str = "fast",
                  newton: str | None = None, stabilized: bool = False):

@@ -55,11 +55,25 @@ class _CState(NamedTuple):
 
 
 def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
-                 tolerance, max_iterations: int = 20):
+                 tolerance, max_iterations: int = 20,
+                 axis: str | None = None, m_global: int | None = None):
     """CoSaMP on a dense on-device A; returns (x, OmpReportArrays).
     jit/vmap-safe; ``k_sparsity`` (the target support size — CoSaMP
-    requires it, unlike OMP) and ``max_iterations`` (rounds) static."""
+    requires it, unlike OMP) and ``max_iterations`` (rounds) static.
+
+    ``axis`` runs the round row-sharded inside shard_map: A/y are the
+    local row shards and every row reduction — c = Aᵀr, the union Gram
+    BᵀB, the rhs Bᵀy, ‖r‖² — ends in one ``lax.psum`` over ``axis``
+    (the sharded OMP core's contract); selection, the replicated S×S
+    Cholesky and the prune are identical deterministic functions of the
+    psum'd values on every shard. ``m_global`` (required with axis)
+    sizes the pool clamp by the TRUE row count, not the shard's."""
     m, n = A.shape
+    if axis is not None:
+        if m_global is None:
+            raise ValueError("axis requires m_global (the unsharded "
+                             "row count, for the pool clamp)")
+        m = m_global
     k = int(k_sparsity)
     if k < 1:
         raise ValueError(f"k_sparsity must be >= 1, got {k_sparsity}")
@@ -79,8 +93,10 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
     k2 = min(2 * k, n - k, m - k)
     S = k + k2                               # union capacity
     eye_fix = jnp.arange(S)
+    psum = ((lambda v: lax.psum(v, axis)) if axis is not None
+            else (lambda v: v))
 
-    yty = blas.xdot(y, y)
+    yty = psum(blas.xdot(y, y))
     init = _CState(
         it=jnp.uint32(0),
         supp=jnp.full((k,), n, jnp.int32),
@@ -95,7 +111,7 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
         safe_supp = jnp.minimum(s.supp, n - 1)
         cols = jnp.take(A, safe_supp, axis=1) * (s.supp < n).astype(dtype)
         r = y - blas.xgemv(cols, s.vals)
-        c = blas.xgemv(A, r, trans=True)
+        c = psum(blas.xgemv(A, r, trans=True))
 
         # 2k largest inactive |c| (leftmost tie-break via top_k);
         # sentinel slots are dropped, not clamped (a clamped duplicate
@@ -109,10 +125,10 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
         valid = omega < n
         B = (jnp.take(A, jnp.minimum(omega, n - 1), axis=1)
              * valid.astype(dtype))                       # (m, S)
-        G = blas.xgemm(B, B, trans_a=True)
+        G = psum(blas.xgemm(B, B, trans_a=True))
         # sentinel diagonal → 1: exact (zero rows/cols elsewhere, rhs 0)
         G = G.at[eye_fix, eye_fix].add(jnp.where(valid, 0, 1).astype(dtype))
-        rhs = blas.xgemv(B, y, trans=True)
+        rhs = psum(blas.xgemv(B, y, trans=True))
         L, lower = (jnp.linalg.cholesky(G), True)
         b = lax.linalg.triangular_solve(
             L, lax.linalg.triangular_solve(
@@ -125,7 +141,7 @@ def solve_cosamp(A: jnp.ndarray, y: jnp.ndarray, k_sparsity: int,
         vals2 = jnp.take(b, pos)
         Bp = jnp.take(B, pos, axis=1)
         r2 = y - blas.xgemv(Bp, vals2)
-        rss2 = blas.xdot(r2, r2)
+        rss2 = psum(blas.xdot(r2, r2))
 
         ok = jnp.isfinite(rss2) & (rss2 < s.rss)
         keep = lambda new, old: jnp.where(ok, new, old)

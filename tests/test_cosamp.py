@@ -155,3 +155,42 @@ def test_k_equal_min_dim_rejected():
     I = np.eye(8, dtype=np.float32)
     with pytest.raises(ValueError, match="k_sparsity must be <"):
         ss.Cosamp(I, 8)
+
+
+def test_cosamp_sharded_matches_single():
+    """cosamp_sharded (round 5): the row+data sharded route — psum'd
+    proxy correlations, union Gram, rhs and ‖r‖² per round — matches
+    the single-device engine round-for-round on the virtual mesh,
+    including row/batch padding; the Cosamp(mesh=) façade routes it."""
+    import jax
+    from sparse_solvers_tpu.parallel import sharding as sh
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-virtual-device conftest mesh")
+    rng = np.random.RandomState(2)
+    m, n, k, b = 45, 120, 6, 7   # 45 % 4, 7 % 2: both paddings
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    mesh = sh.make_mesh(n_row=4, n_data=2)
+    Xs, rs = ss.Cosamp(A, k).solve_batch(Y, tolerance=1e-4,
+                                         max_iterations=20)
+    Xf, rf = ss.Cosamp(A, k, mesh=mesh).solve_batch(
+        Y, tolerance=1e-4, max_iterations=20)
+    np.testing.assert_array_equal(np.asarray(rf.iter),
+                                  np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xs),
+                               atol=1e-5)
+    assert np.asarray(Xf).shape == (b, n)
+    # functional entry agrees too (it requires a data-divisible batch,
+    # like the other *_sharded functions; the facade pads)
+    Ad, Yd = sh.shard_inputs(mesh, A, Y[:6])
+    X2, r2 = sh.cosamp_sharded(mesh, Ad, Yd, k, 1e-4, 20)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(Xs)[:6],
+                               atol=1e-5)
+    # single solve through the facade
+    x1, rep1 = ss.Cosamp(A, k, mesh=mesh).solve(Y[0], tolerance=1e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(Xs)[0],
+                               atol=1e-5)
