@@ -2053,12 +2053,27 @@ class Cosamp:
     def solve_on_device(self, y: jnp.ndarray, tolerance,
                         max_iterations: int = 20):
         """Jit-composable solve: device arrays in, (x, report) out."""
+        if self._mesh is not None:
+            X, rep = self.solve_batch_on_device(y[None, :], tolerance,
+                                                max_iterations)
+            return X[0], type(rep)(
+                iter=rep.iter[0], solution_error=rep.solution_error[0])
         return self._fn(max_iterations, batched=False)(
             self._A, y, tolerance)
 
     def solve_batch_on_device(self, Y: jnp.ndarray, tolerance,
                               max_iterations: int = 20):
         """Jit-composable batched solve over device arrays."""
+        if self._mesh is not None:
+            from .parallel import sharding as _sh
+            if self._A_mesh is None:
+                self._A_mesh = _mesh_place_rows(self._mesh, self._A)
+            Y, bpad = _mesh_pad_jit(self._mesh, Y, self._A_mesh.shape[0])
+            X, rep = _sh.cosamp_sharded(
+                self._mesh, self._A_mesh, Y, self._k, tolerance,
+                max_iterations=max_iterations,
+                precision=self._precision)
+            return _trim_batch(X, rep, bpad, dense=True)
         return self._fn(max_iterations, batched=True)(
             self._A, Y, tolerance)
 
