@@ -129,7 +129,13 @@ def solve_omp_batch(A: jnp.ndarray, G: jnp.ndarray, Y: jnp.ndarray,
     ~k/picks of it. Degenerate sub-inserts are skipped individually; a
     lane whose round commits nothing breaks with its solution intact.
     ``max_iterations`` stays the COLUMN budget (iter = support size).
-    picks=1 is the existing trajectory, bit-for-bit.
+    picks=1 is the existing trajectory, bit-for-bit. A capacity-tier
+    boundary may split a round (lanes freeze mid-round at the tier's
+    column cap and resume in the next tier's loop): equivalent to one
+    shorter round followed by a fresh greedy selection on the updated
+    correlations — a legitimate gOMP trajectory that can differ from
+    the single-loop core's at the boundary (support quality is the
+    tested contract there, as with the homotopy ladder).
     """
     b, _ = Y.shape
     n = A.shape[1]

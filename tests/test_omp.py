@@ -677,6 +677,10 @@ def test_fuzz_driver_vs_core(monkeypatch):
         # gram=True pins the vmapped Gram-gather formulation (documented
         # contract), so the driver fuzz draws auto (None) vs gram-free
         gram = None if rng.randint(0, 2) else False
+        # round 5: a third of the trials fuzz the gOMP rounds too
+        # (single default tier at these capacities, so driver and core
+        # rounds align)
+        J = int(rng.choice([1, 1, 2, 4]))
         A = rng.randn(m, n).astype(np.float32)
         A /= np.linalg.norm(A, axis=0)
         Y = np.zeros((b, m), np.float32)
@@ -689,11 +693,13 @@ def test_fuzz_driver_vs_core(monkeypatch):
         # "high" pins the 3-pass formulation-parity regime (the
         # certified default's one-pass picks add a documented
         # bf16-divergence class between gram-free and core)
-        drv = ss.Omp(A, engine="jax", gram=gram, precision="high")
+        drv = ss.Omp(A, engine="jax", gram=gram, precision="high",
+                     picks=J)
         assert drv.explain(batch=b, max_iterations=30)["corr"] == "driver"
         Xd, rd = drv.solve_batch(Y, **kw)
         monkeypatch.setenv("SS_BATCH_NATIVE", "0")
-        core = ss.Omp(A, engine="jax", gram=gram, precision="high")
+        core = ss.Omp(A, engine="jax", gram=gram, precision="high",
+                      picks=J)
         Xc, rc = core.solve_batch(Y, **kw)
         same = np.asarray(rd.iter) == np.asarray(rc.iter)
         if not same.all():
