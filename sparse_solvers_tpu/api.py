@@ -2004,7 +2004,8 @@ class Cosamp:
         Yd, bpad = _mesh_prep_batch(self._mesh, Y, self._A_mesh.shape[0])
         X, rep = _sh.cosamp_sharded(
             self._mesh, self._A_mesh, Yd, self._k, tol,
-            max_iterations=max_iterations, precision=self._precision)
+            max_iterations=max_iterations, precision=self._precision,
+            m_global=self._m)
         return _trim_batch(X, rep, bpad, dense=True)
 
     def _fn(self, max_iterations: int, batched: bool):
@@ -2072,7 +2073,7 @@ class Cosamp:
             X, rep = _sh.cosamp_sharded(
                 self._mesh, self._A_mesh, Y, self._k, tolerance,
                 max_iterations=max_iterations,
-                precision=self._precision)
+                precision=self._precision, m_global=self._m)
             return _trim_batch(X, rep, bpad, dense=True)
         return self._fn(max_iterations, batched=True)(
             self._A, Y, tolerance)

@@ -790,22 +790,27 @@ def _cosamp_sharded_fn(mesh: Mesh, precision: str, k_sparsity: int,
 
 def cosamp_sharded(mesh: Mesh, A: jnp.ndarray, Y: jnp.ndarray,
                    k_sparsity: int, tolerance, max_iterations: int = 20,
-                   precision: str = "highest"):
+                   precision: str = "highest",
+                   m_global: int | None = None):
     """Row-sharded, batch-sharded CoSaMP (solvers/cosamp.py — the
     support-replacing greedy family) over the (data, row) mesh layout:
     per round, the proxy correlations c = Aᵀr, the ≤ 3k-union Gram BᵀB,
     the rhs Bᵀy and ‖r‖² each psum once over the row shards; the
     replicated S×S Cholesky, selection and prune are identical
     deterministic functions of the psum'd values on every shard. The
-    pool clamp sizes by the TRUE (unpadded) row count. Returns
-    (X (batch, n) data-sharded, OmpReportArrays)."""
+    pool clamp sizes by the TRUE (unpadded) row count — pass
+    ``m_global`` when A arrives already row-padded (the façade does;
+    reading it off a padded A inflated the clamp and made the union
+    Gram singular whenever the m−k term bound — review finding).
+    Returns (X (batch, n) data-sharded, OmpReportArrays)."""
     from ..api import _check_max_iterations
     _check_max_iterations(max_iterations)
     if precision not in ("highest", "high", "default"):
         raise ValueError(
             "precision must be 'highest', 'high' or 'default', "
             f"got {precision!r}")
-    m_global = A.shape[0]
+    if m_global is None:
+        m_global = A.shape[0]
     A, pad = _pad_rows(A, mesh)
     extra = A.shape[0] - Y.shape[1]
     Y = jnp.pad(Y, ((0, 0), (0, extra))) if extra else Y

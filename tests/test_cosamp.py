@@ -194,3 +194,32 @@ def test_cosamp_sharded_matches_single():
     x1, rep1 = ss.Cosamp(A, k, mesh=mesh).solve(Y[0], tolerance=1e-4)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(Xs)[0],
                                atol=1e-5)
+
+
+def test_cosamp_sharded_padded_rows_clamp_by_true_m():
+    """Review regression (round 5): the façade places A pre-padded, and
+    reading m_global off the padded A inflated the pool clamp — a union
+    wider than the TRUE row count makes the union Gram exactly singular
+    (m=21 → padded 24 on a row-4 mesh, k=8: S=24 > 21). The clamp must
+    size by the true m; sharded and single-device must agree."""
+    import jax
+    from sparse_solvers_tpu.parallel import sharding as sh
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-virtual-device conftest mesh")
+    rng = np.random.RandomState(4)
+    m, n, k, b = 21, 100, 8, 4   # m-k binds the clamp; 21 % 4 != 0
+    A = rng.randn(m, n).astype(np.float32)
+    A /= np.linalg.norm(A, axis=0)
+    X0 = np.zeros((b, n), np.float32)
+    for i in range(b):
+        X0[i, rng.choice(n, k, replace=False)] = rng.uniform(0.5, 1, k)
+    Y = (X0 @ A.T).astype(np.float32)
+    mesh = sh.make_mesh(n_row=4, n_data=2)
+    Xs, rs = ss.Cosamp(A, k).solve_batch(Y, tolerance=1e-3,
+                                         max_iterations=25)
+    Xf, rf = ss.Cosamp(A, k, mesh=mesh).solve_batch(
+        Y, tolerance=1e-3, max_iterations=25)
+    np.testing.assert_array_equal(np.asarray(rf.iter),
+                                  np.asarray(rs.iter))
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xs),
+                               atol=1e-5)

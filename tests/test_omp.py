@@ -677,7 +677,7 @@ def test_fuzz_driver_vs_core(monkeypatch):
         # gram=True pins the vmapped Gram-gather formulation (documented
         # contract), so the driver fuzz draws auto (None) vs gram-free
         gram = None if rng.randint(0, 2) else False
-        # round 5: a third of the trials fuzz the gOMP rounds too
+        # round 5: half the trials fuzz the gOMP rounds too
         # (single default tier at these capacities, so driver and core
         # rounds align)
         J = int(rng.choice([1, 1, 2, 4]))
